@@ -1,0 +1,344 @@
+"""The DADA2 divisive partitioning engine.
+
+Host-driven control loop over device-batched comparisons. The reference
+implements this as pointer-graph surgery plus TBB-parallel alignment sweeps
+(reference: src/Rmain.cpp:297-336 run_dada, src/cluster.cpp); here the raws
+live in struct-of-arrays (RawSet), each round's "compare all raws to the new
+cluster center" is one batched call into a pluggable backend (NumPy oracle or
+the TPU kernels in ops/), and the inherently sequential decisions (budding,
+shuffling, p-value updates) are exact float64 host bookkeeping.
+
+Slot-order semantics: the reference stores cluster members in arrays mutated
+by swap-with-last pops (src/containers.cpp:183-197); member order affects
+tie-breaking in b_bud and the order of floating-point accumulations in the
+outputs, so we reproduce the same slot discipline with plain lists.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+from scipy import special as _sp
+
+from ..encode import GAP_GLYPH
+from ..options import DadaOptions
+from .raws import RawSet
+from ..ops.subs import Sub, calc_pA
+
+MAX_SHUFFLE = 10  # reference: src/dada.h:30
+
+
+@dataclass
+class Cluster:
+    """One partition (Bi). reference: src/dada.h:85-105."""
+
+    slots: List[int]                    # raw indices in slot order
+    center: int = -1                    # raw index of the center
+    reads: int = 0
+    update_e: bool = True
+    check_locks: bool = True
+    birth_type: str = "I"
+    birth_from: int = 0
+    birth_pval: float = 0.0
+    birth_fold: float = 1.0
+    birth_e: float = 0.0
+    birth_comp_i: int = 0
+    birth_comp_lam: float = 0.0
+    birth_comp_ham: int = 0
+    # comparisons stored for this cluster (parallel arrays, insertion order)
+    comp_index: list = field(default_factory=list)
+    comp_lam: list = field(default_factory=list)
+    comp_ham: list = field(default_factory=list)
+
+
+class CompareBackend:
+    """Interface for the batched alignment/lambda computation.
+
+    compare(center, skip, ...) must return (lam[n] float64, ham[n] int64)
+    where skipped raws get lam=0/ham=-1, screened-out ("shrouded") raws get
+    lam=0/ham=-1, and aligned raws get their exact sequential-float64 lambda
+    and substitution count.
+    """
+
+    def compare(self, center: int, skip: np.ndarray, opts: DadaOptions,
+                err: np.ndarray, use_kmers: bool, kdist_cutoff: float):
+        raise NotImplementedError
+
+    def subs_pair(self, i0: int, i1: int, opts: DadaOptions,
+                  use_kmers: bool, kdist_cutoff: float) -> Optional[Sub]:
+        """Full Sub for one pair (used for birth subs)."""
+        raise NotImplementedError
+
+    def subs_to_center(self, center: int, members: np.ndarray,
+                       opts: DadaOptions) -> List[Optional[Sub]]:
+        """Final subs of members vs center, use_kmers=False semantics.
+
+        reference: src/Rmain.cpp:206-235 (FinalSubsParallel).
+        """
+        raise NotImplementedError
+
+
+class Engine:
+    """The clustering state (B). reference: src/dada.h:108-123."""
+
+    def __init__(self, rawset: RawSet, err: np.ndarray, opts: DadaOptions,
+                 backend: CompareBackend, use_quals: bool = True):
+        self.rs = rawset
+        self.err = np.asarray(err, dtype=np.float64)
+        self.opts = opts
+        self.backend = backend
+        self.use_quals = use_quals
+        n = rawset.n
+        self.n = n
+        self.total_reads = int(rawset.reads.sum())
+        self.E_minmax = np.full(n, -999.0)        # reference: containers.cpp:39
+        self.p = np.zeros(n)
+        self.lock = np.zeros(n, dtype=bool)
+        self.correct = np.ones(n, dtype=bool)
+        self.comp_i = np.zeros(n, dtype=np.int64)     # raw->comp
+        self.comp_lam = np.zeros(n)
+        self.comp_ham = np.zeros(n, dtype=np.int64)
+        self.cluster_of = np.zeros(n, dtype=np.int64)
+        self.clusters: List[Cluster] = []
+        self.nalign = 0
+        self.nshroud = 0
+        self._init_clusters()
+
+    # ----- container ops (reference: src/containers.cpp) -----
+
+    def _init_clusters(self):
+        c = Cluster(slots=list(range(self.n)))
+        c.reads = self.total_reads
+        c.birth_e = float(self.total_reads)
+        self.clusters = [c]
+        self.cluster_of[:] = 0
+        self._assign_center(c)
+
+    def _assign_center(self, bi: Cluster):
+        """Most abundant member becomes center; ties keep the lowest slot.
+
+        reference: src/cluster.cpp:371-386. Unlocks all members.
+        """
+        best, max_reads = -1, 0
+        for r in bi.slots:
+            self.lock[r] = False
+            if self.rs.reads[r] > max_reads:
+                best = r
+                max_reads = int(self.rs.reads[r])
+        bi.center = best
+        bi.check_locks = True
+
+    def _pop_raw(self, bi: Cluster, slot: int) -> int:
+        raw = bi.slots[slot]
+        bi.slots[slot] = bi.slots[-1]
+        bi.slots.pop()
+        bi.reads -= int(self.rs.reads[raw])
+        bi.update_e = True
+        return raw
+
+    def _add_raw(self, bi: Cluster, raw: int):
+        bi.slots.append(raw)
+        bi.reads += int(self.rs.reads[raw])
+        bi.update_e = True
+
+    # ----- compare (reference: src/cluster.cpp:13-204) -----
+
+    def compare(self, i: int, use_kmers: bool, kdist_cutoff: float):
+        bi = self.clusters[i]
+        center = bi.center
+        center_reads = int(self.rs.reads[center])
+        if self.opts.GREEDY:
+            skip = (self.rs.reads > center_reads) | self.lock
+        else:
+            skip = np.zeros(self.n, dtype=bool)
+        lam, ham = self.backend.compare(center, skip, self.opts, self.err,
+                                        use_kmers, kdist_cutoff)
+        if np.any((lam < 0) | (lam > 1)):
+            raise ValueError("Lambda out-of-range error.")
+        #
+
+        # Selective store (reference: src/cluster.cpp:179-201): keep the
+        # comparison only if this cluster could attract the raw.
+        store = lam * self.total_reads > self.E_minmax
+        better = store & (lam * center_reads > self.E_minmax)
+        self.E_minmax[better] = lam[better] * center_reads
+        idx = np.nonzero(store)[0]
+        bi.comp_index.extend(idx.tolist())
+        bi.comp_lam.extend(lam[idx].tolist())
+        bi.comp_ham.extend(ham[idx].tolist())
+        if i == 0:
+            self.comp_i[idx] = i
+            self.comp_lam[idx] = lam[idx]
+            self.comp_ham[idx] = ham[idx]
+        elif store[center]:
+            self.comp_i[center] = i
+            self.comp_lam[center] = lam[center]
+            self.comp_ham[center] = ham[center]
+
+    # ----- shuffle (reference: src/cluster.cpp:210-266) -----
+
+    def shuffle(self) -> bool:
+        n = self.n
+        # Initialize best-E from cluster 0, whose comp list has one entry per
+        # raw in index order (full compare at init).
+        c0 = self.clusters[0]
+        emax = np.asarray(c0.comp_lam) * self.clusters[0].reads
+        best_i = np.zeros(n, dtype=np.int64)
+        best_lam = np.asarray(c0.comp_lam).copy()
+        best_ham = np.asarray(c0.comp_ham, dtype=np.int64).copy()
+        for i in range(1, len(self.clusters)):
+            bi = self.clusters[i]
+            if not bi.comp_index:
+                continue
+            idx = np.asarray(bi.comp_index, dtype=np.int64)
+            lam = np.asarray(bi.comp_lam)
+            e = lam * bi.reads
+            upd = e > emax[idx]           # strict: ties keep earlier cluster
+            uidx = idx[upd]
+            emax[uidx] = e[upd]
+            best_i[uidx] = i
+            best_lam[uidx] = lam[upd]
+            best_ham[uidx] = np.asarray(bi.comp_ham, dtype=np.int64)[upd]
+
+        shuffled = False
+        for i in range(len(self.clusters)):
+            bi = self.clusters[i]
+            slots = bi.slots
+            # fast path: nobody wants to leave
+            if not slots or not np.any(best_i[np.asarray(slots)] != i):
+                continue
+            for r in range(len(slots) - 1, -1, -1):
+                raw = slots[r]
+                ti = best_i[raw]
+                if ti != i:
+                    if raw == bi.center:
+                        continue  # the center cannot leave
+                    self._pop_raw(bi, r)
+                    self._add_raw(self.clusters[ti], raw)
+                    self.cluster_of[raw] = ti
+                    self.comp_i[raw] = ti
+                    self.comp_lam[raw] = best_lam[raw]
+                    self.comp_ham[raw] = best_ham[raw]
+                    shuffled = True
+        return shuffled
+
+    # ----- p-value update (reference: src/pval.cpp:14-40) -----
+
+    def p_update(self):
+        opts = self.opts
+        for bi in self.clusters:
+            if bi.update_e:
+                idx = np.asarray(bi.slots, dtype=np.int64)
+                self.p[idx] = self._get_pA_vec(idx, bi.reads)
+                bi.update_e = False
+            if opts.GREEDY and bi.check_locks:
+                idx = np.asarray(bi.slots, dtype=np.int64)
+                e_center = self.rs.reads[bi.center] * self.comp_lam[idx]
+                self.lock[idx[e_center > self.rs.reads[idx]]] = True
+                self.lock[bi.center] = True
+                bi.check_locks = False
+
+    def _get_pA_vec(self, idx: np.ndarray, bi_reads: int) -> np.ndarray:
+        """Vectorized get_pA (reference: src/pval.cpp:67-89)."""
+        opts = self.opts
+        reads = self.rs.reads[idx]
+        prior = self.rs.priors[idx]
+        lam = self.comp_lam[idx]
+        ham = self.comp_ham[idx]
+        out = np.ones(len(idx))
+        singleton = (reads == 1) & ~prior & ~opts.DETECT_SINGLETONS
+        zero = (lam == 0) & ~singleton & (ham != 0)
+        out[zero] = 0.0
+        need = ~singleton & (ham != 0) & (lam != 0)
+        if np.any(need):
+            E = lam[need] * bi_reads
+            pv = _sp.pdtrc(reads[need] - 1, E)
+            cond = ~(prior[need] | opts.DETECT_SINGLETONS)
+            norm = 1.0 - np.exp(-E)
+            small = norm < 1e-7  # TAIL_APPROX_CUTOFF, src/dada.h:25
+            norm = np.where(small, E - 0.5 * E * E, norm)
+            out[need] = np.where(cond, pv / norm, pv)
+        return out
+
+    # ----- bud (reference: src/cluster.cpp:274-350) -----
+
+    def bud(self) -> int:
+        opts = self.opts
+        min_fold, min_hamming, min_abund = (
+            opts.MIN_FOLD, opts.MIN_HAMMING, opts.MIN_ABUNDANCE)
+        # Sentinel = cluster 0's center (reference init, cluster.cpp:280-281)
+        c0 = self.clusters[0].center
+        best = (self.p[c0], -int(self.rs.reads[c0]))
+        best_at = None          # (cluster, slot, raw)
+        bestP = (self.p[c0], -int(self.rs.reads[c0]))
+        bestP_at = None
+        for i, bi in enumerate(self.clusters):
+            for r in range(1, len(bi.slots)):  # slot 0 is the center
+                raw = bi.slots[r]
+                reads = int(self.rs.reads[raw])
+                if reads < min_abund:
+                    continue
+                ham = self.comp_ham[raw]
+                lam = self.comp_lam[raw]
+                if ham < min_hamming:
+                    continue
+                if not (min_fold <= 1 or reads >= min_fold * lam * bi.reads):
+                    continue
+                key = (self.p[raw], -reads)
+                if key < best:
+                    best = key
+                    best_at = (i, r, raw)
+                if self.rs.priors[raw] and key < bestP:
+                    bestP = key
+                    bestP_at = (i, r, raw)
+
+        pA = best[0] * self.n  # Bonferroni (reference: cluster.cpp:313)
+        pP = bestP[0]
+        if pA < opts.OMEGA_A and best_at is not None:
+            return self._do_bud(best_at, "A", pA)
+        elif pP < opts.OMEGA_P and bestP_at is not None:
+            return self._do_bud(bestP_at, "P", pP)
+        return 0
+
+    def _do_bud(self, at, btype: str, pval: float) -> int:
+        mini, minr, raw = at
+        bi = self.clusters[mini]
+        expected = self.comp_lam[raw] * bi.reads
+        self._pop_raw(bi, minr)
+        new = Cluster(slots=[])
+        new.birth_type = btype
+        # the reference leaves birth_from uninitialized for "P" births
+        # (src/cluster.cpp:331-345); we set it to the source cluster.
+        new.birth_from = mini
+        new.birth_pval = pval
+        new.birth_fold = self.rs.reads[raw] / expected
+        new.birth_e = expected
+        new.birth_comp_i = int(self.comp_i[raw])
+        new.birth_comp_lam = float(self.comp_lam[raw])
+        new.birth_comp_ham = int(self.comp_ham[raw])
+        self.clusters.append(new)
+        i = len(self.clusters) - 1
+        self._add_raw(new, raw)
+        self.cluster_of[raw] = i
+        self._assign_center(new)
+        return i
+
+    # ----- main loop (reference: src/Rmain.cpp:297-336) -----
+
+    def run(self, max_clust: int = 0):
+        opts = self.opts
+        self.compare(0, opts.USE_KMERS, 1.0)  # no kmer screen on init cluster
+        self.p_update()
+        if max_clust < 1:
+            max_clust = self.n
+        while len(self.clusters) < max_clust:
+            newi = self.bud()
+            if not newi:
+                break
+            self.compare(newi, opts.USE_KMERS, opts.KDIST_CUTOFF)
+            nshuffle = 0
+            while self.shuffle() and nshuffle + 1 < MAX_SHUFFLE:
+                nshuffle += 1
+            self.p_update()
+        return self

@@ -1,0 +1,237 @@
+"""Output assembly for dada_uniques: clustering table, transition counts,
+cluster quality profiles, birth substitutions, and the uniques->ASV map.
+
+reference: src/Rmain.cpp:172-295 and src/error.cpp.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..encode import GAP_GLYPH, codes_to_seq
+from ..options import DadaOptions
+from .engine import Engine
+from ..ops.subs import Sub, calc_pA
+
+_NT = "ACGT"
+TRANS_ROWS = [f"{a}2{b}" for a in _NT for b in _NT]
+
+
+def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
+             omegaC: float) -> dict:
+    """Run the final-subs pass and assemble all outputs.
+
+    Returns dict with keys: clustering (DataFrame), birth_subs (DataFrame),
+    subqual ([16, Q] int64), clusterquals ([maxlen, nclust] float64),
+    map ([n] int64, -1 for NA), pval ([n] float64).
+    """
+    rs = eng.rs
+    nclust = len(eng.clusters)
+    has_quals = rs.quals is not None
+
+    # Final subs for every raw vs its cluster center, and birth subs
+    # (reference: src/Rmain.cpp:174-236)
+    subs: List[Optional[Sub]] = [None] * rs.n
+    birth_subs: List[Optional[Sub]] = [None] * nclust
+    for i, bi in enumerate(eng.clusters):
+        members = np.asarray(bi.slots, dtype=np.int64)
+        ss = eng.backend.subs_to_center(bi.center, members, opts)
+        for m, s in zip(members, ss):
+            subs[int(m)] = s
+        if i > 0:
+            from_center = eng.clusters[bi.birth_comp_i].center
+            birth_subs[i] = eng.backend.subs_pair(
+                from_center, bi.center, opts, opts.USE_KMERS, 1.0)
+
+    # Final within-cluster p and the OMEGA_C correction gate
+    # (reference: src/Rmain.cpp:238-252)
+    pvals = np.zeros(rs.n)
+    for i, bi in enumerate(eng.clusters):
+        for raw in bi.slots:
+            if raw == bi.center:
+                eng.p[raw] = 1.0
+            else:
+                eng.p[raw] = calc_pA(int(rs.reads[raw]),
+                                     eng.comp_lam[raw] * bi.reads, True)
+                if eng.p[raw] < omegaC:
+                    eng.correct[raw] = False
+            pvals[raw] = eng.p[raw]
+
+    clustering = _clustering_df(eng, subs, birth_subs, has_quals)
+    subqual = _transition_matrix(eng, subs, has_quals, err_ncol)
+    clusterquals = _cluster_quality_matrix(eng, subs, has_quals, rs.max_len)
+    birth_df = _birth_subs_df(eng, birth_subs, has_quals)
+
+    # map from uniques to cluster, -1 where not corrected
+    # (reference: src/Rmain.cpp:268-279, NA -> -1 here; R adds 1-indexing)
+    map_ = np.full(rs.n, -1, dtype=np.int64)
+    for i, bi in enumerate(eng.clusters):
+        for raw in bi.slots:
+            if eng.correct[raw]:
+                map_[raw] = i
+
+    return dict(clustering=clustering, birth_subs=birth_df, subqual=subqual,
+                clusterquals=clusterquals, map=map_, pval=pvals)
+
+
+def _clustering_df(eng: Engine, subs, birth_subs, has_quals) -> pd.DataFrame:
+    """reference: src/error.cpp:9-127."""
+    rs = eng.rs
+    nclust = len(eng.clusters)
+    seqs, abund, n0, n1, nunq = [], [], [], [], []
+    b_from, b_pval, b_fold, b_ham, b_qave = [], [], [], [], []
+    for i, bi in enumerate(eng.clusters):
+        # representative sequence: most abundant member, first-slot ties
+        best, best_reads = -1, 0
+        a = z = o = u = 0
+        for raw in bi.slots:
+            if rs.reads[raw] > best_reads:
+                best, best_reads = raw, int(rs.reads[raw])
+            if eng.correct[raw]:
+                a += int(rs.reads[raw])
+                u += 1
+                s = subs[raw]
+                if s is not None:
+                    if s.nsubs == 0:
+                        z += int(rs.reads[raw])
+                    if s.nsubs == 1:
+                        o += int(rs.reads[raw])
+        seqs.append(codes_to_seq(rs.seqs[best, : rs.lens[best]]))
+        abund.append(a)
+        n0.append(z)
+        n1.append(o)
+        nunq.append(u)
+        if i == 0:
+            b_from.append(np.nan)
+            b_pval.append(np.nan)
+            b_fold.append(np.nan)
+            b_ham.append(np.nan)
+            b_qave.append(np.nan)
+        else:
+            b_from.append(bi.birth_from + 1)  # 1-based like the reference
+            b_pval.append(bi.birth_pval)
+            b_fold.append(bi.birth_fold)
+            b_ham.append(bi.birth_comp_ham)
+            if has_quals:
+                s = birth_subs[i]
+                qave = 0.0
+                if s is not None and s.nsubs:
+                    q1 = _sub_q1(eng, i, s)
+                    qave = float(np.sum(q1.astype(np.float64))) / s.nsubs
+                b_qave.append(qave)
+            else:
+                b_qave.append(np.nan)
+
+    # post-hoc pvalue from summed cross-cluster E (reference: error.cpp:99-119)
+    center_of = {bi.center: i for i, bi in enumerate(eng.clusters)}
+    tot_e = np.zeros(nclust)
+    for i, bi in enumerate(eng.clusters):
+        for cind in range(len(bi.comp_index)):
+            idx = bi.comp_index[cind]
+            j = center_of.get(idx)
+            if j is not None and j != i:
+                tot_e[j] += bi.comp_lam[cind] * bi.reads
+    pval = np.array([
+        calc_pA(int(rs.reads[bi.center]), tot_e[i], True)
+        for i, bi in enumerate(eng.clusters)
+    ])
+
+    return pd.DataFrame(dict(
+        sequence=seqs, abundance=np.array(abund, dtype=np.int64),
+        n0=np.array(n0, dtype=np.int64), n1=np.array(n1, dtype=np.int64),
+        nunq=np.array(nunq, dtype=np.int64), pval=pval,
+        birth_from=b_from, birth_pval=b_pval, birth_fold=b_fold,
+        birth_ham=b_ham, birth_qave=b_qave,
+    ))
+
+
+def _sub_q1(eng: Engine, i: int, s: Sub) -> np.ndarray:
+    """Qualities of the new center at birth-substitution positions.
+
+    reference: sub_new quality attachment (src/nwalign_endsfree.cpp:650-663).
+    """
+    raw1 = eng.clusters[i].center
+    pos1 = s.map[s.pos]
+    return eng.rs.quals[raw1, pos1]
+
+
+def _transition_matrix(eng: Engine, subs, has_quals, ncol: int) -> np.ndarray:
+    """16 x Q observed transition counts (reference: src/error.cpp:131-172)."""
+    rs = eng.rs
+    if not has_quals:
+        ncol = 1
+    out = np.zeros((16, ncol), dtype=np.int64)
+    for bi in eng.clusters:
+        center = bi.center
+        clen = int(rs.lens[center])
+        cseq = rs.seqs[center, :clen].astype(np.int64)
+        for raw in bi.slots:
+            if not eng.correct[raw]:
+                continue
+            s = subs[raw]
+            if s is None:
+                continue
+            pos1 = s.map  # [clen]
+            ok = pos1 != GAP_GLYPH
+            nti0 = cseq[ok]
+            p1 = pos1[ok]
+            nti1 = rs.seqs[raw, p1].astype(np.int64)
+            t = 4 * nti0 + nti1
+            if has_quals:
+                q = rs.quals[raw, p1].astype(np.int64)
+            else:
+                q = np.zeros(len(t), dtype=np.int64)
+            np.add.at(out, (t, q), int(rs.reads[raw]))
+    return out
+
+
+def _cluster_quality_matrix(eng: Engine, subs, has_quals, maxlen) -> np.ndarray:
+    """Average positional quality per cluster (reference: src/error.cpp:225-258)."""
+    rs = eng.rs
+    nclust = len(eng.clusters)
+    out = np.zeros((maxlen, nclust))
+    if not has_quals:
+        return out
+    for i, bi in enumerate(eng.clusters):
+        seqlen = int(rs.lens[bi.center])
+        nreads = np.zeros(seqlen, dtype=np.int64)
+        acc = np.zeros(seqlen)
+        for raw in bi.slots:  # slot order: float accumulation order matters
+            if not eng.correct[raw]:
+                continue
+            s = subs[raw]
+            if s is None:
+                continue
+            ok = s.map != GAP_GLYPH
+            p1 = s.map[ok]
+            w = int(rs.reads[raw])
+            nreads[ok] += w
+            acc[ok] += rs.quals[raw, p1].astype(np.float64) * w
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[:seqlen, i] = acc / nreads
+        out[seqlen:, i] = np.nan
+    return out
+
+
+def _birth_subs_df(eng: Engine, birth_subs, has_quals) -> pd.DataFrame:
+    """reference: src/error.cpp:261-300."""
+    pos, nt0, nt1, qual, clust = [], [], [], [], []
+    for i, s in enumerate(birth_subs):
+        if s is None:
+            continue
+        for k in range(s.nsubs):
+            pos.append(int(s.pos[k]) + 1)
+            nt0.append(_NT[s.nt0[k]])
+            nt1.append(_NT[s.nt1[k]])
+            if has_quals:
+                q1 = _sub_q1(eng, i, s)
+                qual.append(float(q1[k]))
+            else:
+                qual.append(np.nan)
+            clust.append(i + 1)
+    return pd.DataFrame(dict(
+        pos=np.array(pos, dtype=np.int64), ref=nt0, sub=nt1,
+        qual=np.array(qual), clust=np.array(clust, dtype=np.int64),
+    ))

