@@ -1,0 +1,238 @@
+"""Batched banded ends-free Needleman-Wunsch on TPU (JAX/XLA).
+
+TPU-native reimplementation of the reference's hot alignment kernel
+(reference: src/nwalign_vectorized.cpp:71-318, nwalign_vectorized2). Instead
+of one anti-diagonal int16 DP per call on a CPU core, a whole batch of pairs
+is swept in lockstep: a `lax.scan` walks the anti-diagonals, carrying the two
+previous band-window diagonals per pair, and `vmap` batches pairs so every
+step is a dense [n, W] vector op on the VPU. Pointers stream to HBM; a second
+batched scan performs the traceback and emits, per pair, the per-position
+transition vector and substitution count that the lambda computation needs.
+
+Semantics are exactly those of the oracle (ops/nw_ref.py, mode="vec"),
+including tie precedence (up >= left > diag), per-pair band widening on the
+long side by the length difference, and the ends-free last-row/last-col
+recalculation that activates one anti-diagonal late (reference:
+src/nwalign_vectorized.cpp:186-215).
+
+Geometry: cell (i, j), i indexes s1 (0..len1), j indexes s2. Anti-diagonal
+d = i + j. In-band: i - j <= lband and j - i <= rband where
+lband = band + max(0, len1 - len2), rband = band + max(0, len2 - len1)
+(band < 0 disables banding). On diagonal d the in-band rows are
+lo(d) = max(0, d - len2, ceil((d - rband)/2)) .. hi(d) = min(len1, d,
+floor((d + lband)/2)); each diagonal is stored as a window of W rows
+starting at lo(d).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(2**29)
+PTR_NONE, PTR_DIAG, PTR_LEFT, PTR_UP = 0, 1, 2, 3
+
+
+def batch_geometry(len1: np.ndarray, len2: np.ndarray, band: int):
+    """Static (max_diags, W) for a batch of pairs; host-side, exact."""
+    len1 = np.asarray(len1, dtype=np.int64)
+    len2 = np.asarray(len2, dtype=np.int64)
+    if band < 0:
+        lband, rband = len1, len2
+    else:
+        lband = band + np.maximum(0, len1 - len2)
+        rband = band + np.maximum(0, len2 - len1)
+    # max window width: floor((d+lband)/2) - ceil((d-rband)/2) + 1 maximized
+    # over d, also bounded by the rectangle
+    w = (lband + rband) // 2 + 2
+    w = np.minimum(w, np.minimum(len1, len2) + 1)
+    nd = int((len1 + len2).max()) + 1
+    return nd, int(w.max())
+
+
+def _lo(d, len2, rband):
+    return jnp.maximum(0, jnp.maximum(d - len2, (d - rband + 1) // 2))
+
+
+def _hi(d, len1, lband):
+    return jnp.minimum(jnp.minimum(len1, d), (d + lband) // 2)
+
+
+def _fill_kernel(s1, len1, s2, len2, lband, rband, nd, W,
+                 match, mismatch, gap_p, end_gap_p):
+    """DP fill for one pair; returns ptr [nd, W] int8. vmapped over pairs."""
+    endsfree = end_gap_p > gap_p
+    j_first = jnp.maximum(1, len1 - lband)
+    i_first = jnp.maximum(1, len2 - rband)
+    r = jnp.arange(W, dtype=jnp.int32)
+
+    prev1 = jnp.full(W, NEG, jnp.int32).at[0].set(0)  # diag 0: cell (0,0)
+    prev2 = jnp.full(W, NEG, jnp.int32)
+
+    def step(carry, d):
+        prev1, prev2, lo1, lo2 = carry
+        lod = _lo(d, len2, rband)
+        hid = _hi(d, len1, lband)
+        i = lod + r
+        j = d - i
+        valid = r <= (hid - lod)
+
+        p1pad = jnp.concatenate([jnp.full(2, NEG, jnp.int32), prev1,
+                                 jnp.full(2, NEG, jnp.int32)])
+        p2pad = jnp.concatenate([jnp.full(2, NEG, jnp.int32), prev2,
+                                 jnp.full(2, NEG, jnp.int32)])
+        U = jax.lax.dynamic_slice(p1pad, (lod - lo1 - 1 + 2,), (W,)) + gap_p
+        L = jax.lax.dynamic_slice(p1pad, (lod - lo1 + 2,), (W,)) + gap_p
+        Dp = jax.lax.dynamic_slice(p2pad, (lod - lo2 - 1 + 2,), (W,))
+        c1 = s1[jnp.clip(i - 1, 0, s1.shape[0] - 1)]
+        c2 = s2[jnp.clip(j - 1, 0, s2.shape[0] - 1)]
+        D = Dp + jnp.where(c1 == c2, match, mismatch)
+
+        # tie precedence: U >= L, diag only on strict improvement
+        # (reference: src/nwalign_vectorized.cpp:8-32)
+        entry = jnp.where(U >= L, U, L)
+        ptr = jnp.where(U >= L, PTR_UP, PTR_LEFT).astype(jnp.int32)
+        dwin = D > entry
+        entry = jnp.where(dwin, D, entry)
+        ptr = jnp.where(dwin, PTR_DIAG, ptr)
+
+        # boundary rows/cols (reference: src/nwalign_vectorized.cpp:116-140)
+        entry = jnp.where(j == 0, i * end_gap_p, entry)
+        ptr = jnp.where(j == 0, PTR_UP, ptr)
+        entry = jnp.where(i == 0, j * end_gap_p, entry)
+        ptr = jnp.where(i == 0, PTR_LEFT, ptr)
+
+        if endsfree:
+            # last-row free left-gap (activates one diagonal late)
+            lastrow = (i == len1) & (j > j_first) & (j > 0) & (i > 0)
+            candr = p1pad[len1 - lo1 + 2] + end_gap_p
+            rgt = lastrow & (candr > entry)
+            rtie = lastrow & (candr == entry) & (ptr == PTR_DIAG)
+            entry = jnp.where(rgt, candr, entry)
+            ptr = jnp.where(rgt | rtie, PTR_LEFT, ptr)
+            # last-col free up-gap, applied after the row rule
+            lastcol = (j == len2) & (i > i_first) & (i > 0) & (j > 0)
+            candc = U - gap_p + end_gap_p
+            cgt = lastcol & (candc > entry)
+            ctie = lastcol & (candc == entry) & (ptr != PTR_UP)
+            entry = jnp.where(cgt, candc, entry)
+            ptr = jnp.where(cgt | ctie, PTR_UP, ptr)
+
+        entry = jnp.where(valid, entry, NEG)
+        ptr = jnp.where(valid, ptr, PTR_NONE)
+        return (entry, prev1, lod, lo1), ptr.astype(jnp.int8)
+
+    ds = jnp.arange(1, nd, dtype=jnp.int32)
+    (last, _, _, _), ptrs = jax.lax.scan(
+        step, (prev1, prev2, jnp.int32(0), jnp.int32(0)), ds)
+    ptr0 = jnp.zeros((1, W), jnp.int8)
+    return jnp.concatenate([ptr0, ptrs], axis=0)
+
+
+def _traceback_kernel(ptrs, s1, len1, s2, len2, rband, nsteps, W):
+    """Walk pointers from (len1, len2); emit per-step (kind, p0, p1).
+
+    Steps are in reverse alignment order; kind 0 = finished. vmapped.
+    """
+    flat = ptrs.reshape(-1)
+
+    def step(carry, _):
+        i, j = carry
+        done = (i == 0) & (j == 0)
+        d = i + j
+        rr = i - _lo(d, len2, rband)
+        ptr = flat[d * W + rr].astype(jnp.int32)
+        ptr = jnp.where(done, PTR_NONE, ptr)
+        takes1 = (ptr == PTR_DIAG) | (ptr == PTR_UP)
+        takes2 = (ptr == PTR_DIAG) | (ptr == PTR_LEFT)
+        ni = i - takes1.astype(jnp.int32)
+        nj = j - takes2.astype(jnp.int32)
+        return (ni, nj), (ptr.astype(jnp.int8), ni.astype(jnp.int32),
+                          nj.astype(jnp.int32))
+
+    (fi, fj), (kinds, p0, p1) = jax.lax.scan(
+        step, (len1, len2), None, length=nsteps)
+    # fi == fj == 0 iff traceback completed (checked host-side)
+    return kinds, p0, p1, fi, fj
+
+
+@partial(jax.jit, static_argnames=("nd", "W", "match", "mismatch", "gap_p",
+                                   "end_gap_p", "band"))
+def _nw_batch_jit(s1b, len1b, s2b, len2b, *, nd, W, match, mismatch,
+                  gap_p, end_gap_p, band):
+    len1b = len1b.astype(jnp.int32)
+    len2b = len2b.astype(jnp.int32)
+    if band < 0:
+        lband, rband = len1b, len2b
+    else:
+        lband = band + jnp.maximum(0, len1b - len2b)
+        rband = band + jnp.maximum(0, len2b - len1b)
+
+    fill = jax.vmap(
+        lambda a, la, b, lb, lbd, rbd: _fill_kernel(
+            a, la, b, lb, lbd, rbd, nd, W, match, mismatch, gap_p, end_gap_p))
+    ptrs = fill(s1b, len1b, s2b, len2b, lband, rband)
+
+    nsteps = s1b.shape[1] + s2b.shape[1]
+    tb = jax.vmap(
+        lambda p, a, la, b, lb, rbd: _traceback_kernel(
+            p, a, la, b, lb, rbd, nsteps, W))
+    kinds, p0, p1, fi, fj = tb(ptrs, s1b, len1b, s2b, len2b, rband)
+
+    # Derived per-pair outputs: hamming count and the transition vector
+    # (lambda inputs; reference: src/pval.cpp:144-197 uses the Sub to patch
+    # self-transitions at substitution positions — identical to tvec below).
+    def derive(kinds, p0, p1, a, b, lb):
+        diag = kinds == PTR_DIAG
+        nt0 = a[jnp.clip(p0, 0, a.shape[0] - 1)].astype(jnp.int32)
+        nt1 = b[jnp.clip(p1, 0, b.shape[0] - 1)].astype(jnp.int32)
+        ham = jnp.sum((diag & (nt0 != nt1)).astype(jnp.int32))
+        bl = b.astype(jnp.int32)
+        tvec = jnp.where(jnp.arange(b.shape[0]) < lb, 5 * bl, 16)
+        idx = jnp.where(diag, p1, b.shape[0])  # dropped when out of range
+        tvec = tvec.at[idx].set(jnp.where(diag, 4 * nt0 + nt1, 0),
+                                mode="drop")
+        return ham, tvec.astype(jnp.int8)
+
+    ham, tvec = jax.vmap(derive)(kinds, p0, p1, s1b, s2b, len2b)
+    ok = (fi == 0) & (fj == 0)
+    return kinds, p0, p1, ham, tvec, ok
+
+
+def nw_batch(s1b, len1b, s2b, len2b, *, match, mismatch, gap_p,
+             end_gap_p=0, band=-1):
+    """Align pairs (s1b[k], s2b[k]) with the vectorized-NW semantics.
+
+    s1b: [n, L1] uint8/int codes; len1b: [n]; likewise s2b/len2b.
+    Returns device arrays (kinds, p0, p1, ham, tvec, ok):
+      kinds [n, L1+L2] int8 — traceback step types, reverse alignment order
+        (1=diag, 2=gap in s1, 3=gap in s2, 0=finished);
+      p0/p1 [n, L1+L2] int32 — 0-based positions consumed at each step;
+      ham [n] int32 — substitution counts;
+      tvec [n, L2] int8 — 16-way transition index per s2 position (self
+        transitions except at substitutions; 16 = padding);
+      ok [n] bool — traceback reached the origin (always true in-band).
+    """
+    nd, W = batch_geometry(np.asarray(len1b), np.asarray(len2b), band)
+    return _nw_batch_jit(
+        jnp.asarray(s1b, jnp.int8), jnp.asarray(len1b, jnp.int32),
+        jnp.asarray(s2b, jnp.int8), jnp.asarray(len2b, jnp.int32),
+        nd=nd, W=W, match=int(match), mismatch=int(mismatch),
+        gap_p=int(gap_p), end_gap_p=int(end_gap_p), band=int(band))
+
+
+def steps_to_alignment(kinds: np.ndarray, p0: np.ndarray, p1: np.ndarray,
+                       s1: np.ndarray, s2: np.ndarray):
+    """Reconstruct the gapped alignment (host-side) from traceback steps.
+
+    Returns (al0, al1) uint8 arrays with 254 = gap, matching ops/nw_ref.
+    """
+    from .nw_ref import GAP
+
+    live = kinds != PTR_NONE
+    kinds, p0, p1 = kinds[live][::-1], p0[live][::-1], p1[live][::-1]
+    al0 = np.where(kinds != PTR_LEFT, s1[np.clip(p0, 0, len(s1) - 1)], GAP)
+    al1 = np.where(kinds != PTR_UP, s2[np.clip(p1, 0, len(s2) - 1)], GAP)
+    return al0.astype(np.uint8), al1.astype(np.uint8)

@@ -1,0 +1,100 @@
+"""Parity: batched JAX NW (ops/nw_batch) vs the exact oracle (ops/nw_ref)."""
+import numpy as np
+import pytest
+
+from dada2_tpu.ops.nw_ref import GAP, nw_align_ref
+from dada2_tpu.ops.nw_batch import nw_batch, steps_to_alignment
+from dada2_tpu.ops.subs import al2subs
+
+
+def _random_pair(rng, lmin=8, lmax=60, mutate=True):
+    l1 = int(rng.integers(lmin, lmax))
+    s1 = rng.integers(0, 4, l1).astype(np.uint8)
+    if mutate:
+        # derive s2 from s1 with subs/indels so alignments are non-trivial
+        s2 = list(s1)
+        for _ in range(int(rng.integers(0, 8))):
+            op = rng.integers(0, 3)
+            p = int(rng.integers(0, len(s2))) if s2 else 0
+            if op == 0 and s2:
+                s2[p] = int(rng.integers(0, 4))
+            elif op == 1 and len(s2) > lmin:
+                del s2[p]
+            else:
+                s2.insert(p, int(rng.integers(0, 4)))
+        s2 = np.array(s2, dtype=np.uint8)
+    else:
+        s2 = rng.integers(0, 4, int(rng.integers(lmin, lmax))).astype(np.uint8)
+    return s1, s2
+
+
+def _run_batch(pairs, match, mismatch, gap, egp, band):
+    n = len(pairs)
+    L1 = max(len(a) for a, _ in pairs)
+    L2 = max(len(b) for _, b in pairs)
+    s1b = np.full((n, L1), 255, np.uint8)
+    s2b = np.full((n, L2), 255, np.uint8)
+    l1 = np.zeros(n, np.int32)
+    l2 = np.zeros(n, np.int32)
+    for k, (a, b) in enumerate(pairs):
+        s1b[k, : len(a)] = a
+        s2b[k, : len(b)] = b
+        l1[k], l2[k] = len(a), len(b)
+    kinds, p0, p1, ham, tvec, ok = nw_batch(
+        s1b, l1, s2b, l2, match=match, mismatch=mismatch, gap_p=gap,
+        end_gap_p=egp, band=band)
+    return (np.asarray(kinds), np.asarray(p0), np.asarray(p1),
+            np.asarray(ham), np.asarray(tvec), np.asarray(ok))
+
+
+@pytest.mark.parametrize("band,egp", [(-1, 0), (16, 0), (4, 0), (16, -8),
+                                      (2, 0), (999, 0)])
+def test_vec_parity_random(band, egp):
+    rng = np.random.default_rng(hash((band, egp)) % 2**32)
+    match, mismatch, gap = 5, -4, -8
+    pairs = [_random_pair(rng) for _ in range(40)]
+    pairs += [_random_pair(rng, mutate=False) for _ in range(10)]
+    kinds, p0, p1, ham, tvec, ok = _run_batch(pairs, match, mismatch, gap,
+                                              egp, band)
+    assert ok.all()
+    for k, (a, b) in enumerate(pairs):
+        ref0, ref1 = nw_align_ref(a, b, match, mismatch, gap, egp, band,
+                                  mode="vec")
+        got0, got1 = steps_to_alignment(kinds[k], p0[k], p1[k], a, b)
+        assert np.array_equal(ref0, got0), f"pair {k} al0 mismatch"
+        assert np.array_equal(ref1, got1), f"pair {k} al1 mismatch"
+        # derived outputs match al2subs on the oracle alignment
+        sub = al2subs(ref0, ref1)
+        assert ham[k] == sub.nsubs
+        tv = 5 * b.astype(np.int64)
+        if sub.nsubs:
+            tv[sub.map[sub.pos]] = 4 * sub.nt0.astype(np.int64) + sub.nt1
+        assert np.array_equal(tvec[k, : len(b)], tv)
+        assert (tvec[k, len(b):] == 16).all()
+
+
+def test_identical_sequences():
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 4, 30).astype(np.uint8)
+    kinds, p0, p1, ham, tvec, ok = _run_batch([(s, s)], 5, -4, -8, 0, 16)
+    assert ok.all() and ham[0] == 0
+    a0, a1 = steps_to_alignment(kinds[0], p0[0], p1[0], s, s)
+    assert np.array_equal(a0, s) and np.array_equal(a1, s)
+
+
+def test_mixed_length_batch():
+    """One batch mixing very different length offsets exercises per-pair
+    band geometry and window padding."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 4, 80).astype(np.uint8)
+    pairs = []
+    for off in (0, 3, 10, 25):
+        pairs.append((base, base[off:]))
+        pairs.append((base[off:], base))
+    kinds, p0, p1, ham, tvec, ok = _run_batch(pairs, 5, -4, -8, 0, 16)
+    assert ok.all()
+    for k, (a, b) in enumerate(pairs):
+        ref0, ref1 = nw_align_ref(a, b, 5, -4, -8, 0, 16, mode="vec")
+        got0, got1 = steps_to_alignment(kinds[k], p0[k], p1[k], a, b)
+        assert np.array_equal(ref0, got0) and np.array_equal(ref1, got1)
+        assert ham[k] == 0  # pure shifts have no substitutions in-band
