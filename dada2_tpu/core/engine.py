@@ -247,7 +247,7 @@ class Engine:
         lam = self.comp_lam[idx]
         ham = self.comp_ham[idx]
         out = np.ones(len(idx))
-        singleton = (reads == 1) & ~prior & ~opts.DETECT_SINGLETONS
+        singleton = (reads == 1) & ~prior & (not opts.DETECT_SINGLETONS)
         zero = (lam == 0) & ~singleton & (ham != 0)
         out[zero] = 0.0
         need = ~singleton & (ham != 0) & (lam != 0)

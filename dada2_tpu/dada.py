@@ -49,13 +49,13 @@ class DadaResult:
 
 
 def _make_backend(rawset, opts, use_quals, err_ncol):
-    """Choose the compare backend: TPU-batched if available, else oracle."""
+    """Choose the compare backend: device-batched unless the requested
+    aligner has no batched implementation (scalar/homopolymer modes)."""
     from .core.backend_ref import OracleBackend
-    try:
+    if opts.VECTORIZED_ALIGNMENT or opts.BAND_SIZE == 0:
         from .core.backend_tpu import TpuBackend
         return TpuBackend(rawset, use_quals=use_quals)
-    except Exception:
-        return OracleBackend(rawset, use_quals=use_quals)
+    return OracleBackend(rawset, use_quals=use_quals)
 
 
 def dada_uniques(

@@ -1,0 +1,85 @@
+"""Parity: TpuBackend (device-batched) vs OracleBackend (exact numpy) on
+real MiSeq data. The clustering output must match bit-for-bit."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from dada2_tpu.core.backend_ref import OracleBackend
+from dada2_tpu.core.backend_tpu import TpuBackend
+from dada2_tpu.core.engine import Engine
+from dada2_tpu.core.output import finalize
+from dada2_tpu.core.raws import make_rawset
+from dada2_tpu.data import tperr1
+from dada2_tpu.derep import derep_fastq
+from dada2_tpu.options import DEFAULT_OPTIONS
+
+
+@pytest.fixture(scope="module")
+def sample(extdata):
+    d = derep_fastq(str(extdata / "sam1F.fastq.gz"))
+    seqs = d.sequences[:150]
+    ab = d.abundances[:150]
+    quals = d.quals[:150]
+    return seqs, ab, quals
+
+
+def _run(backend_cls, sample, err, **overrides):
+    seqs, ab, quals = sample
+    opts = DEFAULT_OPTIONS.replace(**overrides).normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+    backend = backend_cls(rs, use_quals=True)
+    eng = Engine(rs, err, opts, backend, use_quals=True)
+    eng.run(max_clust=opts.MAX_CLUST)
+    return eng, finalize(eng, opts, err.shape[1], opts.OMEGA_C)
+
+
+def _assert_same(res_a, res_b):
+    pd.testing.assert_frame_equal(res_a["clustering"], res_b["clustering"])
+    pd.testing.assert_frame_equal(res_a["birth_subs"], res_b["birth_subs"])
+    np.testing.assert_array_equal(res_a["subqual"], res_b["subqual"])
+    np.testing.assert_array_equal(res_a["map"], res_b["map"])
+    np.testing.assert_array_equal(res_a["pval"], res_b["pval"])
+    np.testing.assert_array_equal(res_a["clusterquals"],
+                                  res_b["clusterquals"])
+
+
+def test_compare_parity(sample):
+    """Single compare(): lam/ham identical between backends."""
+    seqs, ab, quals = sample
+    err = tperr1()
+    opts = DEFAULT_OPTIONS.normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+    skip = np.zeros(rs.n, dtype=bool)
+    lam_o, ham_o = OracleBackend(rs).compare(0, skip, opts, err, True, 1.0)
+    lam_t, ham_t = TpuBackend(rs).compare(0, skip, opts, err, True, 1.0)
+    np.testing.assert_array_equal(ham_o, ham_t)
+    np.testing.assert_array_equal(lam_o, lam_t)
+    # with the kdist screen active
+    lam_o, ham_o = OracleBackend(rs).compare(0, skip, opts, err, True, 0.42)
+    lam_t, ham_t = TpuBackend(rs).compare(0, skip, opts, err, True, 0.42)
+    np.testing.assert_array_equal(ham_o, ham_t)
+    np.testing.assert_array_equal(lam_o, lam_t)
+
+
+def test_full_run_parity(sample):
+    err = tperr1()
+    eng_o, res_o = _run(OracleBackend, sample, err)
+    eng_t, res_t = _run(TpuBackend, sample, err)
+    assert len(eng_o.clusters) == len(eng_t.clusters)
+    _assert_same(res_o, res_t)
+
+
+def test_full_run_parity_no_gapless_no_greedy(sample):
+    err = tperr1()
+    eng_o, res_o = _run(OracleBackend, sample, err,
+                        GAPLESS=False, GREEDY=False)
+    eng_t, res_t = _run(TpuBackend, sample, err,
+                        GAPLESS=False, GREEDY=False)
+    _assert_same(res_o, res_t)
+
+
+def test_full_run_parity_band0(sample):
+    err = tperr1()
+    eng_o, res_o = _run(OracleBackend, sample, err, BAND_SIZE=0)
+    eng_t, res_t = _run(TpuBackend, sample, err, BAND_SIZE=0)
+    _assert_same(res_o, res_t)
