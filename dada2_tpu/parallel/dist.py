@@ -1,0 +1,169 @@
+"""Multi-chip distribution: device meshes, sharded compare, collective
+transition tallies.
+
+The reference is single-node (threads + fork only; SURVEY.md §2.3). The
+TPU-native design distributes along two axes:
+
+* ``samples`` — data parallel over samples/fastq shards (replaces
+  parallel::mclapply over files, reference: R/filter.R:461-477). Each
+  sample's error-learning transition tally is computed locally and merged
+  with a psum each selfConsist round (replaces accumulateTrans,
+  reference: R/errorModels.R:462-471).
+* ``pairs`` — data parallel over unique sequences within a compare sweep
+  (replaces RcppParallel parallelFor over raws, reference:
+  src/cluster.cpp:90-204). Each device aligns its shard of uniques against
+  the (replicated) cluster center; lambda/hamming shards are
+  all-gathered.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import nw_batch as nwb
+
+
+def cpu_devices(n: int):
+    """n CPU devices (virtual, via --xla_force_host_platform_device_count)."""
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        raise RuntimeError(
+            f"need {n} cpu devices, have {len(devs)}; set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n}")
+    return devs[:n]
+
+
+def make_mesh(n_devices: Optional[int] = None, samples: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """(samples, pairs) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    devices = np.asarray(devices)
+    if len(devices) % samples:
+        raise ValueError("samples axis must divide device count")
+    return Mesh(devices.reshape(samples, len(devices) // samples),
+                ("samples", "pairs"))
+
+
+def trans_tally(tvec, quals, lens, reads, ncol: int):
+    """16 x ncol transition-count tally of a batch of aligned uniques.
+
+    Device equivalent of the per-sample tally that feeds the error model
+    (reference: src/error.cpp:131-172), computed as a flat bincount so XLA
+    lowers it to one segment-sum.
+    """
+    n, L = tvec.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = pos < lens[:, None]
+    t = jnp.where(valid, tvec, 0).astype(jnp.int32)
+    q = jnp.where(valid, quals, 0).astype(jnp.int32)
+    flat = t * ncol + jnp.clip(q, 0, ncol - 1)
+    w = jnp.where(valid, reads[:, None], 0).astype(jnp.int32)
+    counts = jnp.zeros(16 * ncol, jnp.int32).at[flat.reshape(-1)].add(
+        w.reshape(-1))
+    return counts.reshape(16, ncol)
+
+
+def build_compare_and_tally(mesh: Mesh, nd: int, W: int, ncol: int, *,
+                            match: int, mismatch: int, gap_p: int,
+                            band: int):
+    """One jitted multi-chip "training step": sharded compare + psum tally.
+
+    Per (samples, pairs) shard: align the local unique shard against the
+    sample's center with the wavefront kernel, derive transition vectors,
+    tally 16 x Q transition counts weighted by abundance, and psum over
+    both mesh axes — the collective that replaces accumulateTrans
+    (reference: R/errorModels.R:462-471) each selfConsist round. Also
+    returns per-unique log-lambda under the current error matrix
+    (all-gathered over pairs), the quantity the partition engine consumes.
+    """
+
+    def local_step(center_seq, center_len, seqs, lens, quals, reads, logerr):
+        _, _, _, ham, tvec, _ = nwb._nw_batch_jit(
+            jnp.broadcast_to(center_seq[None, :],
+                             (seqs.shape[0], center_seq.shape[0])),
+            jnp.broadcast_to(center_len[None], (seqs.shape[0],)),
+            seqs, lens, nd=nd, W=W, match=match, mismatch=mismatch,
+            gap_p=gap_p, end_gap_p=0, band=band)
+        counts = trans_tally(tvec, quals, lens, reads, ncol)
+        pos = jnp.arange(tvec.shape[1], dtype=jnp.int32)[None, :]
+        valid = pos < lens[:, None]
+        t = jnp.where(valid, tvec, 0).astype(jnp.int32)
+        q = jnp.clip(jnp.where(valid, quals, 0).astype(jnp.int32), 0,
+                     ncol - 1)
+        loglam = jnp.sum(jnp.where(valid, logerr[t, q], 0.0), axis=1)
+        return ham, loglam, counts
+
+    def step(center_seq, center_len, seqs, lens, quals, reads, logerr):
+        # local shards keep the (size-1) samples dim; peel it off
+        ham, loglam, counts = local_step(center_seq[0], center_len[0],
+                                         seqs[0], lens[0], quals[0],
+                                         reads[0], logerr)
+        counts = jax.lax.psum(counts, ("samples", "pairs"))
+        return ham[None, :], loglam[None, :], counts
+
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P("samples", None), P("samples"),
+                  P("samples", "pairs", None), P("samples", "pairs"),
+                  P("samples", "pairs", None), P("samples", "pairs"),
+                  P()),
+        out_specs=(P("samples", "pairs"), P("samples", "pairs"), P()),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Compile + execute one full sharded step on tiny shapes.
+
+    Exercised by the driver with N virtual CPU devices to validate the
+    multi-chip sharding without a pod.
+    """
+    devs = cpu_devices(n_devices)
+    samples_axis = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    mesh = make_mesh(devices=devs, samples=samples_axis)
+    S = samples_axis
+    npairs = 2 * (n_devices // samples_axis)  # 2 uniques per pair-shard
+    L = 32
+    ncol = 41
+    rng = np.random.default_rng(0)
+    seqs = rng.integers(0, 4, (S, npairs, L)).astype(np.int8)
+    lens = np.full((S, npairs), L, np.int32)
+    quals = rng.integers(20, 40, (S, npairs, L)).astype(np.int32)
+    reads = rng.integers(1, 50, (S, npairs)).astype(np.int32)
+    center_seq = seqs[:, 0, :]
+    center_len = lens[:, 0]
+    logerr = np.log(np.full((16, ncol), 1e-3))
+    logerr[[0, 5, 10, 15], :] = 0.0
+
+    nd, W = nwb.batch_geometry(np.full(npairs, L), np.full(npairs, L), 16)
+    stepf = build_compare_and_tally(mesh, nd, W, ncol, match=5, mismatch=-4,
+                                    gap_p=-8, band=16)
+
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    args = (
+        jax.device_put(center_seq, sh("samples", None)),
+        jax.device_put(center_len, sh("samples")),
+        jax.device_put(seqs, sh("samples", "pairs", None)),
+        jax.device_put(lens, sh("samples", "pairs")),
+        jax.device_put(quals, sh("samples", "pairs", None)),
+        jax.device_put(reads, sh("samples", "pairs")),
+        jax.device_put(logerr, sh()),
+    )
+    ham, loglam, counts = stepf(*args)
+    ham = np.asarray(ham)
+    counts = np.asarray(counts)
+    assert ham.shape == (S, npairs)
+    assert counts.shape == (16, ncol)
+    # centers align to themselves with zero substitutions, and every
+    # consumed base lands in the tally exactly once
+    assert (ham[:, 0] == 0).all()
+    total = int((reads * lens).sum())
+    assert int(counts.sum()) == total, (int(counts.sum()), total)

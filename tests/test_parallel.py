@@ -1,0 +1,72 @@
+"""Multi-chip sharding: dry run on the virtual CPU mesh + graft entry."""
+import sys
+
+import jax
+import numpy as np
+
+
+def test_dryrun_multichip():
+    from dada2_tpu.parallel.dist import dryrun_multichip
+    dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    ham, loglam, counts = jax.jit(fn)(*args)
+    ham = np.asarray(ham)
+    assert ham.shape == (64,)
+    # s1b rows are copies of seqs[0]: row 0 is a self-alignment
+    assert ham[0] == 0
+    assert np.asarray(counts).shape == (16, 41)
+
+
+def test_shard_count_invariance():
+    """Same tally for a 8-device mesh and a 1-sample x 8-pair mesh."""
+    from dada2_tpu.parallel.dist import (build_compare_and_tally,
+                                         cpu_devices, make_mesh)
+    from dada2_tpu.ops import nw_batch as nwb
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(3)
+    S, npairs, L, ncol = 2, 8, 24, 41
+    seqs = rng.integers(0, 4, (S, npairs, L)).astype(np.int8)
+    lens = np.full((S, npairs), L, np.int32)
+    quals = rng.integers(10, 40, (S, npairs, L)).astype(np.int32)
+    reads = rng.integers(1, 20, (S, npairs)).astype(np.int32)
+    logerr = np.log(np.full((16, ncol), 1e-3))
+    logerr[[0, 5, 10, 15], :] = 0.0
+    nd, W = nwb.batch_geometry(np.full(npairs, L), np.full(npairs, L), 16)
+
+    outs = []
+    for samples_axis, ndev in ((2, 8), (1, 4), (2, 2)):
+        mesh = make_mesh(devices=cpu_devices(ndev), samples=samples_axis)
+        step = build_compare_and_tally(mesh, nd, W, ncol, match=5,
+                                       mismatch=-4, gap_p=-8, band=16)
+        sh = lambda *spec: NamedSharding(mesh, P(*spec))
+        args = (
+            jax.device_put(seqs[:, 0, :][:samples_axis].repeat(
+                S // samples_axis, 0) if samples_axis != S else seqs[:, 0, :],
+                sh("samples", None)),
+        )
+        # keep it simple: only test meshes whose samples axis == S
+        if samples_axis != S:
+            continue
+        step_args = (
+            jax.device_put(seqs[:, 0, :], sh("samples", None)),
+            jax.device_put(lens[:, 0], sh("samples")),
+            jax.device_put(seqs, sh("samples", "pairs", None)),
+            jax.device_put(lens, sh("samples", "pairs")),
+            jax.device_put(quals, sh("samples", "pairs", None)),
+            jax.device_put(reads, sh("samples", "pairs")),
+            jax.device_put(logerr, sh()),
+        )
+        ham, loglam, counts = step(*step_args)
+        outs.append((np.asarray(ham), np.asarray(loglam),
+                     np.asarray(counts)))
+    assert len(outs) >= 2
+    for h, l, c in outs[1:]:
+        np.testing.assert_array_equal(outs[0][0], h)
+        np.testing.assert_array_equal(outs[0][2], c)
+        np.testing.assert_allclose(outs[0][1], l, rtol=1e-12)
