@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: unique-pair NW alignments/sec/chip on real MiSeq data.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The workload is the engine's hot path (reference: src/cluster.cpp compare
+sweep): align every dereplicated unique sequence of tests/extdata
+sam1F.fastq.gz against the most-abundant unique (banded ends-free NW,
+band=16, DP fill + traceback + substitution extraction), on one chip.
+
+vs_baseline is measured, not assumed: bench/ref_nw.cpp is a clean-room
+single-core C++ implementation of the same alignment semantics (the
+reference package's aligner is single-core C++ per thread; its TBB
+parallelism is across pairs, so per-core rate is the honest unit),
+compiled -O3 and timed on the same pairs on this host's CPU.
+"""
+import json
+import os
+import struct
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BAND, MATCH, MISMATCH, GAP = 16, 5, -4, -8
+
+
+def info(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_pairs():
+    from dada2_tpu.derep import derep_fastq
+    from dada2_tpu.core.raws import make_rawset
+
+    d = derep_fastq(os.path.join(REPO, "tests/extdata/sam1F.fastq.gz"))
+    rs = make_rawset(d.sequences, d.abundances, None, d.quals)
+    return rs
+
+
+def cpu_baseline(rs, center: int) -> float:
+    """alignments/sec of the clean-room C++ aligner, one core."""
+    binp = os.path.join(REPO, "bench", "ref_nw")
+    src = os.path.join(REPO, "bench", "ref_nw.cpp")
+    if (not os.path.exists(binp)
+            or os.path.getmtime(binp) < os.path.getmtime(src)):
+        subprocess.run(["g++", "-O3", "-march=native", "-o", binp, src],
+                       check=True)
+    n = rs.n
+    blob = [struct.pack("<5i", n, BAND, MATCH, MISMATCH, GAP)]
+    l1 = int(rs.lens[center])
+    s1 = rs.seqs[center, :l1].tobytes()
+    for j in range(n):
+        l2 = int(rs.lens[j])
+        blob.append(struct.pack("<2i", l1, l2))
+        blob.append(s1)
+        blob.append(rs.seqs[j, :l2].tobytes())
+    out = subprocess.run([binp], input=b"".join(blob),
+                         capture_output=True, check=True)
+    res = json.loads(out.stdout)
+    info(f"cpu baseline: {res}")
+    return res["alignments_per_sec"], res["checksum"], res["reps"]
+
+
+def tpu_rate(rs, center: int):
+    """alignments/sec/chip of the batched device kernel (fill + traceback
+    + transition-vector derivation), steady-state."""
+    import jax
+    from dada2_tpu.ops import nw_batch as nwb
+
+    info(f"devices: {jax.devices()}")
+    n = rs.n
+    l1 = int(rs.lens[center])
+    s1b = np.tile(rs.seqs[center], (n, 1))
+    l1b = np.full(n, l1, np.int32)
+
+    def run():
+        return nwb.nw_batch(s1b, l1b, rs.seqs, rs.lens, match=MATCH,
+                            mismatch=MISMATCH, gap_p=GAP, end_gap_p=0,
+                            band=BAND)
+
+    t0 = time.time()
+    out = run()
+    ham = np.asarray(out[3])
+    info(f"first call (compile): {time.time() - t0:.1f}s")
+    # steady state: at least 3 reps and 2 seconds
+    reps, t0 = 0, time.time()
+    while reps < 3 or time.time() - t0 < 2.0:
+        out = run()
+        out[3].block_until_ready()
+        reps += 1
+    dt = time.time() - t0
+    checksum = int(np.asarray(out[3]).sum())
+    return n * reps / dt, checksum, reps
+
+
+def main():
+    rs = load_pairs()
+    center = 0
+    info(f"workload: {rs.n} uniques vs center (len {int(rs.lens[center])}), "
+         f"band {BAND}")
+    cpu_aps, cpu_sum, cpu_reps = cpu_baseline(rs, center)
+    dev_aps, dev_sum, dev_reps = tpu_rate(rs, center)
+    if cpu_sum // cpu_reps != dev_sum:
+        info(f"WARNING: checksum mismatch cpu={cpu_sum // cpu_reps} "
+             f"tpu={dev_sum} (semantics drift?)")
+    info(f"tpu: {dev_aps:.0f} aligns/s ({dev_reps} reps); "
+         f"cpu 1-core: {cpu_aps:.0f} aligns/s; ratio {dev_aps / cpu_aps:.2f}x")
+    print(json.dumps({
+        "metric": "unique-pair NW alignments/sec/chip",
+        "value": round(dev_aps, 1),
+        "unit": "alignments/s",
+        "vs_baseline": round(dev_aps / cpu_aps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
