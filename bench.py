@@ -35,10 +35,15 @@ def info(*a):
 
 
 def load_pairs():
-    from dada2_tpu.derep import derep_fastq
+    """Pooled derep of all four bundled MiSeq fastqs (the pool=TRUE
+    workload) — the compare sweep the engine runs on every cluster."""
+    from dada2_tpu.derep import combine_dereps, derep_fastq
     from dada2_tpu.core.raws import make_rawset
 
-    d = derep_fastq(os.path.join(REPO, "tests/extdata/sam1F.fastq.gz"))
+    ds = [derep_fastq(os.path.join(REPO, f"tests/extdata/{f}"))
+          for f in ("sam1F.fastq.gz", "sam2F.fastq.gz",
+                    "sam1R.fastq.gz", "sam2R.fastq.gz")]
+    d = combine_dereps(ds)
     rs = make_rawset(d.sequences, d.abundances, None, d.quals)
     return rs
 
@@ -68,34 +73,44 @@ def cpu_baseline(rs, center: int) -> float:
 
 
 def tpu_rate(rs, center: int):
-    """alignments/sec/chip of the batched device kernel (fill + traceback
-    + transition-vector derivation), steady-state."""
+    """alignments/sec/chip of the production device path: the pallas
+    wavefront kernel over device-resident length-sorted blocks, the
+    derive post-pass, and the ham/tvec device->host transfer the engine
+    consumes. Steady-state, compile excluded."""
     import jax
-    from dada2_tpu.ops import nw_batch as nwb
+    from dada2_tpu.core.backend_tpu import TpuBackend
+    from dada2_tpu.options import DEFAULT_OPTIONS
 
     info(f"devices: {jax.devices()}")
     n = rs.n
-    l1 = int(rs.lens[center])
-    s1b = np.tile(rs.seqs[center], (n, 1))
-    l1b = np.full(n, l1, np.int32)
+    opts = DEFAULT_OPTIONS.normalized()
+    backend = TpuBackend(rs)
+    info(f"pallas path: {backend.use_pallas}")
+    geom = backend._pallas_ok(int(rs.lens[center]), opts)
 
     def run():
-        return nwb.nw_batch(s1b, l1b, rs.seqs, rs.lens, match=MATCH,
-                            mismatch=MISMATCH, gap_p=GAP, end_gap_p=0,
-                            band=BAND)
+        backend._align_cache.clear()
+        if geom is not None:
+            res = backend._align_all_pallas(center, opts, geom)
+            tvec, ham, _, _, _ = backend._unpack(np.asarray(res[6]))
+            return ham, tvec
+        from dada2_tpu.ops import nw_batch as nwb
+        s1b = np.tile(rs.seqs[center], (n, 1))
+        l1b = np.full(n, int(rs.lens[center]), np.int32)
+        out = nwb.nw_batch(s1b, l1b, rs.seqs, rs.lens, match=MATCH,
+                           mismatch=MISMATCH, gap_p=GAP, end_gap_p=0,
+                           band=BAND)
+        return np.asarray(out[3]), np.asarray(out[4])
 
     t0 = time.time()
-    out = run()
-    ham = np.asarray(out[3])
+    ham, _ = run()
     info(f"first call (compile): {time.time() - t0:.1f}s")
-    # steady state: at least 3 reps and 2 seconds
     reps, t0 = 0, time.time()
     while reps < 3 or time.time() - t0 < 2.0:
-        out = run()
-        out[3].block_until_ready()
+        ham, _ = run()
         reps += 1
     dt = time.time() - t0
-    checksum = int(np.asarray(out[3]).sum())
+    checksum = int(ham.sum())
     return n * reps / dt, checksum, reps
 
 

@@ -30,6 +30,7 @@ from .engine import CompareBackend
 from .raws import RawSet
 from ..ops.subs import Sub
 from ..ops import nw_batch as nwb
+from ..ops import nw_pallas as nwp
 
 
 def _bucket(n: int, lo: int = 16) -> int:
@@ -101,8 +102,149 @@ def _align_center_jit(s1, len1, s2b, len2b, *, nd, W, match, mismatch,
     return kinds, p0, p1, ham, tvec, ok
 
 
+@partial(jax.jit, static_argnames=("L1R",))
+def _build_s1t(seq, L1R):
+    """[L1R, 128] center-char tile (row m = s1[m-1]) built on device."""
+    L = min(seq.shape[0], L1R - 1)
+    row = jnp.zeros(L1R, jnp.int32).at[1: 1 + L].set(
+        seq.astype(jnp.int32)[:L])
+    return jnp.broadcast_to(row[:, None], (L1R, nwp.LANES))
+
+
+@partial(jax.jit, static_argnames=("nd",))
+def _unblock_derive(kinds_blocks, inv, s1full, len1, s2pad, len2b, *, nd):
+    """Un-block the kernel output and run the derive post-pass on device."""
+    nb = kinds_blocks.shape[0]
+    kb = jnp.swapaxes(kinds_blocks, 1, 2).reshape(nb * nwp.LANES, -1)
+    kinds = jnp.take(kb, inv, axis=0)
+    n = inv.shape[0]
+    s1b = jnp.broadcast_to(s1full[None, :], (n, s1full.shape[0]))
+    l1b = jnp.broadcast_to(len1, (n,)).astype(jnp.int32)
+    p0, p1, ham, tvec, ok = nwp.derive_from_kinds(
+        kinds, s1b, l1b, s2pad, len2b, nd=nd)
+    return kinds, p0, p1, ham, tvec, ok
+
+
+@partial(jax.jit, static_argnames=("spec", "L1R", "L2R", "NDP", "match",
+                                   "mismatch", "gap_p", "interpret"))
+def _fused_align_all(scal, params, sels, perm, center, seqs, lens, s2r,
+                     inv, kmers, kords, *, spec, L1R, L2R, NDP, match,
+                     mismatch, gap_p, interpret):
+    """One-dispatch compare sweep: k-mer screens, per-WP-bucket pallas
+    calls, un-block, derive, and a packed int8 result — all one compiled
+    program, so a compare costs ONE dispatch and ONE host fetch (the
+    device<->host tunnel round-trip dominates on remote-attached chips).
+
+    Returns (kinds, p0, p1, ham, tvec, ok, packed) where
+    packed [n, L2 + 17] int8 rows hold: tvec (L2), ham int32 (4), minsum
+    int32 (4), kmatch int32 (4), lens int32 (4), ok (1)."""
+    center_seq = seqs[center]
+    len1 = lens[center]
+    s1t = _build_s1t(center_seq, L1R)
+    outs = []
+    for (WP, nreal), sel in zip(spec, sels):
+        out = nwp._pallas_call(
+            jnp.take(scal, sel, 0), jnp.take(params, sel, 0), s1t,
+            jnp.take(s2r, sel, 0), L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
+            match=match, mismatch=mismatch, gap_p=gap_p, end_gap_p=0,
+            interpret=interpret)
+        outs.append(out[:nreal])
+    kinds_blocks = jnp.take(jnp.concatenate(outs, axis=0), perm, axis=0)
+    kinds, p0, p1, ham, tvec, ok = _unblock_derive(
+        kinds_blocks, inv, center_seq.astype(jnp.int8), len1, seqs, lens,
+        nd=NDP)
+    # screens (reference: src/kmers.cpp:58-93,121-150)
+    minsum = jnp.minimum(kmers[center][None, :], kmers).sum(axis=-1)
+    minklen = jnp.minimum(lens, len1) - (KMER_SIZE - 1)
+    pos = jnp.arange(kords.shape[1], dtype=jnp.int32)[None, :]
+    kmatch = jnp.sum(((kords == kords[center][None, :]) &
+                      (pos < minklen[:, None])).astype(jnp.int32), axis=-1)
+
+    def i32col(x):
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.int32)[:, None], jnp.int8).reshape(-1, 4)
+
+    packed = jnp.concatenate(
+        [tvec, i32col(ham), i32col(minsum), i32col(kmatch),
+         i32col(lens), ok.astype(jnp.int8)[:, None]], axis=1)
+    return kinds, p0, p1, ham, tvec, ok, packed
+
+
+@jax.jit
+def _fetch_steps(kinds, p0, p1, ok, idx):
+    """Gather member rows and pack (kinds, p0, p1, ok) for one fetch."""
+    sel = idx.astype(jnp.int32)
+    okrow = jnp.broadcast_to(
+        jnp.take(ok, sel).astype(jnp.int32)[:, None],
+        (sel.shape[0], kinds.shape[1]))
+    return jnp.stack([jnp.take(kinds, sel, 0), jnp.take(p0, sel, 0),
+                      jnp.take(p1, sel, 0), okrow], axis=1)
+
+
+class _PallasBlocks:
+    """Device-resident length-sorted candidate blocks for the wavefront
+    kernel; packed once per RawSet, reused by every compare."""
+
+    def __init__(self, rawset: RawSet):
+        self.lens = np.asarray(rawset.lens, np.int64)
+        self.maxlen = int(self.lens.max())
+        self.block_idx = nwp.assemble_blocks(rawset.seqs, self.lens)
+        self.nblocks = self.block_idx.shape[0]
+        self.L2R = nwp._round_up(self.maxlen + 128, 8)
+        s2r = nwp.pack_s2_blocks(rawset.seqs, self.lens, self.block_idx,
+                                 self.L2R)
+        self.d_s2r = jnp.asarray(s2r)
+        flat = self.block_idx.reshape(-1)
+        inv = np.full(rawset.n, -1, np.int64)
+        for r, j in enumerate(flat):
+            if inv[j] < 0:
+                inv[j] = r
+        self.d_inv = jnp.asarray(inv, jnp.int32)
+        self.l2_blocks = self.lens[self.block_idx]      # [nb, LANES]
+        self.l2max = self.l2_blocks.max(axis=1)
+
+    def block_wp(self, len1: int, band: int) -> np.ndarray:
+        """Per-block window bucket (multiple of 32 rows)."""
+        if band < 0:
+            lbmax = np.full(self.nblocks, len1)
+            rbmax = self.l2max
+        else:
+            lbmax = band + np.maximum(0, len1 - self.l2_blocks.min(axis=1))
+            rbmax = band + np.maximum(0, self.l2max - len1)
+        W = np.minimum(np.minimum((lbmax + rbmax) // 2 + 2, len1 + 1),
+                       self.l2max + 1)
+        return np.maximum(32, ((W + 31) // 32) * 32)
+
+    def geometry(self):
+        # center-independent statics: one compiled program per WP bucket
+        NDP = nwp._round_up(2 * self.maxlen + 1, 8)
+        L1R = nwp._round_up(self.maxlen + 1 + 128, 8)
+        return NDP, L1R
+
+    def scal_params(self, len1: int, band: int):
+        scal = np.zeros((self.nblocks, 4), np.int32)
+        params = np.zeros((self.nblocks, 8, nwp.LANES), np.int32)
+        for bi in range(self.nblocks):
+            l2 = self.l2_blocks[bi]
+            if band < 0:
+                lb = np.full(nwp.LANES, len1)
+                rb = l2
+            else:
+                lb = band + np.maximum(0, len1 - l2)
+                rb = band + np.maximum(0, l2 - len1)
+            scal[bi] = (len1, int(l2.max()), int(rb.max()), 0)
+            params[bi, 0] = l2
+            params[bi, 1] = lb
+            params[bi, 2] = rb
+        return scal, params
+
+
 class TpuBackend(CompareBackend):
     """Device-batched compare backend (the TPU fast path)."""
+
+    # pallas path engaged when the default backend is a real TPU; the XLA
+    # scan path remains the fallback (and the CPU-test path)
+    VMEM_SLAB_CAP = 12 * 1024 * 1024
 
     def __init__(self, rawset: RawSet, use_quals: bool = True):
         self.rs = rawset
@@ -113,6 +255,18 @@ class TpuBackend(CompareBackend):
         self.d_kords = jnp.asarray(rawset.kords, jnp.int32)
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = rawset.max_len
+        import os
+        pall = os.environ.get("DADA2_TPU_PALLAS", "auto")
+        if pall == "auto":
+            self.use_pallas = jax.default_backend() in ("tpu", "axon")
+        else:
+            self.use_pallas = pall == "1"
+        # on CPU the kernel runs in interpret mode (test path only)
+        self._interpret = jax.default_backend() == "cpu"
+        self._pb: Optional[_PallasBlocks] = None
+        if self.use_pallas:
+            self._pb = _PallasBlocks(rawset)
+        self._align_cache: dict = {}  # small LRU of per-center alignments
 
     # ---- screens -------------------------------------------------------
 
@@ -122,6 +276,72 @@ class TpuBackend(CompareBackend):
         return np.asarray(minsum, np.int64), np.asarray(kmatch, np.int64)
 
     # ---- batched alignment --------------------------------------------
+
+    def _pallas_ok(self, len1: int, opts: DadaOptions):
+        if self._pb is None or opts.BAND_SIZE < 0:
+            return None
+        wp = self._pb.block_wp(len1, opts.BAND_SIZE)
+        NDP, L1R = self._pb.geometry()
+        if wp.max() > 128 or NDP * int(wp.max()) * nwp.LANES > \
+                self.VMEM_SLAB_CAP:
+            return None
+        return wp, NDP, L1R
+
+    def _align_all_pallas(self, center: int, opts: DadaOptions, geom):
+        """Align every unique against the center with the wavefront
+        kernel; returns device (kinds, p0, p1, ham, tvec, ok) in original
+        row order (kinds rows diagonal-ascending).
+
+        Blocks are bucketed by window width so narrow-length blocks never
+        pay the widest block's compute; each bucket's block count is
+        padded to a power of two to bound compile diversity."""
+        wp, NDP, L1R = geom
+        pb = self._pb
+        len1 = int(self.lens[center])
+        key = (center, opts.BAND_SIZE, opts.MATCH, opts.MISMATCH,
+               opts.GAP_PENALTY)
+        hit = self._align_cache.pop(key, None)
+        if hit is not None:
+            self._align_cache[key] = hit  # refresh LRU order
+            return hit
+        scal, params = pb.scal_params(len1, opts.BAND_SIZE)
+
+        spec = []
+        sels = []
+        orders = []
+        for w in np.unique(wp):
+            bidx = np.nonzero(wp == w)[0]
+            nbg = 1 << (len(bidx) - 1).bit_length()
+            pad = np.full(nbg - len(bidx), bidx[0], np.int64)
+            sels.append(jnp.asarray(np.concatenate([bidx, pad]), jnp.int32))
+            spec.append((int(w), len(bidx)))
+            orders.append(bidx)
+        order = np.concatenate(orders)
+        perm = np.empty_like(order)
+        perm[order] = np.arange(len(order))
+
+        res = _fused_align_all(
+            jnp.asarray(scal), jnp.asarray(params), tuple(sels),
+            jnp.asarray(perm, jnp.int32), jnp.int32(center), self.d_seqs,
+            self.d_lens, pb.d_s2r, pb.d_inv, self.d_kmers, self.d_kords,
+            spec=tuple(spec), L1R=L1R, L2R=pb.L2R, NDP=NDP,
+            match=opts.MATCH, mismatch=opts.MISMATCH,
+            gap_p=opts.GAP_PENALTY, interpret=self._interpret)
+        self._align_cache[key] = res
+        while len(self._align_cache) > 4:
+            self._align_cache.pop(next(iter(self._align_cache)))
+        return res
+
+    def _unpack(self, packed: np.ndarray):
+        """Host-side unpack of the fused compare result."""
+        L = self.maxlen
+        tvec = packed[:, :L]
+        ints = packed[:, L: L + 16].copy().view(np.int32)
+        ham = ints[:, 0].astype(np.int64)
+        minsum = ints[:, 1].astype(np.int64)
+        kmatch = ints[:, 2].astype(np.int64)
+        ok = packed[:, L + 16] != 0
+        return tvec, ham, minsum, kmatch, ok
 
     def _align_batch(self, center: int, idx: np.ndarray, opts: DadaOptions):
         """Banded NW of candidates idx vs center. Returns device outputs
@@ -195,10 +415,21 @@ class TpuBackend(CompareBackend):
         ham = np.full(n, -1, dtype=np.int64)
         cand = ~np.asarray(skip, bool)
         l1 = int(self.lens[center])
+        geom = self._pallas_ok(l1, opts) if opts.BAND_SIZE != 0 else None
+
+        if geom is not None:
+            # fast path: ONE fused device call + ONE packed host fetch
+            res = self._align_all_pallas(center, opts, geom)
+            tvec_all, ham_all, minsum, kmatch, ok = self._unpack(
+                np.asarray(res[6]))
+        else:
+            tvec_all = None
+            minsum = kmatch = None
+            if use_kmers:
+                minsum, kmatch = self._screens(center)
 
         gapless = np.zeros(n, dtype=bool)
         if use_kmers:
-            minsum, kmatch = self._screens(center)
             denom = np.minimum(self.lens, l1) - (KMER_SIZE - 1.0)
             kdist = 1.0 - minsum / denom
             cand &= ~(kdist > kdist_cutoff)  # "shrouded"
@@ -219,10 +450,16 @@ class TpuBackend(CompareBackend):
             lam[gl_idx] = self._lambdas(gl_idx, tvec, err)
             ham[gl_idx] = h
         if len(al_idx):
-            _, _, _, h, tvec, ok = self._align_batch(center, al_idx, opts)
-            h = np.asarray(h, np.int64)[: len(al_idx)]
-            tvec = np.asarray(tvec)[: len(al_idx)]
-            okh = np.asarray(ok)[: len(al_idx)]
+            if tvec_all is not None:
+                h = ham_all[al_idx]
+                tvec = tvec_all[al_idx]
+                okh = ok[al_idx]
+            else:
+                _, _, _, h, tvec, okd = self._align_batch(center, al_idx,
+                                                          opts)
+                h = np.asarray(h, np.int64)[: len(al_idx)]
+                tvec = np.asarray(tvec)[: len(al_idx)]
+                okh = np.asarray(okd)[: len(al_idx)]
             if not okh.all():
                 raise RuntimeError("N-W Align out of range.")
             lam[al_idx] = self._lambdas(al_idx, tvec, err)
@@ -271,8 +508,15 @@ class TpuBackend(CompareBackend):
         keep = np.ones(n, dtype=bool)
         gapless = np.zeros(n, dtype=bool)
         l1 = int(self.lens[center])
+        geom = self._pallas_ok(l1, opts) if opts.BAND_SIZE != 0 else None
+        res = None
+        if geom is not None:
+            res = self._align_all_pallas(center, opts, geom)
         if use_kmers:
-            minsum, kmatch = self._screens(center)
+            if res is not None:
+                _, _, minsum, kmatch, _ = self._unpack(np.asarray(res[6]))
+            else:
+                minsum, kmatch = self._screens(center)
             minsum, kmatch = minsum[members], kmatch[members]
             denom = np.minimum(self.lens[members], l1) - (KMER_SIZE - 1.0)
             kdist = 1.0 - minsum / denom
@@ -288,11 +532,23 @@ class TpuBackend(CompareBackend):
         al = np.nonzero(keep & ~gapless)[0]
         if len(al):
             idx = members[al]
-            kinds, p0, p1, _, _, ok = self._align_batch(center, idx, opts)
-            kinds = np.asarray(kinds)[: len(al)]
-            p0 = np.asarray(p0)[: len(al)]
-            p1 = np.asarray(p1)[: len(al)]
-            if not np.asarray(ok)[: len(al)].all():
+            if res is not None:
+                steps = np.asarray(_fetch_steps(
+                    res[0], res[1], res[2], res[5],
+                    jnp.asarray(idx, jnp.int32)))
+                # flip to the traceback-reverse step convention
+                kinds = steps[:, 0, ::-1]
+                p0 = steps[:, 1, ::-1]
+                p1 = steps[:, 2, ::-1]
+                okh = steps[:, 3, 0] != 0
+            else:
+                kinds, p0, p1, _, _, ok = self._align_batch(center, idx,
+                                                            opts)
+                kinds = np.asarray(kinds)[: len(al)]
+                p0 = np.asarray(p0)[: len(al)]
+                p1 = np.asarray(p1)[: len(al)]
+                okh = np.asarray(ok)[: len(al)]
+            if not okh.all():
                 raise RuntimeError("N-W Align out of range.")
             for r, k in enumerate(al):
                 out[k] = self._steps_to_sub(kinds[r], p0[r], p1[r],

@@ -1,0 +1,592 @@
+"""Filtering and trimming of fastq reads.
+
+reference: R/filter.R (fastqFilter :613-730, fastqPairedFilter :878-1141,
+filterAndTrim :402-497, isPhiX :1180-1187, seqComplexity :1248-1275,
+.nFilter :1291-1295) and src/filter.cpp (C_matchRef :7-32, C_matrixEE
+:35-49). The filter criteria are applied in exactly the reference's order:
+orient.fwd -> maxLen -> trimLeft -> trimRight -> truncQ -> truncLen filter
+-> truncate -> minLen -> maxN -> minQ -> maxEE -> phiX -> low-complexity.
+
+Per-file fan-out uses processes (the reference forks via mclapply); the
+per-read criteria are vectorized numpy over streaming chunks.
+"""
+from __future__ import annotations
+
+import math
+import os
+import re
+from concurrent.futures import ProcessPoolExecutor
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from .encode import rc
+from .io.fastq import parse_fastq_directory, stream_fastq, write_fastq
+
+Inf = math.inf
+
+
+def _pair(v):
+    """Double length-1 parameters for (forward, reverse)."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        if len(v) == 1:
+            return [v[0], v[0]]
+        if len(v) != 2:
+            raise ValueError("Filter parameters must be length 1 or 2.")
+        return list(v)
+    return [v, v]
+
+
+def matrix_ee(quals: List[np.ndarray]) -> np.ndarray:
+    """Per-read expected errors EE = sum 10^(-q/10).
+
+    reference: src/filter.cpp:35-49 (C_matrixEE).
+    """
+    return np.array([np.sum(10.0 ** (-q.astype(np.float64) / 10.0))
+                     for q in quals])
+
+
+def match_ref(seqs: Sequence[str], ref: str, word_size: int = 16,
+              non_overlapping: bool = True) -> np.ndarray:
+    """Count word_size-word matches of each seq against a circularized ref.
+
+    reference: src/filter.cpp:7-32 (C_matchRef), including its skip of
+    word_size+1 positions after a non-overlapping hit.
+    """
+    n = len(ref)
+    refc = ref + ref[:word_size]
+    words = {refc[i: i + word_size] for i in range(n)}
+    out = np.zeros(len(seqs), dtype=np.int64)
+    for k, s in enumerate(seqs):
+        ls = len(s)
+        if ls < word_size:
+            continue
+        j = 0
+        cnt = 0
+        while j <= ls - word_size:
+            if s[j: j + word_size] in words:
+                cnt += 1
+                if non_overlapping:
+                    j += word_size
+            j += 1
+        out[k] = cnt
+    return out
+
+
+def is_phix(seqs, wordSize: int = 16, minMatches: int = 2,
+            nonOverlapping: bool = True, **_) -> np.ndarray:
+    """Whether each sequence matches the phiX genome.
+
+    reference: R/filter.R:1180-1187 (isPhiX).
+    """
+    from .seqtab import get_sequences
+
+    seqs = get_sequences(seqs)
+    phix_path = os.path.join(os.path.dirname(__file__), "data",
+                             "phix_genome.fa")
+    with open(phix_path) as f:
+        sq = "".join(line.strip() for line in f if not line.startswith(">"))
+    hits = match_ref(seqs, sq, wordSize, nonOverlapping)
+    hits_rc = match_ref(seqs, rc(sq), wordSize, nonOverlapping)
+    return (hits >= minMatches) | (hits_rc >= minMatches)
+
+
+def _sindex(counts: np.ndarray) -> float:
+    """Effective Shannon richness (reference: R/filter.R sindex)."""
+    tot = counts.sum()
+    if tot == 0:
+        return 0.0
+    y = counts[counts > 0] / tot
+    return float(np.exp(np.sum(-y * np.log(y))))
+
+
+def _kmer_freq(s: str, k: int) -> np.ndarray:
+    code = {"A": 0, "C": 1, "G": 2, "T": 3}
+    counts = np.zeros(4 ** k, dtype=np.int64)
+    vals = [code.get(c, -1) for c in s]
+    for i in range(len(s) - k + 1):
+        idx = 0
+        ok = True
+        for j in range(k):
+            v = vals[i + j]
+            if v < 0:
+                ok = False
+                break
+            idx = idx * 4 + v
+        if ok:
+            counts[idx] += 1
+    return counts
+
+
+def seq_complexity(seqs, kmerSize: int = 2, window: Optional[int] = None,
+                   by: int = 5, **_) -> np.ndarray:
+    """Shannon kmer richness; min over sliding windows if window given.
+
+    reference: R/filter.R:1248-1275 (seqComplexity).
+    """
+    from .seqtab import get_sequences
+
+    if window is not None and kmerSize >= window:
+        raise ValueError("The window must be larger than the kmerSize.")
+    seqs = get_sequences(seqs)
+    si_max = 4.0 ** kmerSize
+    if window is None:
+        return np.array([_sindex(_kmer_freq(s, kmerSize)) for s in seqs])
+    out = np.full(len(seqs), si_max)
+    maxw = max((len(s) for s in seqs), default=0)
+    for i in range(0, max(maxw - window, 0), by):
+        for k, s in enumerate(seqs):
+            if len(s) >= i + window:
+                si = _sindex(_kmer_freq(s[i: i + window], kmerSize))
+                out[k] = min(out[k], si)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# chunk-level filtering core
+# ---------------------------------------------------------------------------
+
+class _Chunk:
+    """Mutable (ids, seqs, quals) triple with vectorized culls."""
+
+    def __init__(self, ids, seqs, quals):
+        self.ids = [i.decode("ascii") if isinstance(i, bytes) else i
+                    for i in ids]
+        self.seqs = [s.decode("ascii") if isinstance(s, bytes) else s
+                     for s in seqs]
+        self.quals = [np.frombuffer(q, dtype=np.uint8).astype(np.int32) - 33
+                      if isinstance(q, bytes) else np.asarray(q)
+                      for q in quals]
+
+    def __len__(self):
+        return len(self.seqs)
+
+    def keep(self, mask):
+        mask = np.asarray(mask, bool)
+        self.ids = [x for x, m in zip(self.ids, mask) if m]
+        self.seqs = [x for x, m in zip(self.seqs, mask) if m]
+        self.quals = [x for x, m in zip(self.quals, mask) if m]
+
+    def widths(self) -> np.ndarray:
+        return np.array([len(s) for s in self.seqs], dtype=np.int64)
+
+    def narrow(self, start: int = 1, end: Optional[List[int]] = None):
+        """1-based inclusive narrow, like IRanges::narrow."""
+        for k in range(len(self.seqs)):
+            e = len(self.seqs[k]) if end is None else end[k]
+            self.seqs[k] = self.seqs[k][start - 1: e]
+            self.quals[k] = self.quals[k][start - 1: e]
+
+    def trim_tails(self, truncQ: int):
+        """Truncate at the first quality <= truncQ (ShortRead::trimTails
+        with k=1)."""
+        for k in range(len(self.seqs)):
+            q = self.quals[k]
+            bad = np.nonzero(q <= truncQ)[0]
+            if len(bad):
+                e = int(bad[0])
+                self.seqs[k] = self.seqs[k][:e]
+                self.quals[k] = q[:e]
+
+    def n_counts(self) -> np.ndarray:
+        """Non-ACGT character count per read (reference .nFilter)."""
+        return np.array([sum(1 for c in s if c not in "ACGT")
+                         for s in self.seqs], dtype=np.int64)
+
+    def rc_inplace(self, k):
+        self.seqs[k] = rc(self.seqs[k])
+        self.quals[k] = self.quals[k][::-1]
+
+
+def _filter_chunk_single(ch: _Chunk, truncQ, truncLen, maxLen, minLen,
+                         trimLeft, trimRight, maxN, minQ, maxEE, rm_phix,
+                         rm_lowcomplex, orient_fwd, phix_kwargs):
+    start = max(1, trimLeft + 1)
+    end = truncLen
+    end = None if end < start else end - start + 1
+
+    if orient_fwd is not None:
+        barlen = len(orient_fwd)
+        keepF = np.array([s[:barlen] == orient_fwd for s in ch.seqs])
+        rcs = [rc(s) for s in ch.seqs]
+        keepR = np.array([r[:barlen] == orient_fwd
+                          for r in rcs]) & ~keepF
+        for k in np.nonzero(keepR)[0]:
+            ch.rc_inplace(int(k))
+        ch.keep(keepF | keepR)
+    if math.isfinite(maxLen):
+        ch.keep(ch.widths() <= maxLen)
+    ch.keep(ch.widths() >= start)
+    ch.narrow(start=start)
+    if trimRight > 0:
+        ch.keep(ch.widths() > trimRight)
+        ch.narrow(end=list(ch.widths() - trimRight))
+    ch.trim_tails(truncQ)
+    if end is not None:
+        ch.keep(ch.widths() >= end)
+        ch.narrow(end=[end] * len(ch))
+    ch.keep(ch.widths() >= minLen)
+    ch.keep(ch.n_counts() <= maxN)
+    keep = np.ones(len(ch), dtype=bool)
+    if minQ > truncQ:
+        keep &= np.array([q.min() if len(q) else np.inf
+                          for q in ch.quals]) > minQ
+    if maxEE < Inf:
+        keep &= matrix_ee(ch.quals) <= maxEE
+    ch.keep(keep)
+    if rm_phix and len(ch):
+        ch.keep(~is_phix(ch.seqs, **phix_kwargs))
+    if rm_lowcomplex > 0 and len(ch):
+        ch.keep(seq_complexity(ch.seqs, **phix_kwargs) >= rm_lowcomplex)
+    return ch
+
+
+def fastq_filter(fn: str, fout: str, truncQ=2, truncLen=0, maxLen=Inf,
+                 minLen=20, trimLeft=0, trimRight=0, maxN=0, minQ=0,
+                 maxEE=Inf, rm_phix=True, rm_lowcomplex=0, orient_fwd=None,
+                 n: int = 1_000_000, compress: Optional[bool] = None,
+                 verbose: bool = False, **phix_kwargs):
+    """Filter and trim a single fastq file (reference: R/filter.R:613-730).
+
+    Returns (reads_in, reads_out)."""
+    if fn == fout:
+        raise ValueError("The output and input files must be different.")
+    if os.path.exists(fout):
+        os.remove(fout)
+    if compress is None:
+        compress = fout.endswith(".gz")
+    inseqs = outseqs = 0
+    first = True
+    for raw in stream_fastq(fn, n=n):
+        ch = _Chunk(raw.ids, raw.seqs, raw.quals)
+        inseqs += len(ch)
+        ch = _filter_chunk_single(ch, truncQ, truncLen, maxLen, minLen,
+                                  trimLeft, trimRight, maxN, minQ, maxEE,
+                                  rm_phix, rm_lowcomplex, orient_fwd,
+                                  phix_kwargs)
+        outseqs += len(ch)
+        write_fastq(fout, ch.ids, ch.seqs,
+                    [(q + 33).astype(np.uint8).tobytes() for q in ch.quals],
+                    append=not first, compress=compress)
+        first = False
+    if verbose:
+        pct = round(outseqs * 100 / inseqs, 1) if inseqs else 0
+        print(f"Read in {inseqs}, output {outseqs} ({pct}%) filtered "
+              f"sequences.")
+    if outseqs == 0:
+        print(f"The filter removed all reads: {fout} not written.")
+        if os.path.exists(fout):
+            os.remove(fout)
+    return inseqs, outseqs
+
+
+def _detect_id_field(id1: str, id_sep: str) -> Tuple[str, int]:
+    """CASAVA id-field detection (reference: R/filter.R:940-960)."""
+    fields = re.split(id_sep, id1)
+    ncolon = [f.count(":") for f in fields]
+    if max(ncolon, default=0) == 6 and ncolon.count(6) == 1:
+        return "Current", ncolon.index(6)
+    if max(ncolon, default=0) == 4 and ncolon.count(4) == 1:
+        return "Old", ncolon.index(4)
+    raise ValueError("Couldn't automatically detect the sequence "
+                     "identifier field in the fastq id string.")
+
+
+def fastq_paired_filter(fn: Sequence[str], fout: Sequence[str], maxN=(0, 0),
+                        truncQ=(2, 2), truncLen=(0, 0), maxLen=(Inf, Inf),
+                        minLen=(20, 20), trimLeft=(0, 0), trimRight=(0, 0),
+                        minQ=(0, 0), maxEE=(Inf, Inf), rm_phix=(True, True),
+                        rm_lowcomplex=(0, 0), matchIDs: bool = False,
+                        orient_fwd=None, id_sep=r"\s", id_field=None,
+                        n: int = 1_000_000, compress: Optional[bool] = None,
+                        verbose: bool = False, **phix_kwargs):
+    """Jointly filter paired fastq files (reference: R/filter.R:878-1141).
+
+    Returns (reads_in, reads_out)."""
+    if len(fn) != 2 or len(fout) != 2:
+        raise ValueError("Two paired input and output file names required.")
+    if len(set(list(fn) + list(fout))) != 4:
+        raise ValueError("The output and input file names must be different.")
+    maxN, truncQ, truncLen = _pair(maxN), _pair(truncQ), _pair(truncLen)
+    maxLen, minLen = _pair(maxLen), _pair(minLen)
+    trimLeft, trimRight = _pair(trimLeft), _pair(trimRight)
+    minQ, maxEE = _pair(minQ), _pair(maxEE)
+    rm_phix, rm_lowcomplex = _pair(rm_phix), _pair(rm_lowcomplex)
+
+    startF = max(1, trimLeft[0] + 1)
+    startR = max(1, trimLeft[1] + 1)
+    endF = truncLen[0]
+    endF = None if endF < startF else endF - startF + 1
+    endR = truncLen[1]
+    endR = None if endR < startR else endR - startR + 1
+
+    for f in fout:
+        if os.path.exists(f):
+            os.remove(f)
+    if compress is None:
+        compress = fout[0].endswith(".gz")
+
+    genF = stream_fastq(fn[0], n=n)
+    genR = stream_fastq(fn[1], n=n)
+    first = True
+    casava = "Undetermined"
+    remF = remR = None
+    inseqs = outseqs = 0
+    while True:
+        rawF = next(genF, None)
+        rawR = next(genR, None)
+        if rawF is None and rawR is None:
+            break
+        chF = _Chunk(rawF.ids, rawF.seqs, rawF.quals) if rawF else \
+            _Chunk([], [], [])
+        chR = _Chunk(rawR.ids, rawR.seqs, rawR.quals) if rawR else \
+            _Chunk([], [], [])
+        inseqs += len(chF)
+
+        if matchIDs:
+            if first:
+                if id_field is None:
+                    casava, id_field = _detect_id_field(chF.ids[0], id_sep)
+            elif remF is not None:
+                for attr in ("ids", "seqs", "quals"):
+                    setattr(chF, attr, getattr(remF, attr) +
+                            getattr(chF, attr))
+                    setattr(chR, attr, getattr(remR, attr) +
+                            getattr(chR, attr))
+            idsF = [re.split(id_sep, i)[id_field] for i in chF.ids]
+            idsR = [re.split(id_sep, i)[id_field] for i in chR.ids]
+            if casava == "Old":
+                idsF = [i.split("#")[0] for i in idsF]
+                idsR = [i.split("#")[0] for i in idsR]
+            setR = set(idsR)
+            setF = set(idsF)
+            inF = np.array([i in setR for i in idsF], dtype=bool)
+            inR = np.array([i in setF for i in idsR], dtype=bool)
+            lastF = int(np.nonzero(inF)[0].max()) + 1 if inF.any() else 0
+            lastR = int(np.nonzero(inR)[0].max()) + 1 if inR.any() else 0
+            remF = _Chunk(chF.ids[lastF:], chF.seqs[lastF:],
+                          chF.quals[lastF:])
+            remR = _Chunk(chR.ids[lastR:], chR.seqs[lastR:],
+                          chR.quals[lastR:])
+            chF.keep(inF)
+            chR.keep(inR)
+        else:
+            if len(chF) != len(chR):
+                raise ValueError(
+                    f"Mismatched forward and reverse sequence files: "
+                    f"{len(chF)}, {len(chR)}.")
+
+        if orient_fwd is not None:
+            barlen = len(orient_fwd)
+            keepF = np.array([s[:barlen] == orient_fwd for s in chF.seqs],
+                             dtype=bool)
+            keepR = np.array([s[:barlen] == orient_fwd for s in chR.seqs],
+                             dtype=bool) & ~keepF
+            # swap flipped pairs: fwd <- rev, rev <- fwd
+            for k in np.nonzero(keepR)[0]:
+                k = int(k)
+                chF.seqs[k], chR.seqs[k] = chR.seqs[k], chF.seqs[k]
+                chF.quals[k], chR.quals[k] = chR.quals[k], chF.quals[k]
+                chF.ids[k], chR.ids[k] = chR.ids[k], chF.ids[k]
+            keep = keepF | keepR
+            chF.keep(keep)
+            chR.keep(keep)
+
+        if math.isfinite(maxLen[0]) or math.isfinite(maxLen[1]):
+            keep = (chF.widths() <= maxLen[0]) & (chR.widths() <= maxLen[1])
+            chF.keep(keep)
+            chR.keep(keep)
+        keep = (chF.widths() >= startF) & (chR.widths() >= startR)
+        chF.keep(keep)
+        chR.keep(keep)
+        chF.narrow(start=startF)
+        chR.narrow(start=startR)
+        if trimRight[0] > 0:
+            keep = chF.widths() > trimRight[0]
+            chF.keep(keep)
+            chR.keep(keep)
+            chF.narrow(end=list(chF.widths() - trimRight[0]))
+        if trimRight[1] > 0:
+            keep = chR.widths() > trimRight[1]
+            chF.keep(keep)
+            chR.keep(keep)
+            chR.narrow(end=list(chR.widths() - trimRight[1]))
+        chF.trim_tails(truncQ[0])
+        chR.trim_tails(truncQ[1])
+        keep = (chF.widths() > 0) & (chR.widths() > 0)
+        chF.keep(keep)
+        chR.keep(keep)
+        keep = np.ones(len(chF), dtype=bool)
+        if endF is not None:
+            keep &= chF.widths() >= endF
+        if endR is not None:
+            keep &= chR.widths() >= endR
+        chF.keep(keep)
+        chR.keep(keep)
+        if endF is not None:
+            chF.narrow(end=[endF] * len(chF))
+        if endR is not None:
+            chR.narrow(end=[endR] * len(chR))
+        keep = (chF.widths() >= minLen[0]) & (chR.widths() >= minLen[1])
+        chF.keep(keep)
+        chR.keep(keep)
+        keep = (chF.n_counts() <= maxN[0]) & (chR.n_counts() <= maxN[1])
+        chF.keep(keep)
+        chR.keep(keep)
+        keep = np.ones(len(chF), dtype=bool)
+        if minQ[0] > truncQ[0]:
+            keep &= np.array([q.min() if len(q) else np.inf
+                              for q in chF.quals]) > minQ[0]
+        if maxEE[0] < Inf:
+            keep &= matrix_ee(chF.quals) <= maxEE[0]
+        if minQ[1] > truncQ[1]:
+            keep &= np.array([q.min() if len(q) else np.inf
+                              for q in chR.quals]) > minQ[1]
+        if maxEE[1] < Inf:
+            keep &= matrix_ee(chR.quals) <= maxEE[1]
+        chF.keep(keep)
+        chR.keep(keep)
+
+        if len(chF) and (rm_phix[0] or rm_phix[1]):
+            if rm_phix[0] and rm_phix[1]:
+                isphi = is_phix(chF.seqs, **phix_kwargs) | \
+                    is_phix(chR.seqs, **phix_kwargs)
+            elif rm_phix[0]:
+                isphi = is_phix(chF.seqs, **phix_kwargs)
+            else:
+                isphi = is_phix(chR.seqs, **phix_kwargs)
+            chF.keep(~isphi)
+            chR.keep(~isphi)
+        if len(chF) and (rm_lowcomplex[0] or rm_lowcomplex[1]):
+            if rm_lowcomplex[0] and rm_lowcomplex[1]:
+                lowc = (seq_complexity(chF.seqs) < rm_lowcomplex[0]) | \
+                    (seq_complexity(chR.seqs) < rm_lowcomplex[1])
+            elif rm_lowcomplex[0]:
+                lowc = seq_complexity(chF.seqs) < rm_lowcomplex[0]
+            else:
+                lowc = seq_complexity(chR.seqs) < rm_lowcomplex[1]
+            chF.keep(~lowc)
+            chR.keep(~lowc)
+
+        outseqs += len(chF)
+        for ch, f in ((chF, fout[0]), (chR, fout[1])):
+            write_fastq(f, ch.ids, ch.seqs,
+                        [(q + 33).astype(np.uint8).tobytes()
+                         for q in ch.quals],
+                        append=not first, compress=compress)
+        first = False
+
+    if verbose:
+        pct = round(outseqs * 100 / inseqs, 1) if inseqs else 0
+        print(f"Read in {inseqs} paired-sequences, output {outseqs} "
+              f"({pct}%) filtered paired-sequences.")
+    if outseqs == 0:
+        print(f"The filter removed all reads: {fout[0]} and {fout[1]} "
+              f"not written.")
+        for f in fout:
+            if os.path.exists(f):
+                os.remove(f)
+    return inseqs, outseqs
+
+
+def _run_single(args):
+    fn, fout, kwargs = args
+    return fastq_filter(fn, fout, **kwargs)
+
+
+def _run_paired(args):
+    fn, fout, kwargs = args
+    return fastq_paired_filter(fn, fout, **kwargs)
+
+
+def filter_and_trim(fwd, filt, rev=None, filt_rev=None, compress=None,
+                    truncQ=2, truncLen=0, trimLeft=0, trimRight=0,
+                    maxLen=Inf, minLen=20, maxN=0, minQ=0, maxEE=Inf,
+                    rm_phix=True, rm_lowcomplex=0, orient_fwd=None,
+                    matchIDs=False, id_sep=r"\s", id_field=None,
+                    multithread: Union[bool, int] = False,
+                    n: int = 100_000, verbose: bool = False) -> pd.DataFrame:
+    """Filter and trim fastq file(s), paired or single-end.
+
+    reference: R/filterAndTrim (R/filter.R:402-497). Returns a DataFrame
+    with reads.in / reads.out per input file."""
+    if isinstance(fwd, (str, os.PathLike)):
+        fwd = parse_fastq_directory(str(fwd)) if os.path.isdir(str(fwd)) \
+            else [str(fwd)]
+    else:
+        fwd = [str(f) for f in fwd]
+    if not all(os.path.exists(f) for f in fwd):
+        raise ValueError("Some input files do not exist.")
+    if isinstance(filt, (str, os.PathLike)):
+        filt = [str(filt)] if len(fwd) == 1 else \
+            [os.path.join(str(filt), os.path.basename(f)) for f in fwd]
+    else:
+        filt = [str(f) for f in filt]
+    if len(fwd) != len(filt):
+        raise ValueError("Every input file must have a corresponding "
+                         "output file.")
+    for odir in {os.path.dirname(f) for f in filt}:
+        if odir and not os.path.isdir(odir):
+            os.makedirs(odir, exist_ok=True)
+    if len(set(filt)) != len(filt):
+        raise ValueError("All output files must be distinct.")
+    if set(filt) & set(fwd):
+        raise ValueError("Output files must be distinct from the input "
+                         "files.")
+
+    paired = rev is not None
+    if paired:
+        if filt_rev is None:
+            raise ValueError("Output files for the reverse reads are "
+                             "required.")
+        if isinstance(rev, (str, os.PathLike)):
+            rev = parse_fastq_directory(str(rev)) \
+                if os.path.isdir(str(rev)) else [str(rev)]
+        else:
+            rev = [str(f) for f in rev]
+        if isinstance(filt_rev, (str, os.PathLike)):
+            filt_rev = [str(filt_rev)] if len(rev) == 1 else \
+                [os.path.join(str(filt_rev), os.path.basename(f))
+                 for f in rev]
+        else:
+            filt_rev = [str(f) for f in filt_rev]
+        if len(rev) != len(fwd) or len(filt_rev) != len(rev):
+            raise ValueError("Paired forward and reverse input files must "
+                             "correspond.")
+        for odir in {os.path.dirname(f) for f in filt_rev}:
+            if odir and not os.path.isdir(odir):
+                os.makedirs(odir, exist_ok=True)
+
+    kwargs = dict(truncQ=truncQ, truncLen=truncLen, trimLeft=trimLeft,
+                  trimRight=trimRight, maxLen=maxLen, minLen=minLen,
+                  maxN=maxN, minQ=minQ, maxEE=maxEE, rm_phix=rm_phix,
+                  rm_lowcomplex=rm_lowcomplex, orient_fwd=orient_fwd,
+                  n=n, compress=compress, verbose=verbose)
+    if paired:
+        kwargs.update(matchIDs=matchIDs, id_sep=id_sep, id_field=id_field)
+        jobs = [((f, r), (ff, fr), kwargs)
+                for f, r, ff, fr in zip(fwd, rev, filt, filt_rev)]
+        runner = _run_paired
+    else:
+        jobs = [(f, ff, kwargs) for f, ff in zip(fwd, filt)]
+        runner = _run_single
+
+    ncores = 1
+    if multithread:
+        ncores = os.cpu_count() if multithread is True else int(multithread)
+    if ncores > 1 and len(jobs) > 1:
+        with ProcessPoolExecutor(max_workers=ncores) as ex:
+            results = list(ex.map(runner, jobs))
+    else:
+        results = [runner(j) for j in jobs]
+
+    out = pd.DataFrame(results, columns=["reads.in", "reads.out"],
+                       index=[os.path.basename(f) for f in fwd])
+    if (out["reads.out"] == 0).all():
+        import warnings
+        warnings.warn("No reads passed the filter. Please revisit your "
+                      "filtering parameters.")
+    elif (out["reads.out"] == 0).any():
+        print("Some input samples had no reads pass the filter.")
+    return out

@@ -33,6 +33,57 @@ def get_uniques(obj) -> Dict[str, int]:
     raise TypeError(f"Unable to extract uniques from {type(obj)}")
 
 
+def get_sequences(obj, collapse: bool = False) -> List[str]:
+    """Coerce to a list of DNA sequence strings (reference: getSequences,
+    R/misc.R:101-128). Accepts lists of strings, fasta/fastq file paths,
+    uniques-coercible objects, and sequence tables."""
+    import os
+
+    if isinstance(obj, str):
+        obj = [obj]
+    if isinstance(obj, np.ndarray) and obj.dtype.kind in "US":
+        obj = [str(s) for s in obj]
+    if isinstance(obj, (list, tuple)) and all(isinstance(s, str)
+                                              for s in obj):
+        if len(obj) == 1 and os.path.exists(obj[0]):
+            seqs = _read_seq_file(obj[0])
+            return [s.upper() for s in seqs]
+        if collapse:
+            seen = {}
+            for s in obj:
+                seen.setdefault(s, None)
+            obj = list(seen)
+        return [s.upper() for s in obj]
+    return [s.upper() for s in get_uniques(obj)]
+
+
+def _read_seq_file(path: str) -> List[str]:
+    """Sequences from a fasta or fastq file (possibly gzipped)."""
+    import gzip
+
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "rt") as f:
+        first = f.read(1)
+    if first == ">":
+        seqs = []
+        with op(path, "rt") as f:
+            cur = []
+            for line in f:
+                line = line.strip()
+                if line.startswith(">"):
+                    if cur:
+                        seqs.append("".join(cur))
+                    cur = []
+                elif line:
+                    cur.append(line)
+            if cur:
+                seqs.append("".join(cur))
+        return seqs
+    from .io.fastq import read_fastq
+
+    return [s.decode("ascii") for s in read_fastq(path).seqs]
+
+
 def make_sequence_table(samples, orderBy: Optional[str] = "abundance") -> pd.DataFrame:
     """Samples x sequences integer matrix (reference: R/multiSample.R:31-55).
 

@@ -83,3 +83,15 @@ def test_full_run_parity_band0(sample):
     eng_o, res_o = _run(OracleBackend, sample, err, BAND_SIZE=0)
     eng_t, res_t = _run(TpuBackend, sample, err, BAND_SIZE=0)
     _assert_same(res_o, res_t)
+
+
+def test_full_run_parity_pallas_interpret(sample, monkeypatch):
+    """The pallas wavefront path (interpret mode on CPU) must match the
+    oracle bit-for-bit through a full engine run."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    seqs, ab, quals = sample
+    small = (seqs[:60], ab[:60], quals[:60])
+    err = tperr1()
+    eng_o, res_o = _run(OracleBackend, small, err)
+    eng_t, res_t = _run(TpuBackend, small, err)
+    _assert_same(res_o, res_t)
