@@ -1,0 +1,102 @@
+"""Filter/trim pipeline on the bundled MiSeq pairs."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from dada2_tpu.filter import (fastq_filter, fastq_paired_filter,
+                              filter_and_trim, is_phix, match_ref,
+                              matrix_ee, seq_complexity)
+from dada2_tpu.io.fastq import read_fastq
+
+
+def test_matrix_ee():
+    q = [np.array([20, 30]), np.array([10])]
+    ee = matrix_ee(q)
+    np.testing.assert_allclose(ee, [0.01 + 0.001, 0.1])
+
+
+def test_match_ref_words():
+    ref = "ACGTACGGTTAA"
+    # word in ref matches; circularization wraps the end
+    assert match_ref(["ACGTAC"], ref, word_size=6)[0] == 1
+    assert match_ref(["TTAAAC"], ref, word_size=6)[0] == 1  # wraparound
+    assert match_ref(["GGGGGG"], ref, word_size=6)[0] == 0
+
+
+def test_seq_complexity_bimodal():
+    sq_norm = ("TACGGAAGGTCCGGGCGTTATCCGGATTTATTGGGTTTAAAGGGAGCGTAGGCC"
+               "GGAGATTAAGCGTGTTGTGA")
+    sq_lowc = ("TCCTTCTTCTCCTCTCTTTCTCCTTCTTTCTTTTTTTTCCCTTTCTCTTCTTCT"
+               "TTTTCTTCCTTCCTTTTTTC")
+    si = seq_complexity([sq_norm, sq_lowc])
+    assert si[0] > 10 and si[1] < 6
+
+
+def test_phix_negative(extdata):
+    ch = read_fastq(str(extdata / "sam1F.fastq.gz"))
+    seqs = [s.decode() for s in ch.seqs[:50]]
+    assert not is_phix(seqs).any()
+    # phiX genome fragments are positive
+    import dada2_tpu
+    phix = os.path.join(os.path.dirname(dada2_tpu.__file__), "data",
+                        "phix_genome.fa")
+    with open(phix) as f:
+        sq = "".join(x.strip() for x in f if not x.startswith(">"))
+    assert is_phix([sq[100:350]])[0]
+
+
+def test_fastq_filter_single(extdata, tmp_path):
+    fout = str(tmp_path / "filt.fastq.gz")
+    nin, nout = fastq_filter(str(extdata / "sam1F.fastq.gz"), fout,
+                             maxN=0, maxEE=2, truncLen=240)
+    assert nin == 1500
+    assert 0 < nout < nin
+    ch = read_fastq(fout)
+    assert len(ch) == nout
+    lens = {len(s) for s in ch.seqs}
+    assert lens == {240}
+    # maxEE enforced on output
+    from dada2_tpu.io.fastq import quals_to_matrix
+    q = quals_to_matrix(ch.quals)
+    ee = np.nansum(10.0 ** (-q / 10.0), axis=1)
+    assert (ee <= 2).all()
+
+
+def test_fastq_filter_trim_left(extdata, tmp_path):
+    fout = str(tmp_path / "filt2.fastq.gz")
+    nin, nout = fastq_filter(str(extdata / "sam1F.fastq.gz"), fout,
+                             trimLeft=10, truncLen=200, maxEE=2)
+    ch = read_fastq(fout)
+    assert {len(s) for s in ch.seqs} == {190}
+
+
+def test_filter_and_trim_paired(extdata, tmp_path):
+    res = filter_and_trim(
+        [str(extdata / "sam1F.fastq.gz"), str(extdata / "sam2F.fastq.gz")],
+        [str(tmp_path / "f1.fastq.gz"), str(tmp_path / "f2.fastq.gz")],
+        rev=[str(extdata / "sam1R.fastq.gz"),
+             str(extdata / "sam2R.fastq.gz")],
+        filt_rev=[str(tmp_path / "r1.fastq.gz"),
+                  str(tmp_path / "r2.fastq.gz")],
+        truncLen=(240, 200), maxEE=2)
+    assert list(res["reads.in"]) == [1500, 1500]
+    assert (res["reads.out"] > 500).all()
+    f1 = read_fastq(str(tmp_path / "f1.fastq.gz"))
+    r1 = read_fastq(str(tmp_path / "r1.fastq.gz"))
+    assert len(f1) == len(r1) == res["reads.out"].iloc[0]
+    # pairs stay in the same order
+    assert [i.split()[0] for i in
+            (x.decode() for x in f1.ids)] == \
+           [i.split()[0] for i in (x.decode() for x in r1.ids)]
+    assert {len(s) for s in f1.seqs} == {240}
+    assert {len(s) for s in r1.seqs} == {200}
+
+
+def test_paired_match_ids(extdata, tmp_path):
+    nin, nout = fastq_paired_filter(
+        [str(extdata / "sam1F.fastq.gz"), str(extdata / "sam1R.fastq.gz")],
+        [str(tmp_path / "mf.fastq.gz"), str(tmp_path / "mr.fastq.gz")],
+        truncLen=(240, 200), maxEE=(2, 2), matchIDs=True)
+    assert nin == 1500 and nout > 500
