@@ -1,0 +1,407 @@
+"""Taxonomic classification: naive-Bayes (RDP) classifier + exact species
+matching.
+
+reference: src/taxonomy.cpp (C_assign_taxonomy2 :206-338, get_best_genus
+:73-110, tax_kvec/tax_karray :35-71) and R/taxonomy.R (assignTaxonomy
+:65-160, assignSpecies :240-289, addSpecies :347-360, mapHits :163-171,
+matchGenera :175-185).
+
+TPU-first design: the per-genus log-probability table lgk is a
+[ngenus, 4^8 = 65536] float32 matrix, and classifying a batch of queries is
+one MXU matmul — query 8-mer count vectors (with multiplicity, exactly the
+reference's sorted karray sums) against lgk^T. The reference's rate-limiting
+per-genus scalar loop with early abandon (src/taxonomy.cpp:88-89) becomes a
+dense matrix product. The 100 bootstrap replicates per query are a second
+batched matmul over sampled positions of each query's k-mer array.
+
+Determinism note: the reference breaks score ties by reservoir sampling
+with an OS-seeded mt19937 (src/taxonomy.cpp:80-106, nondeterministic) and
+draws bootstrap indices from R's RNG stream; this implementation takes the
+first max (deterministic) and uses a fixed jax PRNG key for bootstraps, so
+taxonomy parity with the reference is statistical, not bitwise (SURVEY.md
+§7 hard-part 6).
+"""
+from __future__ import annotations
+
+import gzip
+import re
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .encode import rc
+
+K = 8
+N_KMERS = 4 ** K
+NBOOT = 100
+MIN_REF_LEN = 20
+MIN_TAX_LEN = 50
+UNSPEC = "_DADA2_UNSPECIFIED"
+DEFAULT_TAX_LEVELS = ["Kingdom", "Phylum", "Class", "Order", "Family",
+                      "Genus", "Species"]
+
+_NT2I = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+
+def read_fasta(path: str) -> Tuple[List[str], List[str]]:
+    """(ids, sequences) from a (possibly gzipped) fasta file."""
+    op = gzip.open if str(path).endswith(".gz") else open
+    ids: List[str] = []
+    seqs: List[str] = []
+    cur: List[str] = []
+    with op(path, "rt") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if cur:
+                    seqs.append("".join(cur))
+                ids.append(line[1:])
+                cur = []
+            elif line:
+                cur.append(line)
+    if cur:
+        seqs.append("".join(cur))
+    return ids, seqs
+
+
+def tax_karray(seq: str) -> np.ndarray:
+    """All valid 8-mer indices along the sequence (with multiplicity).
+
+    reference: tax_karray (src/taxonomy.cpp:55-71); the reference sorts,
+    which does not affect sums or uniform resampling."""
+    vals = np.array([_NT2I.get(c, -1) for c in seq], dtype=np.int64)
+    n = len(vals) - K + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.zeros(n, dtype=np.int64)
+    ok = np.ones(n, dtype=bool)
+    for j in range(K):
+        v = vals[j: j + n]
+        ok &= v >= 0
+        idx = idx * 4 + np.where(v >= 0, v, 0)
+    return idx[ok]
+
+
+def _kmer_presence(seq: str) -> np.ndarray:
+    """Distinct 8-mer indices (tax_kvec, src/taxonomy.cpp:35-52)."""
+    return np.unique(tax_karray(seq))
+
+
+def _parse_ref_taxonomy(ids: List[str]) -> List[str]:
+    """Clean id lines into ;-terminated taxonomy strings, including UNITE
+    format sniffing (reference: R/taxonomy.R:86-94)."""
+    tax = [re.sub(r"^\s+|\s+$", "", t) for t in ids]
+    if len(tax) >= 10 and all(re.search(r"FU\|re[pf]s", t)
+                              for t in tax[:10]):
+        print("UNITE fungal taxonomic reference detected.")
+        tax = [t.split("|")[4] for t in tax]
+        tax = [re.sub(r"[pcofg]__unidentified;", UNSPEC + ";", t)
+               for t in tax]
+        tax = [re.sub(r";s__(\w+)_", ";s__", t) for t in tax]
+        tax = [re.sub(r";s__sp$", ";" + UNSPEC, t) for t in tax]
+    if ";" not in tax[0]:
+        if len(tax[0].split()) == 3:
+            raise ValueError(
+                "Incorrect reference file format for assignTaxonomy (this "
+                "looks like a file formatted for assignSpecies).")
+        raise ValueError("Incorrect reference file format for "
+                         "assignTaxonomy.")
+    return tax
+
+
+def _build_lgk(refs: List[str], ref_to_genus: np.ndarray, ngenus: int
+               ) -> np.ndarray:
+    """[ngenus, 65536] float32 log genus-kmer probabilities.
+
+    reference: src/taxonomy.cpp:227-270. lgk[g][m] = log((count_gm +
+    prior_m) / (n_g + 1)) with prior_m = (n_m + 0.5) / (nref + 1)."""
+    nref = len(refs)
+    counts = np.zeros((ngenus, N_KMERS), dtype=np.float32)
+    prior = np.zeros(N_KMERS, dtype=np.float32)
+    genus_n = np.zeros(ngenus, dtype=np.float32)
+    for r, g in zip(refs, ref_to_genus):
+        kv = _kmer_presence(r)
+        counts[g, kv] += 1.0
+        prior[kv] += 1.0
+        genus_n[g] += 1.0
+    prior = (prior + np.float32(0.5)) / np.float32(1.0 + nref)
+    with np.errstate(divide="ignore"):
+        lgk = np.log((counts + prior[None, :]) /
+                     (genus_n[:, None] + 1.0)).astype(np.float32)
+    return lgk
+
+
+def _score_batch(karrays: List[np.ndarray], lgk_dev, boot_key,
+                 ngenus: int):
+    """Best genus + bootstrap genera for a batch of queries, on device.
+
+    Scoring is counts @ lgk^T on the MXU; bootstraps resample each query's
+    k-mer array (arraylen/8 draws, NBOOT replicates,
+    reference: src/taxonomy.cpp:183-196)."""
+    import jax
+    import jax.numpy as jnp
+
+    q = len(karrays)
+    A = max((len(a) for a in karrays), default=1)
+    A = max(A, 8)
+    karr = np.zeros((q, A), dtype=np.int32)
+    alen = np.zeros(q, dtype=np.int32)
+    for i, a in enumerate(karrays):
+        karr[i, : len(a)] = a
+        alen[i] = len(a)
+
+    @jax.jit
+    def run(karr, alen, key):
+        mask = jnp.arange(A)[None, :] < alen[:, None]
+        # counts [q, 65536] via scatter-add; dropped pad via index 65536
+        idx = jnp.where(mask, karr, N_KMERS)
+        counts = jnp.zeros((q, N_KMERS + 1), jnp.float32)
+        counts = counts.at[jnp.arange(q)[:, None], idx].add(1.0)
+        counts = counts[:, :N_KMERS]
+        scores = counts @ lgk_dev.T  # [q, G] on the MXU
+        best = jnp.argmax(scores, axis=1)
+        best_logp = jnp.max(scores, axis=1)
+
+        # bootstraps: sample m = arraylen//8 positions per replicate
+        m = jnp.maximum(alen // 8, 1)
+        mmax = A // 8 + 1
+        u = jax.random.uniform(key, (q, NBOOT, mmax))
+        pos = (u * alen[:, None, None]).astype(jnp.int32)
+        pos = jnp.clip(pos, 0, A - 1)
+        bmask = jnp.arange(mmax)[None, None, :] < m[:, None, None]
+        kidx = jnp.take_along_axis(
+            karr[:, None, :].repeat(NBOOT, 1), pos, axis=2)
+        kidx = jnp.where(bmask, kidx, N_KMERS)
+        # per-query gathered genus log-probs at its kmer positions
+        lgq = lgk_dev.T[jnp.where(
+            jnp.arange(A)[None, :] < alen[:, None], karr, 0)]  # [q, A, G]
+        # S[q, b, a] = times position a was drawn in replicate b
+        pos_dropped = jnp.where(bmask, pos, A)
+        S = jnp.zeros((q, NBOOT, A + 1), jnp.float32)
+        S = S.at[jnp.arange(q)[:, None, None],
+                 jnp.arange(NBOOT)[None, :, None],
+                 pos_dropped].add(1.0)[:, :, :A]
+        bscores = jnp.einsum("qba,qag->qbg", S, lgq,
+                             preferred_element_type=jnp.float32)
+        boot_best = jnp.argmax(bscores, axis=2)
+        return best, best_logp, boot_best
+
+    best, best_logp, boot_best = run(jnp.asarray(karr), jnp.asarray(alen),
+                                     boot_key)
+    return (np.asarray(best), np.asarray(best_logp),
+            np.asarray(boot_best))
+
+
+def assign_taxonomy(seqs, refFasta: str, minBoot: int = 50,
+                    tryRC: bool = False, outputBootstraps: bool = False,
+                    taxLevels: Sequence[str] = DEFAULT_TAX_LEVELS,
+                    multithread=False, verbose: bool = False, seed: int = 100,
+                    batch: int = 256):
+    """Classify sequences against a taxonomic training fasta.
+
+    reference: assignTaxonomy (R/taxonomy.R:65-160). Returns a pandas
+    DataFrame (rows = sequences, columns = tax levels), or a dict with
+    'tax' and 'boot' when outputBootstraps."""
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from .seqtab import get_sequences
+
+    seqs = get_sequences(seqs)
+    if min(len(s) for s in seqs) < MIN_TAX_LEN:
+        import warnings
+        warnings.warn(f"Some sequences were shorter than {MIN_TAX_LEN} nts "
+                      "and will not receive a taxonomic classification.")
+    ids, refs = read_fasta(refFasta)
+    keep = [len(r) >= MIN_REF_LEN for r in refs]
+    if not all(keep):
+        import warnings
+        warnings.warn("Some reference sequences were too short "
+                      f"(<{MIN_REF_LEN}nts) and were excluded.")
+        ids = [i for i, k in zip(ids, keep) if k]
+        refs = [r for r, k in zip(refs, keep) if k]
+    tax = _parse_ref_taxonomy(ids)
+    depth = [len(t.split(";")) if not t.endswith(";")
+             else len(t.split(";")) - 1 for t in tax]
+    td = max(depth)
+    tax = [t if t.endswith(";") else t + ";" for t in tax]
+    tax = [t + (UNSPEC + ";") * (td - d) for t, d in zip(tax, depth)]
+
+    genus_unq: List[str] = []
+    genus_idx = {}
+    ref_to_genus = np.zeros(len(tax), dtype=np.int64)
+    for i, t in enumerate(tax):
+        j = genus_idx.get(t)
+        if j is None:
+            j = len(genus_unq)
+            genus_idx[t] = j
+            genus_unq.append(t)
+        ref_to_genus[i] = j
+    ngenus = len(genus_unq)
+    genus_levels = [g.split(";")[:td] for g in genus_unq]
+
+    if verbose:
+        print("Finished processing reference fasta.")
+    lgk = _build_lgk(refs, ref_to_genus, ngenus)
+    lgk_dev = jnp.asarray(lgk)
+
+    n = len(seqs)
+    best = np.full(n, -1, dtype=np.int64)
+    boots = np.zeros((n, td), dtype=np.int64)
+    ok_idx = [i for i, s in enumerate(seqs) if len(s) >= MIN_TAX_LEN]
+    key = jax.random.PRNGKey(seed)
+    for lo in range(0, len(ok_idx), batch):
+        chunk = ok_idx[lo: lo + batch]
+        key, k1, k2 = jax.random.split(key, 3)
+        karrs = [tax_karray(seqs[i]) for i in chunk]
+        b, logp, bb = _score_batch(karrs, lgk_dev, k1, ngenus)
+        if tryRC:
+            karrs_rc = [tax_karray(rc(seqs[i])) for i in chunk]
+            b2, logp2, bb2 = _score_batch(karrs_rc, lgk_dev, k2, ngenus)
+            use_rc = logp2 > logp
+            b = np.where(use_rc, b2, b)
+            bb = np.where(use_rc[:, None], bb2, bb)
+        for row, i in enumerate(chunk):
+            best[i] = b[row]
+            bl = genus_levels[b[row]]
+            for g in bb[row]:
+                gl = genus_levels[int(g)]
+                for lev in range(td):
+                    if gl[lev] == bl[lev]:
+                        boots[i, lev] += 1
+                    else:
+                        break
+
+    tax_out = np.full((n, td), None, dtype=object)
+    for i in range(n):
+        if best[i] < 0:
+            continue
+        levels = genus_levels[best[i]]
+        kl = 0
+        while kl < td and boots[i, kl] >= minBoot:
+            tax_out[i, kl] = levels[kl]
+            kl += 1
+    tax_out[tax_out == UNSPEC] = None
+    cols = list(taxLevels)[:td]
+    cols += [f"Level{j + 1}" for j in range(len(cols), td)]
+    df = pd.DataFrame(tax_out, index=seqs, columns=cols)
+    if outputBootstraps:
+        bdf = pd.DataFrame(boots, index=seqs, columns=cols)
+        return {"tax": df, "boot": bdf}
+    return df
+
+
+# ---------------------------------------------------------------------------
+# species-level exact matching
+# ---------------------------------------------------------------------------
+
+def _map_hits(hits: np.ndarray, refs: List[str], keep: float,
+              sep: str = "/") -> Optional[str]:
+    """reference: mapHits (R/taxonomy.R:163-171)."""
+    h = [refs[i] for i in np.nonzero(hits)[0]]
+    h = ["Escherichia/Shigella" if ("Escherichia" in x or "Shigella" in x)
+         else x for x in h]
+    unq = sorted(set(h))
+    if len(unq) == 0 or len(unq) > keep:
+        return None
+    return sep.join(unq)
+
+
+def assign_species(seqs, refFasta: str,
+                   allowMultiple: Union[bool, int] = False,
+                   tryRC: bool = False, n: int = 2000,
+                   verbose: bool = False):
+    """Genus-species binomials by exact sequence containment.
+
+    reference: assignSpecies (R/taxonomy.R:240-289). A query "hits" a
+    reference when it occurs as an exact substring (vcountPDict
+    semantics)."""
+    import pandas as pd
+
+    from .encode import is_acgt
+    from .seqtab import get_sequences
+
+    if isinstance(allowMultiple, bool):
+        keep = np.inf if allowMultiple else 1
+    else:
+        keep = int(allowMultiple)
+    seqs = get_sequences(seqs)
+    if not all(is_acgt(seqs)):
+        raise ValueError("Non-ACGT characters present in the query "
+                         "sequences.")
+    ids, refs = read_fasta(refFasta)
+    if not len(ids[0].split()) >= 3:
+        if ids[0].count(";") >= 3:
+            raise ValueError(
+                "Incorrect reference file format for assignSpecies (this "
+                "looks like a file formatted for assignTaxonomy).")
+        raise ValueError("Incorrect reference file format for "
+                         "assignSpecies.")
+    genus = [i.split()[1] for i in ids]
+    species = [i.split()[2] for i in ids]
+
+    gen_out = []
+    spec_out = []
+    rcs = [rc(s) for s in seqs] if tryRC else None
+    for qi, s in enumerate(seqs):
+        hit = np.array([s in r for r in refs], dtype=bool)
+        if tryRC:
+            hit |= np.array([rcs[qi] in r for r in refs], dtype=bool)
+        gen_out.append(_map_hits(hit, genus, 1))
+        spec_out.append(_map_hits(hit, species, keep))
+    out = pd.DataFrame({"Genus": gen_out, "Species": spec_out}, index=seqs)
+    if verbose:
+        print(f"{sum(x is not None for x in spec_out)} out of {len(seqs)} "
+              "were assigned to the species level.")
+    return out
+
+
+def match_genera(gen_tax: Optional[str], gen_binom: Optional[str],
+                 split_glyph: str = "/") -> bool:
+    """reference: matchGenera (R/taxonomy.R:175-185)."""
+    if not isinstance(gen_tax, str) or not isinstance(gen_binom, str):
+        return False  # None / NaN
+    if not gen_tax or not gen_binom:
+        return False
+    if gen_tax == gen_binom:
+        return True
+    if re.search(f"^{re.escape(gen_binom)}[ _{re.escape(split_glyph)}]",
+                 gen_tax):
+        return True
+    if re.search(f"{re.escape(split_glyph)}{re.escape(gen_binom)}$",
+                 gen_tax):
+        return True
+    return False
+
+
+def add_species(taxtab, refFasta: str,
+                allowMultiple: Union[bool, int] = False,
+                tryRC: bool = False, n: int = 2000,
+                verbose: bool = False):
+    """Append a Species column by exact matching where genera agree.
+
+    reference: addSpecies (R/taxonomy.R:347-360)."""
+    import pandas as pd
+
+    seqs = list(taxtab.index)
+    binom = assign_species(seqs, refFasta, allowMultiple=allowMultiple,
+                           tryRC=tryRC, n=n, verbose=verbose)
+    gcol = "Genus" if "Genus" in taxtab.columns else taxtab.columns[-1]
+    out = taxtab.copy()
+    species = []
+    nmatch = 0
+    for s in seqs:
+        g_tax = out.loc[s, gcol]
+        g_bin = binom.loc[s, "Genus"]
+        if match_genera(g_tax, g_bin):
+            species.append(binom.loc[s, "Species"])
+            if binom.loc[s, "Species"] is not None:
+                nmatch += 1
+        else:
+            species.append(None)
+    out["Species"] = species
+    if verbose:
+        print(f"Of which {nmatch} had genera consistent with the input "
+              "table.")
+    return out

@@ -1,0 +1,72 @@
+"""Taxonomy assignment against the bundled training set."""
+import numpy as np
+import pytest
+
+from dada2_tpu.taxonomy import (add_species, assign_species,
+                                assign_taxonomy, match_genera, read_fasta,
+                                tax_karray)
+
+
+def test_tax_karray():
+    a = tax_karray("ACGTACGTAC")  # 3 8-mers
+    assert len(a) == 3
+    # N at position 4 invalidates the 5 windows that cover it
+    assert tax_karray("ACGTNCGTACGTAC").size == 2
+    assert tax_karray("ACGT").size == 0
+
+
+def test_assign_taxonomy_example(extdata):
+    seqs = None
+    tax = assign_taxonomy(str(extdata / "example_seqs.fa"),
+                          str(extdata / "example_train_set.fa.gz"))
+    assert tax.shape[1] == 6
+    # every classified row is a Bacteria at the kingdom level
+    kingdoms = set(tax["Kingdom"].dropna())
+    assert kingdoms <= {"Bacteria"}
+    assert tax["Kingdom"].notna().mean() >= 0.8
+    # known genera from the reference docs example
+    assert "Lactobacillus" in set(tax["Genus"].dropna())
+
+
+def test_assign_taxonomy_boots(extdata):
+    out = assign_taxonomy(str(extdata / "example_seqs.fa"),
+                          str(extdata / "example_train_set.fa.gz"),
+                          outputBootstraps=True)
+    assert (out["boot"].values <= 100).all()
+    assert (out["boot"].values >= 0).all()
+    # confidence should decrease (weakly) down the levels
+    b = out["boot"].values
+    assert (b[:, 0] >= b[:, 5]).all()
+
+
+def test_assign_species(extdata):
+    ids, refs = read_fasta(str(extdata / "example_species_assignment.fa.gz"))
+    # a read that IS a fragment of a reference must hit it
+    frag = refs[0][100:250]
+    out = assign_species([frag], str(extdata /
+                                     "example_species_assignment.fa.gz"))
+    expect_genus = ids[0].split()[1]
+    assert out.iloc[0]["Genus"] == expect_genus or \
+        out.iloc[0]["Genus"] == "Escherichia/Shigella"
+    # a random sequence must not hit
+    rng = np.random.default_rng(1)
+    randseq = "".join("ACGT"[i] for i in rng.integers(0, 4, 150))
+    out2 = assign_species([randseq], str(
+        extdata / "example_species_assignment.fa.gz"))
+    assert out2.iloc[0]["Species"] is None
+
+
+def test_match_genera():
+    assert match_genera("Escherichia/Shigella", "Escherichia")
+    assert match_genera("Clostridium_sensu_stricto", "Clostridium")
+    assert match_genera("Bacillus", "Bacillus")
+    assert not match_genera("Lactobacillus", "Bacillus")
+    assert not match_genera(None, "Bacillus")
+
+
+def test_add_species(extdata):
+    tax = assign_taxonomy(str(extdata / "example_seqs.fa"),
+                          str(extdata / "example_train_set.fa.gz"))
+    sp = add_species(tax, str(extdata / "example_species_assignment.fa.gz"))
+    assert "Species" in sp.columns
+    assert sp.shape[0] == tax.shape[0]
