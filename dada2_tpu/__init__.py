@@ -15,32 +15,15 @@ from .errors import (loess_errfun, noqual_errfun, pacbio_errfun,
 from .paired import (merge_pairs, nwalign, nwhamming, eval_pair,
                      pair_consensus)
 from .seqtab import (make_sequence_table, collapse_no_mismatch,
-                     merge_sequence_tables, get_uniques, uniques_to_fasta,
-                     seqtab_to_qiime)
+                     merge_sequence_tables, get_uniques, get_sequences,
+                     uniques_to_fasta, seqtab_to_qiime)
 from .encode import rc, is_acgt
+from .learn import learn_errors
+from .filter import (filter_and_trim, fastq_filter, fastq_paired_filter,
+                     is_phix, seq_complexity, remove_primers)
+from .chimeras import (is_bimera, is_bimera_denovo, is_bimera_denovo_table,
+                       remove_bimera_denovo, is_shift_denovo)
+from .taxonomy import (assign_taxonomy, assign_species, add_species)
+from .plot import plot_errors, plot_quality_profile, plot_complexity
 
 __version__ = "0.1.0"
-
-# learn_errors, filter_and_trim, chimera and taxonomy entry points are
-# imported lazily below to keep import light; they are re-exported once
-# their modules land.
-
-
-def learn_errors(*args, **kwargs):
-    from .learn import learn_errors as _le
-    return _le(*args, **kwargs)
-
-
-def filter_and_trim(*args, **kwargs):
-    from .filter import filter_and_trim as _ft
-    return _ft(*args, **kwargs)
-
-
-def remove_bimera_denovo(*args, **kwargs):
-    from .chimeras import remove_bimera_denovo as _rb
-    return _rb(*args, **kwargs)
-
-
-def assign_taxonomy(*args, **kwargs):
-    from .taxonomy import assign_taxonomy as _at
-    return _at(*args, **kwargs)

@@ -79,9 +79,12 @@ def loess_errfun(trans: np.ndarray) -> np.ndarray:
                 raise ValueError(
                     "Error rates could not be estimated (too few reads).")
             pred = np.full(ncol, np.nan)
-            pred[ok] = loess_fit(qq[ok], rlogp[ok], tot[ok], qq[ok])
-            # extend flat beyond the fitted range (R/errorModels.R:47-50)
             oki = np.nonzero(ok)[0]
+            # loess predictions cover the whole observed q range (interior
+            # unobserved columns are interpolated, like R's predict.loess)
+            inner = np.arange(oki[0], oki[-1] + 1)
+            pred[inner] = loess_fit(qq[ok], rlogp[ok], tot[ok], qq[inner])
+            # extend flat beyond the fitted range (R/errorModels.R:47-50)
             pred[: oki[0]] = pred[oki[0]]
             pred[oki[-1] + 1 :] = pred[oki[-1]]
             est[r] = 10.0 ** pred

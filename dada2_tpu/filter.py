@@ -590,3 +590,174 @@ def filter_and_trim(fwd, filt, rev=None, filt_rev=None, compress=None,
     elif (out["reads.out"] == 0).any():
         print("Some input samples had no reads pass the filter.")
     return out
+
+
+# ---------------------------------------------------------------------------
+# primer removal (PacBio entry point)
+# ---------------------------------------------------------------------------
+
+_IUPAC_SETS = {
+    "A": "A", "C": "C", "G": "G", "T": "T", "U": "T",
+    "M": "AC", "R": "AG", "W": "AT", "S": "CG", "Y": "CT", "K": "GT",
+    "V": "ACG", "H": "ACT", "D": "AGT", "B": "CGT", "N": "ACGT",
+}
+
+
+def _match_matrix(fixed: bool) -> np.ndarray:
+    """[256, 256] bool: does primer char p match read char c."""
+    m = np.zeros((256, 256), dtype=bool)
+    for p, pset in _IUPAC_SETS.items():
+        for c, cset in _IUPAC_SETS.items():
+            hit = (p == c) if fixed else bool(set(pset) & set(cset))
+            m[ord(p), ord(c)] = hit
+            m[ord(p.lower()), ord(c)] = hit
+            m[ord(p), ord(c.lower())] = hit
+    return m
+
+
+def _match_primer(primer: str, seq: str, max_mismatch: int,
+                  with_indels: bool, fixed: bool):
+    """Occurrences of primer in seq: list of (start, end) 0-based
+    inclusive ranges. Without indels this reproduces Biostrings
+    vmatchPattern; with indels it reports the best-fit windows by edit
+    distance (reference: R/filter.R:122-151)."""
+    plen = len(primer)
+    slen = len(seq)
+    if plen > slen:
+        return []
+    mm = _match_matrix(fixed)
+    pv = np.frombuffer(primer.encode(), dtype=np.uint8)
+    sv = np.frombuffer(seq.encode(), dtype=np.uint8)
+    if not with_indels:
+        nwin = slen - plen + 1
+        mism = np.zeros(nwin, dtype=np.int64)
+        for j in range(plen):
+            mism += ~mm[pv[j], sv[j: j + nwin]]
+        hits = np.nonzero(mism <= max_mismatch)[0]
+        return [(int(h), int(h) + plen - 1) for h in hits]
+    # with indels: semi-global DP, subject start/end free
+    D = np.zeros((plen + 1, slen + 1), dtype=np.int64)
+    D[:, 0] = np.arange(plen + 1)
+    for i in range(1, plen + 1):
+        for j in range(1, slen + 1):
+            sub = D[i - 1, j - 1] + (0 if mm[pv[i - 1], sv[j - 1]] else 1)
+            D[i, j] = min(sub, D[i - 1, j] + 1, D[i, j - 1] + 1)
+    ends = np.nonzero(D[plen, 1:] <= max_mismatch)[0]
+    out = []
+    for e in ends:
+        # backtrack to find start
+        i, j = plen, int(e) + 1
+        while i > 0:
+            if j > 0 and D[i, j] == D[i - 1, j - 1] + \
+                    (0 if mm[pv[i - 1], sv[j - 1]] else 1):
+                i -= 1
+                j -= 1
+            elif D[i, j] == D[i - 1, j] + 1:
+                i -= 1
+            else:
+                j -= 1
+        out.append((j, int(e)))
+    # drop nested duplicates, keep leftmost-per-end
+    return out
+
+
+def remove_primers(fn, fout, primer_fwd: str, primer_rev: Optional[str] = None,
+                   max_mismatch: int = 2, allow_indels: bool = False,
+                   trim_fwd: bool = True, trim_rev: bool = True,
+                   orient: bool = True, compress: Optional[bool] = None,
+                   verbose: bool = False) -> pd.DataFrame:
+    """Remove primers and orient reads (intended for PacBio).
+
+    reference: removePrimers (R/filter.R:81-233). Requires a forward-primer
+    hit (and reverse if given); flips reads whose reverse complement
+    matches; trims to the primer boundaries."""
+    from .seqtab import get_sequences
+
+    fn = [fn] if isinstance(fn, (str, os.PathLike)) else list(fn)
+    fout = [fout] if isinstance(fout, (str, os.PathLike)) else list(fout)
+    if len(fn) != len(fout):
+        raise ValueError("Every input file must have a corresponding "
+                         "output file.")
+    if allow_indels:
+        print("Primer matching with indels allowed is currently "
+              "significantly (~4x) slower.")
+    fixed_fwd = all(c in "ACGT" for c in primer_fwd)
+    has_rev = primer_rev is not None
+    fixed_rev = has_rev and all(c in "ACGT" for c in primer_rev)
+    from .io.fastq import read_fastq
+
+    rows = []
+    first_multi_msg = True
+    for f, fo in zip(fn, fout):
+        ch = read_fastq(str(f))
+        seqs = [s.decode("ascii") for s in ch.seqs]
+        quals = list(ch.quals)
+        ids = list(ch.ids)
+        inseqs = len(seqs)
+
+        def matches(primer, ss, fixed):
+            return [_match_primer(primer, s, max_mismatch, allow_indels,
+                                  fixed) for s in ss]
+
+        m_fwd = matches(primer_fwd, seqs, fixed_fwd)
+        m_rev = matches(primer_rev, seqs, fixed_rev) if has_rev else None
+        if orient:
+            rcs = [rc(s) for s in seqs]
+            m_fwd_rc = matches(primer_fwd, rcs, fixed_fwd)
+            m_rev_rc = matches(primer_rev, rcs, fixed_rev) if has_rev \
+                else None
+        outseqs = 0
+        keep_rows: List[int] = []
+        firsts: List[int] = []
+        lasts: List[int] = []
+        out_seqs: List[str] = []
+        out_quals: List[bytes] = []
+        out_ids = []
+        for r in range(inseqs):
+            s = seqs[r]
+            q = ch.quals[r]
+            fwd_hits = m_fwd[r]
+            rev_hits = m_rev[r] if has_rev else None
+            if orient and not fwd_hits and m_fwd_rc[r]:
+                s = rcs[r]
+                q = q[::-1]
+                fwd_hits = m_fwd_rc[r]
+                rev_hits = m_rev_rc[r] if has_rev else None
+            if not fwd_hits:
+                continue
+            if has_rev and not rev_hits:
+                continue
+            if (len(fwd_hits) > 1 or (has_rev and len(rev_hits) > 1)) \
+                    and verbose and first_multi_msg:
+                print("Multiple matches to the primer(s) in some "
+                      "sequences. Using the longest possible match.")
+                first_multi_msg = False
+            first = fwd_hits[0][1] + 1 if trim_fwd else 0
+            if has_rev and trim_rev:
+                last = rev_hits[-1][0] - 1
+            else:
+                last = len(s) - 1
+            if last <= first - 1 or last < first:
+                continue
+            out_seqs.append(s[first: last + 1])
+            out_quals.append(q[first: last + 1])
+            out_ids.append(ids[r])
+            outseqs += 1
+        if os.path.exists(str(fo)):
+            os.remove(str(fo))
+        write_fastq(str(fo), out_ids, out_seqs, out_quals,
+                    compress=compress if compress is not None
+                    else str(fo).endswith(".gz"))
+        if verbose:
+            pct = round(outseqs * 100 / inseqs, 1) if inseqs else 0
+            print(f"Read in {inseqs}, output {outseqs} ({pct}%) filtered "
+                  f"sequences.")
+        rows.append((inseqs, outseqs))
+    out = pd.DataFrame(rows, columns=["reads.in", "reads.out"],
+                       index=[os.path.basename(str(f)) for f in fn])
+    if (out["reads.out"] == 0).all():
+        import warnings
+        warnings.warn("No reads passed the primer detection.")
+    elif (out["reads.out"] == 0).any():
+        print("Some input samples had no reads pass the primer detection.")
+    return out

@@ -100,3 +100,23 @@ def test_paired_match_ids(extdata, tmp_path):
         [str(tmp_path / "mf.fastq.gz"), str(tmp_path / "mr.fastq.gz")],
         truncLen=(240, 200), maxEE=(2, 2), matchIDs=True)
     assert nin == 1500 and nout > 500
+
+
+def test_remove_primers_pacbio(extdata, tmp_path):
+    from dada2_tpu.filter import remove_primers
+    from dada2_tpu.encode import rc as _rc
+
+    F27 = "AGRGTTYGATYMTGGCTCAG"
+    R1492 = "RGYTACCTTGTTACGACTT"
+    fout = str(tmp_path / "noprime.fastq.gz")
+    res = remove_primers(str(extdata / "samPBprimers.fastq.gz"), fout,
+                         primer_fwd=F27, primer_rev=_rc(R1492), orient=True)
+    nin, nout = res.iloc[0]
+    assert nin > 0
+    assert nout > 0.8 * nin  # most CCS reads contain both primers
+    ch = read_fastq(fout)
+    # primers trimmed: reads no longer start with the forward primer motif
+    seqs = [s.decode() for s in ch.seqs[:20]]
+    assert not any(s.startswith("AGAGTTTGAT") or s.startswith("AGGGTTTGAT")
+                   for s in seqs)
+    assert all(1000 < len(s) < 1600 for s in seqs)  # full-length 16S
