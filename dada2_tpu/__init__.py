@@ -6,7 +6,8 @@ Exact ASV inference: filter/trim -> dereplicate -> learn error rates ->
 divisive partitioning -> merge pairs -> sequence table -> chimera removal ->
 taxonomy.
 """
-from .options import DadaOptions, DEFAULT_OPTIONS, get_dada_opt
+from .options import (DadaOptions, DEFAULT_OPTIONS, get_dada_opt,
+                      set_dada_opt)
 from .derep import Derep, derep_fastq, combine_dereps
 from .dada import DadaResult, dada, dada_uniques
 from .errors import (loess_errfun, noqual_errfun, pacbio_errfun,
@@ -27,3 +28,6 @@ from .taxonomy import (assign_taxonomy, assign_species, add_species)
 from .plot import plot_errors, plot_quality_profile, plot_complexity
 
 __version__ = "0.1.0"
+from .diagnostics import (kmer_dist, kord_dist, kmer_matches,
+                          kdist_matches, check_convergence, pfasta,
+                          seqtab_to_mothur, samdf_to_qiime2)

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 
 from .encode import pack_sequences
-from .options import DEFAULT_OPTIONS
+from .options import current_options
 from .ops.nw_batch import nw_batch, steps_to_alignment
 from .ops.nw_ref import GAP
 
@@ -123,7 +123,7 @@ def is_bimera(sq: str, parents: List[str], allowOneOff: bool = False,
 
     reference: C_is_bimera (src/chimera.cpp:18-58), isBimera
     (R/chimeras.R:43-47)."""
-    opts = DEFAULT_OPTIONS.replace(**opt_overrides)
+    opts = current_options().replace(**opt_overrides)
     als = _align_parents(sq, parents, maxShift, opts.MATCH, opts.MISMATCH,
                          opts.GAP_PENALTY)
     sqlen = len(sq)
@@ -195,7 +195,7 @@ def is_bimera_denovo_table(seqtab: pd.DataFrame,
 
     reference: isBimeraDenovoTable (R/chimeras.R:220-248) and
     C_table_bimera2 (src/chimera.cpp:60-192)."""
-    opts = DEFAULT_OPTIONS.replace(**opt_overrides)
+    opts = current_options().replace(**opt_overrides)
     sqs = list(seqtab.columns)
     if len(set(sqs)) != len(sqs):
         raise ValueError("Duplicate sequences detected in input.")

@@ -18,7 +18,7 @@ from .core.raws import make_rawset
 from .derep import Derep, combine_dereps, derep_fastq, get_derep
 from .encode import is_acgt
 from .errors import accumulate_trans, get_errors, loess_errfun, noqual_errfun
-from .options import DadaOptions, DEFAULT_OPTIONS
+from .options import DadaOptions, current_options
 
 TRANS_ROWNAMES = ["A2A", "A2C", "A2G", "A2T", "C2A", "C2C", "C2G", "C2T",
                   "G2A", "G2C", "G2G", "G2T", "T2A", "T2C", "T2G", "T2T"]
@@ -107,7 +107,7 @@ def dada(
     reference: R/dada.R:144-488. Returns a DadaResult, or dict of name ->
     DadaResult when multiple samples are given.
     """
-    opts = DEFAULT_OPTIONS.replace(**opt_overrides)
+    opts = current_options().replace(**opt_overrides)
     verbose = int(verbose)
 
     # --- derep argument handling (R/dada.R:171-180) ---

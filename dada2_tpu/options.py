@@ -110,9 +110,35 @@ class DadaOptions:
 
 DEFAULT_OPTIONS = DadaOptions()
 
+# session-global options (reference: the dada_opts environment,
+# R/dada.R:1-27). setDadaOpt mutates this; every public entry point reads
+# it via current_options() and still accepts per-call overrides.
+_SESSION_OPTIONS = DEFAULT_OPTIONS
+
+
+def current_options() -> DadaOptions:
+    return _SESSION_OPTIONS
+
+
+def set_dada_opt(**kwargs) -> None:
+    """Set session-wide DADA options (reference: setDadaOpt,
+    R/dada.R:615-653)."""
+    global _SESSION_OPTIONS
+    new = _SESSION_OPTIONS.replace(**kwargs)
+    for k, v in kwargs.items():
+        old = getattr(DEFAULT_OPTIONS, k)
+        if old is not None and v is not None and \
+                not isinstance(v, type(old)) and \
+                not (isinstance(old, (int, float)) and
+                     isinstance(v, (int, float))):
+            raise ValueError(f"{k} not set, value provided has different "
+                             f"class ({type(v).__name__}) than default "
+                             f"value ({type(old).__name__})")
+    _SESSION_OPTIONS = new
+
 
 def get_dada_opt(option: Optional[str] = None):
-    """Return default option value(s) (reference: R/dada.R:655-667)."""
+    """Return current option value(s) (reference: R/dada.R:655-667)."""
     if option is None:
-        return dataclasses.asdict(DEFAULT_OPTIONS)
-    return getattr(DEFAULT_OPTIONS, option)
+        return dataclasses.asdict(_SESSION_OPTIONS)
+    return getattr(_SESSION_OPTIONS, option)

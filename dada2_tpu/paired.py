@@ -11,7 +11,7 @@ import numpy as np
 import pandas as pd
 
 from .encode import rc, seq_to_codes
-from .options import DEFAULT_OPTIONS
+from .options import current_options
 from .ops.nw_ref import GAP, nw_align_ref
 
 _NT = "ACGT"
@@ -29,9 +29,9 @@ def nwalign(s1: str, s2: str, match: int = None, mismatch: int = None,
             endsfree: bool = True, vec: bool = False):
     """Needleman-Wunsch alignment of two sequences; returns the two aligned
     strings (reference: nwalign, R/misc.R:179-191)."""
-    match = DEFAULT_OPTIONS.MATCH if match is None else match
-    mismatch = DEFAULT_OPTIONS.MISMATCH if mismatch is None else mismatch
-    gap = DEFAULT_OPTIONS.GAP_PENALTY if gap is None else gap
+    match = current_options().MATCH if match is None else match
+    mismatch = current_options().MISMATCH if mismatch is None else mismatch
+    gap = current_options().GAP_PENALTY if gap is None else gap
     c1, c2 = seq_to_codes(s1), seq_to_codes(s2)
     if vec:
         if homo_gap is not None and homo_gap != gap:

@@ -81,3 +81,27 @@ def test_plots(extdata, tmp_path):
     fig3.savefig(str(tmp_path / "err.png"))
     assert (tmp_path / "qp.png").stat().st_size > 1000
     assert (tmp_path / "err.png").stat().st_size > 1000
+
+
+def test_pacbio_mode(extdata, tmp_path):
+    """PacBio long-amplicon flow: removePrimers -> filter -> derep ->
+    dada with PacBioErrfun and BAND_SIZE=32 (driver config #5)."""
+    from dada2_tpu.errors import pacbio_errfun
+    from dada2_tpu.filter import remove_primers
+
+    F27 = "AGRGTTYGATYMTGGCTCAG"
+    R1492 = "RGYTACCTTGTTACGACTT"
+    noprime = str(tmp_path / "pb_noprime.fastq.gz")
+    remove_primers(str(extdata / "samPBprimers.fastq.gz"), noprime,
+                   primer_fwd=F27, primer_rev=d2.rc(R1492), orient=True)
+    filt = str(tmp_path / "pb_filt.fastq.gz")
+    nin, nout = d2.fastq_filter(noprime, filt, minQ=3, minLen=1000,
+                                maxLen=1600, maxN=0, rm_phix=False,
+                                maxEE=2, truncQ=0)
+    assert nout > 0
+    drp = d2.derep_fastq(filt)
+    res = d2.dada(drp, err=None, errorEstimationFunction=pacbio_errfun,
+                  selfConsist=True, BAND_SIZE=32, verbose=False,
+                  MAX_CONSIST=3)
+    assert len(res.denoised) >= 1
+    assert all(len(s) > 1000 for s in res.denoised)
