@@ -92,6 +92,21 @@ def derep_fastq(fls, n: int = 1_000_000, verbose: bool = False,
         fls = [str(f) for f in fls]
     rval = {}
     for fl in fls:
+        # native C++ loader (dada2_tpu/native): same semantics, much
+        # faster host path; falls back to the Python implementation
+        from .native import derep_fastq_native
+
+        nat = derep_fastq_native(fl, n)
+        if nat is not None:
+            seqs_n, counts_n, quals_n, map_n = nat
+            uniques = {s: int(c) for s, c in zip(seqs_n, counts_n)}
+            d = Derep(uniques=uniques, quals=quals_n, map=map_n,
+                      name=os.path.basename(fl))
+            if verbose:
+                print(f"Encountered {len(uniques)} unique sequences from "
+                      f"{int(counts_n.sum())} total sequences read.")
+            rval[os.path.basename(fl)] = d
+            continue
         seq2idx: Dict[bytes, int] = {}
         uniq_seqs: List[bytes] = []
         counts: List[int] = []

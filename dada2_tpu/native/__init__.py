@@ -1,0 +1,106 @@
+"""Native (C++) host runtime components, loaded through ctypes.
+
+The shared library is compiled on demand with g++ (no pybind11 in this
+environment) and cached next to the source; every native entry point has a
+pure-Python fallback, so a missing toolchain only costs speed.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "io_native.cpp")
+_LIB = os.path.join(_HERE, "io_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _LIB, _SRC, "-lz"],
+            check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The native library, building it if needed; None if unavailable."""
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if os.environ.get("DADA2_TPU_NATIVE", "1") == "0":
+            _failed = True
+            return None
+        fresh = (os.path.exists(_LIB) and
+                 os.path.getmtime(_LIB) >= os.path.getmtime(_SRC))
+        if not fresh and not _build():
+            _failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _failed = True
+            return None
+        lib.derep_fastq_native.restype = ctypes.c_void_p
+        lib.derep_fastq_native.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.dr_error.restype = ctypes.c_char_p
+        lib.dr_error.argtypes = [ctypes.c_void_p]
+        for fn in ("dr_nuniq", "dr_nreads"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.dr_maxlen.restype = ctypes.c_int
+        lib.dr_maxlen.argtypes = [ctypes.c_void_p]
+        lib.dr_fill.restype = None
+        lib.dr_fill.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                ctypes.c_void_p, ctypes.c_void_p,
+                                ctypes.c_void_p]
+        lib.dr_free.restype = None
+        lib.dr_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def derep_fastq_native(path: str, chunk_size: int = 1_000_000):
+    """Dereplicate a fastq file with the C++ loader.
+
+    Returns (uniq_seqs list[str], counts int64[n], quals float64[n, L]
+    (mean, NaN-padded), read_map int64[nreads]) or None if the native
+    library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    handle = lib.derep_fastq_native(path.encode(), chunk_size)
+    try:
+        err = lib.dr_error(handle)
+        if err:
+            raise ValueError(f"{err.decode()} in {path!r}")
+        n = lib.dr_nuniq(handle)
+        nreads = lib.dr_nreads(handle)
+        ml = lib.dr_maxlen(handle)
+        seqs = ctypes.create_string_buffer(int(n * ml))
+        counts = np.zeros(n, np.int64)
+        quals = np.zeros((n, ml))
+        rmap = np.zeros(nreads, np.int64)
+        lib.dr_fill(handle, seqs,
+                    counts.ctypes.data_as(ctypes.c_void_p),
+                    quals.ctypes.data_as(ctypes.c_void_p),
+                    rmap.ctypes.data_as(ctypes.c_void_p))
+        raw = seqs.raw
+        out_seqs = [raw[i * ml:(i + 1) * ml].rstrip(b"\x00").decode("ascii")
+                    for i in range(n)]
+        return out_seqs, counts, quals, rmap
+    finally:
+        lib.dr_free(handle)

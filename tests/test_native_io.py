@@ -1,0 +1,61 @@
+"""Native C++ data-loader parity with the Python dereplicator."""
+import os
+
+import numpy as np
+import pytest
+
+
+def _python_derep(path):
+    os.environ["DADA2_TPU_NATIVE"] = "0"
+    try:
+        import importlib
+        import dada2_tpu.native as nat
+        nat._failed = True  # force fallback for this call
+        from dada2_tpu.derep import derep_fastq
+        return derep_fastq(path)
+    finally:
+        os.environ.pop("DADA2_TPU_NATIVE", None)
+        import dada2_tpu.native as nat
+        nat._failed = False
+
+
+def test_native_matches_python(extdata):
+    from dada2_tpu.native import derep_fastq_native
+    from dada2_tpu.derep import derep_fastq
+
+    path = str(extdata / "sam1F.fastq.gz")
+    nat = derep_fastq_native(path)
+    assert nat is not None, "native build failed"
+    py = _python_derep(path)
+    seqs_n, counts_n, quals_n, map_n = nat
+    assert seqs_n == py.sequences
+    np.testing.assert_array_equal(counts_n, py.abundances)
+    np.testing.assert_array_equal(map_n, py.map)
+    np.testing.assert_array_equal(quals_n, py.quals)  # bit-identical f64
+
+
+def test_native_chunked_invariance(extdata):
+    """Chunk size must not change the derep (reference example:
+    R/sequenceIO.R:39-43)."""
+    from dada2_tpu.native import derep_fastq_native
+
+    path = str(extdata / "sam1F.fastq.gz")
+    a = derep_fastq_native(path, 1_000_000)
+    b = derep_fastq_native(path, 35)
+    # same uniques/abundances up to tie order (the reference example also
+    # compares after reindexing by name, R/sequenceIO.R:39-43)
+    ua = dict(zip(a[0], a[1]))
+    ub = dict(zip(b[0], b[1]))
+    assert ua == ub
+    order = [b[0].index(s) for s in a[0][:50]]
+    np.testing.assert_allclose(a[2][:50], b[2][order], rtol=1e-12)
+
+
+def test_native_is_default_path(extdata):
+    import dada2_tpu.native as nat
+    from dada2_tpu.derep import derep_fastq
+
+    assert nat.get_lib() is not None
+    d = derep_fastq(str(extdata / "sam1F.fastq.gz"))
+    assert len(d.uniques) == 896
+    assert int(d.abundances.sum()) == 1500
