@@ -145,6 +145,10 @@ class Engine:
     # ----- compare (reference: src/cluster.cpp:13-204) -----
 
     def compare(self, i: int, use_kmers: bool, kdist_cutoff: float):
+        import time as _time
+
+        from ..trace import COUNTERS
+
         bi = self.clusters[i]
         center = bi.center
         center_reads = int(self.rs.reads[center])
@@ -152,11 +156,18 @@ class Engine:
             skip = (self.rs.reads > center_reads) | self.lock
         else:
             skip = np.zeros(self.n, dtype=bool)
+        t0 = _time.time()
         lam, ham = self.backend.compare(center, skip, self.opts, self.err,
                                         use_kmers, kdist_cutoff)
         if np.any((lam < 0) | (lam > 1)):
             raise ValueError("Lambda out-of-range error.")
-        #
+        naligned = int((ham >= 0).sum())
+        self.nalign += naligned
+        self.nshroud += int(((ham < 0) & ~skip).sum())
+        COUNTERS.compares += 1
+        COUNTERS.alignments += naligned
+        COUNTERS.shrouded += int(((ham < 0) & ~skip).sum())
+        COUNTERS.compare_seconds += _time.time() - t0
 
         # Selective store (reference: src/cluster.cpp:179-201): keep the
         # comparison only if this cluster could attract the raw.

@@ -100,12 +100,18 @@ def dada(
     priors: Sequence[str] = (),
     verbose: Union[bool, int] = True,
     multithread: bool = True,
+    checkpoint: Optional[str] = None,
     **opt_overrides,
 ):
     """Sample inference from dereplicated amplicon reads.
 
     reference: R/dada.R:144-488. Returns a DadaResult, or dict of name ->
     DadaResult when multiple samples are given.
+
+    checkpoint: optional path; in selfConsist mode the error-matrix state
+    is saved there after every round and a restarted call resumes from the
+    last completed round (SURVEY.md §5.4 — the reference has no native
+    checkpointing; its idiom is workflow-level saveRDS).
     """
     opts = current_options().replace(**opt_overrides)
     verbose = int(verbose)
@@ -164,6 +170,18 @@ def dada(
     cur = None
     nconsist = 0 if initializeErr else 1
     errs_history: List[np.ndarray] = []
+    if checkpoint is not None and selfConsist:
+        import os as _os
+        if _os.path.exists(checkpoint):
+            ck = np.load(checkpoint, allow_pickle=True)
+            err = ck["err"]
+            errs_history = [e for e in ck["history"]]
+            nconsist = int(ck["nconsist"])
+            pseudo_priors = [str(s) for s in ck["pseudo_priors"]]
+            initializeErr = False
+            if verbose:
+                print(f"Resuming selfConsist from checkpoint round "
+                      f"{nconsist}.")
     clustering = [None] * len(derep)
     clusterquals = [None] * len(derep)
     birth_subs = [None] * len(derep)
@@ -213,6 +231,9 @@ def dada(
                 nread = int(drpi.abundances.sum())
                 print(f"Sample {i + 1} - {nread} reads in "
                       f"{len(seqs)} unique sequences.")
+            if verbose >= 2:
+                from .trace import COUNTERS
+                print("   " + COUNTERS.summary())
 
         cur = accumulate_trans(trans)
 
@@ -248,6 +269,16 @@ def dada(
             pseudo_priors = [c for c, k in zip(st.columns, keep) if k]
 
         nconsist += 1
+        if checkpoint is not None and selfConsist:
+            hist = (np.stack(errs_history) if errs_history
+                    else np.zeros((0,) + np.asarray(err).shape))
+            np.savez(checkpoint if checkpoint.endswith(".npz")
+                     else checkpoint + ".npz_tmp", err=err,
+                     history=hist, nconsist=nconsist,
+                     pseudo_priors=np.array(pseudo_priors, dtype=object))
+            if not checkpoint.endswith(".npz"):
+                import os as _os
+                _os.replace(checkpoint + ".npz_tmp.npz", checkpoint)
 
     if selfConsist and verbose:
         if nconsist >= opts.MAX_CONSIST:

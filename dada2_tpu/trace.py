@@ -1,0 +1,87 @@
+"""Observability: engine counters and xprof-compatible device tracing.
+
+The reference has only commented-out counters and verbose prints
+(reference: src/nwalign_endsfree.cpp:15-18, src/dada.h:113-114,
+src/Rmain.cpp:333); here counters are first-class and device work can be
+captured with the JAX profiler for xprof/tensorboard (SURVEY.md §5.1).
+"""
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+
+@dataclass
+class Counters:
+    """Process-wide tallies of engine work."""
+
+    compares: int = 0          # compare sweeps dispatched
+    alignments: int = 0        # pairwise alignments computed (post-screen)
+    shrouded: int = 0          # pairs rejected by the kmer screen
+    gapless: int = 0           # pairs resolved by the gapless screen
+    compare_seconds: float = 0.0
+
+    def reset(self) -> None:
+        self.compares = 0
+        self.alignments = 0
+        self.shrouded = 0
+        self.gapless = 0
+        self.compare_seconds = 0.0
+
+    def alignments_per_sec(self) -> float:
+        if self.compare_seconds == 0:
+            return 0.0
+        return self.alignments / self.compare_seconds
+
+    def summary(self) -> str:
+        return (f"{self.alignments} alignments ({self.shrouded} shrouded, "
+                f"{self.gapless} gapless) in {self.compares} compares, "
+                f"{self.compare_seconds:.2f}s "
+                f"({self.alignments_per_sec():.0f} aligns/s)")
+
+
+COUNTERS = Counters()
+
+
+@contextmanager
+def timed_compare(n_aligned: int, n_shrouded: int, n_gapless: int = 0):
+    """Record one compare sweep in the global counters."""
+    t0 = time.time()
+    try:
+        yield
+    finally:
+        COUNTERS.compares += 1
+        COUNTERS.alignments += int(n_aligned)
+        COUNTERS.shrouded += int(n_shrouded)
+        COUNTERS.gapless += int(n_gapless)
+        COUNTERS.compare_seconds += time.time() - t0
+
+
+@contextmanager
+def profile_trace(logdir: str):
+    """Capture an xprof/tensorboard-compatible device trace.
+
+    Usage:
+        with profile_trace("/tmp/dada2-trace"):
+            dada(...)
+    View with `tensorboard --logdir /tmp/dada2-trace` (Profile tab) or
+    xprof tooling.
+    """
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextmanager
+def annotate(name: str):
+    """Named region in the device trace (jax.profiler.TraceAnnotation)."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
