@@ -189,51 +189,70 @@ def dada(
     maps = [None] * len(derep)
     pvals = [None] * len(derep)
 
+    def _one_sample(i, drpi):
+        seqs = drpi.sequences
+        if not all(is_acgt(seqs)):
+            raise ValueError("Sequences must be made up only of A/C/G/T.")
+        if opts.USE_QUALS:
+            if drpi.quals is None:
+                raise ValueError("derep must include quals if USE_QUALS.")
+            qmax = int(np.ceil(np.nanmax(drpi.quals)))
+            if qmax > 250:
+                raise ValueError(f"Invalid maximum quality score {qmax}.")
+        else:
+            qmax = 0
+        if initializeErr:
+            erri = np.ones((16, max(41, qmax + 1)))
+        else:
+            erri = np.asarray(err, dtype=np.float64)
+        # extend error matrix by repeating the last column (R/dada.R:302-313)
+        if erri.shape[1] < qmax + 1:
+            extra = np.tile(erri[:, -1:], (1, qmax + 1 - erri.shape[1]))
+            erri = np.hstack([erri, extra])
+
+        prset = set(priors) | set(pseudo_priors)
+        prior_flags = [s in prset for s in seqs]
+        res = dada_uniques(
+            seqs, drpi.abundances, prior_flags, erri,
+            drpi.quals if opts.USE_QUALS else None, opts,
+            max_clust=1 if initializeErr else opts.MAX_CLUST,
+            use_quals=True,  # R passes TRUE unconditionally (R/dada.R:344)
+        )
+        clustering[i] = res["clustering"]
+        clusterquals[i] = res["clusterquals"].T
+        birth_subs[i] = res["birth_subs"]
+        trans[i] = res["subqual"]
+        maps[i] = res["map"]
+        pvals[i] = res["pval"]
+        if verbose and nconsist <= 1:
+            nread = int(drpi.abundances.sum())
+            print(f"Sample {i + 1} - {nread} reads in "
+                  f"{len(seqs)} unique sequences.")
+        if verbose >= 2:
+            from .trace import COUNTERS
+            print("   " + COUNTERS.summary())
+
+    # thread-pool over samples: per-sample engines are independent, and
+    # interleaving them overlaps device dispatch/fetch latency with the
+    # other samples' host bookkeeping (replaces the reference's
+    # per-sample fork, R/filter.R:461-477 idiom)
+    nworkers = 1
+    if multithread and len(derep) > 1:
+        import os as _os
+        nworkers = min(len(derep),
+                       int(multithread) if not isinstance(multithread, bool)
+                       else max(2, (_os.cpu_count() or 2) // 2))
+
     while True:
         if nconsist > 0:
             errs_history.append(np.asarray(err))
-        for i, drpi in enumerate(derep):
-            seqs = drpi.sequences
-            if not all(is_acgt(seqs)):
-                raise ValueError("Sequences must be made up only of A/C/G/T.")
-            if opts.USE_QUALS:
-                if drpi.quals is None:
-                    raise ValueError("derep must include quals if USE_QUALS.")
-                qmax = int(np.ceil(np.nanmax(drpi.quals)))
-                if qmax > 250:
-                    raise ValueError(f"Invalid maximum quality score {qmax}.")
-            else:
-                qmax = 0
-            if initializeErr:
-                erri = np.ones((16, max(41, qmax + 1)))
-            else:
-                erri = np.asarray(err, dtype=np.float64)
-            # extend error matrix by repeating the last column (R/dada.R:302-313)
-            if erri.shape[1] < qmax + 1:
-                extra = np.tile(erri[:, -1:], (1, qmax + 1 - erri.shape[1]))
-                erri = np.hstack([erri, extra])
-
-            prset = set(priors) | set(pseudo_priors)
-            prior_flags = [s in prset for s in seqs]
-            res = dada_uniques(
-                seqs, drpi.abundances, prior_flags, erri,
-                drpi.quals if opts.USE_QUALS else None, opts,
-                max_clust=1 if initializeErr else opts.MAX_CLUST,
-                use_quals=True,  # R passes TRUE unconditionally (R/dada.R:344)
-            )
-            clustering[i] = res["clustering"]
-            clusterquals[i] = res["clusterquals"].T
-            birth_subs[i] = res["birth_subs"]
-            trans[i] = res["subqual"]
-            maps[i] = res["map"]
-            pvals[i] = res["pval"]
-            if verbose and nconsist <= 1:
-                nread = int(drpi.abundances.sum())
-                print(f"Sample {i + 1} - {nread} reads in "
-                      f"{len(seqs)} unique sequences.")
-            if verbose >= 2:
-                from .trace import COUNTERS
-                print("   " + COUNTERS.summary())
+        if nworkers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=nworkers) as ex:
+                list(ex.map(lambda a: _one_sample(*a), enumerate(derep)))
+        else:
+            for i, drpi in enumerate(derep):
+                _one_sample(i, drpi)
 
         cur = accumulate_trans(trans)
 
