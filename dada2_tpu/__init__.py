@@ -8,13 +8,13 @@ taxonomy.
 """
 from .options import (DadaOptions, DEFAULT_OPTIONS, get_dada_opt,
                       set_dada_opt)
-from .derep import Derep, derep_fastq, combine_dereps
+from .derep import Derep, derep_fastq, derep_fasta, combine_dereps
 from .dada import DadaResult, dada, dada_uniques
 from .errors import (loess_errfun, noqual_errfun, pacbio_errfun,
                      make_binned_qual_errfun, inflate_err, get_errors,
                      accumulate_trans)
-from .paired import (merge_pairs, nwalign, nwhamming, eval_pair,
-                     pair_consensus)
+from .paired import (merge_pairs, nwalign, nwhamming, nweval,
+                     nwextract, eval_pair, pair_consensus)
 from .seqtab import (make_sequence_table, collapse_no_mismatch,
                      merge_sequence_tables, get_uniques, get_sequences,
                      uniques_to_fasta, seqtab_to_qiime)

@@ -225,3 +225,18 @@ def _merge_one(dadaF, derepF, dadaR, derepR, minOverlap, maxMismatch,
     if not returnRejects:
         df = df[df["accept"].astype(bool)].reset_index(drop=True)
     return df
+
+
+def nweval(s1: str, s2: str, **kwargs):
+    """(match, mismatch, indel) of the NW alignment of two sequences
+    (reference: nweval, R/misc.R:222-225)."""
+    a1, a2 = nwalign(s1, s2, **kwargs)
+    return eval_pair(a1, a2)
+
+
+def nwextract(query: str, ref: str, **kwargs) -> str:
+    """Extract the aligned region of ref corresponding to query
+    (reference: nwextract, R/misc.R:227-233)."""
+    a1, a2 = nwalign(query, ref, **kwargs)
+    nt = [i for i, c in enumerate(a1) if c in "ACGT"]
+    return a2[min(nt): max(nt) + 1] if nt else ""
