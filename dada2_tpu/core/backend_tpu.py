@@ -282,8 +282,8 @@ class TpuBackend(CompareBackend):
             return None
         wp = self._pb.block_wp(len1, opts.BAND_SIZE)
         NDP, L1R = self._pb.geometry()
-        if wp.max() > 128 or NDP * int(wp.max()) * nwp.LANES > \
-                self.VMEM_SLAB_CAP:
+        slab_bytes = ((NDP + 3) // 4) * int(wp.max()) * nwp.LANES
+        if wp.max() > 128 or slab_bytes > self.VMEM_SLAB_CAP:
             return None
         return wp, NDP, L1R
 

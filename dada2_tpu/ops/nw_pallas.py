@@ -49,7 +49,7 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
     endsfree = end_gap_p > gap_p
 
     def kernel(scal_ref, par_ref, s1_ref, s2r_ref, kinds_ref, slab_ref,
-               p1_ref, p2_ref):
+               p1_ref, p2_ref, acc_ref):
         b = pl.program_id(0)
         len1 = scal_ref[b, 0]
         len2max = scal_ref[b, 1]
@@ -63,7 +63,7 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
         rb_l = jnp.broadcast_to(par_ref[pl.ds(2, 1), :], (WP, LANES))
 
         kinds_ref[...] = jnp.zeros((NDP, LANES), jnp.int32)
-        slab_ref[pl.ds(0, 1)] = jnp.zeros((1, WP, LANES), jnp.int8)
+        acc_ref[...] = jnp.zeros((WP, LANES), jnp.int32)
 
         def o(d):
             # uniform window origin: lower bound of every lane's band rows
@@ -146,13 +146,31 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
                      & (i_t <= len1) & (j_t >= 0) & (j_t <= len2_l))
             entry = jnp.where(valid, entry, NEG)
             ptr = jnp.where(valid, ptr, 0)
-            slab_ref[pl.ds(d, 1)] = ptr.astype(jnp.int8).reshape(
-                1, WP, LANES)
+            # 2-bit pointer packing: 4 diagonals per slab byte, flushed
+            # every 4th diagonal (quarters slab VMEM; PacBio-length
+            # amplicons fit on-chip)
+            acc = acc_ref[...] | (ptr << (2 * (d & 3)))
+
+            @pl.when((d & 3) == 3)
+            def _flush():
+                slab_ref[pl.ds(d >> 2, 1)] = acc.astype(jnp.int8).reshape(
+                    1, WP, LANES)
+                acc_ref[...] = jnp.zeros((WP, LANES), jnp.int32)
+
+            @pl.when((d & 3) != 3)
+            def _keep():
+                acc_ref[...] = acc
+
             p2_ref[...] = p1win
             p1_ref[...] = entry
             return 0
 
         jax.lax.fori_loop(1, nd + 1, fill_body, 0)
+
+        @pl.when((nd & 3) != 3)
+        def _final_flush():
+            slab_ref[pl.ds(nd >> 2, 1)] = acc_ref[...].astype(
+                jnp.int8).reshape(1, WP, LANES)
 
         # ---------------- traceback ----------------
         l2row = par_ref[pl.ds(0, 1), :]  # [1, LANES]
@@ -161,8 +179,9 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
             i_t, j_t = carry  # [1, LANES]
             d = nd - k
             od = o(d)
-            ptr_tile = slab_ref[pl.ds(d, 1)].reshape(WP, LANES).astype(
+            packed = slab_ref[pl.ds(d >> 2, 1)].reshape(WP, LANES).astype(
                 jnp.int32)
+            ptr_tile = (packed >> (2 * (d & 3))) & 3
             r_b = jnp.broadcast_to(i_t - od, (WP, LANES))
             ptr_lane = jnp.sum(jnp.where(riota == r_b, ptr_tile, 0),
                                axis=0, keepdims=True)
@@ -197,7 +216,8 @@ def _pallas_call(scal, params, s1t, s2r, *, L1R, L2R, NDP, WP, match,
             pl.BlockSpec((None, L2R, LANES), lambda b, *_: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((None, NDP, LANES), lambda b, *_: (b, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((NDP, WP, LANES), jnp.int8),
+        scratch_shapes=[pltpu.VMEM(((NDP + 3) // 4, WP, LANES), jnp.int8),
+                        pltpu.VMEM((WP, LANES), jnp.int32),
                         pltpu.VMEM((WP, LANES), jnp.int32),
                         pltpu.VMEM((WP, LANES), jnp.int32)],
     )
