@@ -61,9 +61,20 @@ def _hi(d, len1, lband):
 
 
 def _fill_kernel(s1, len1, s2, len2, lband, rband, nd, W,
-                 match, mismatch, gap_p, end_gap_p):
-    """DP fill for one pair; returns ptr [nd, W] int8. vmapped over pairs."""
+                 match, mismatch, gap_p, end_gap_p, mode="vec"):
+    """DP fill for one pair; returns ptr [nd, W] int8. vmapped over pairs.
+
+    mode="vec": the hot-path aligner semantics (reference:
+    src/nwalign_vectorized.cpp) — tie precedence up >= left > diag,
+    ends-free last-row/col recalculation one diagonal late.
+    mode="scalar": the classic aligner used by nwalign/mergePairs
+    (reference: src/nwalign_endsfree.cpp:76-216 when end_gap_p != gap_p,
+    :403-537 when equal) — free gaps along the last row/col, tie
+    precedence up >= diag and up >= left, then left >= diag. Only
+    supported unbanded (band < 0), which is how mergePairs calls it.
+    """
     endsfree = end_gap_p > gap_p
+    scalar_endsfree = end_gap_p != gap_p
     j_first = jnp.maximum(1, len1 - lband)
     i_first = jnp.maximum(1, len2 - rband)
     r = jnp.arange(W, dtype=jnp.int32)
@@ -83,12 +94,38 @@ def _fill_kernel(s1, len1, s2, len2, lband, rband, nd, W,
                                  jnp.full(2, NEG, jnp.int32)])
         p2pad = jnp.concatenate([jnp.full(2, NEG, jnp.int32), prev2,
                                  jnp.full(2, NEG, jnp.int32)])
-        U = jax.lax.dynamic_slice(p1pad, (lod - lo1 - 1 + 2,), (W,)) + gap_p
-        L = jax.lax.dynamic_slice(p1pad, (lod - lo1 + 2,), (W,)) + gap_p
+        Uraw = jax.lax.dynamic_slice(p1pad, (lod - lo1 - 1 + 2,), (W,))
+        Lraw = jax.lax.dynamic_slice(p1pad, (lod - lo1 + 2,), (W,))
         Dp = jax.lax.dynamic_slice(p2pad, (lod - lo2 - 1 + 2,), (W,))
         c1 = s1[jnp.clip(i - 1, 0, s1.shape[0] - 1)]
         c2 = s2[jnp.clip(j - 1, 0, s2.shape[0] - 1)]
         D = Dp + jnp.where(c1 == c2, match, mismatch)
+
+        if mode == "scalar":
+            # free end gaps along last row/col; precedence up >= diag and
+            # up >= left, then left >= diag
+            # (reference: src/nwalign_endsfree.cpp:120-156)
+            Ugap = jnp.where(scalar_endsfree & (j == len2), 0, gap_p)
+            Lgap = jnp.where(scalar_endsfree & (i == len1), 0, gap_p)
+            U = Uraw + Ugap
+            L = Lraw + Lgap
+            upw = (U >= D) & (U >= L)
+            leftw = ~upw & (L >= D)
+            entry = jnp.where(upw, U, jnp.where(leftw, L, D))
+            ptr = jnp.where(upw, PTR_UP,
+                            jnp.where(leftw, PTR_LEFT,
+                                      PTR_DIAG)).astype(jnp.int32)
+            bval = 0 if scalar_endsfree else gap_p
+            entry = jnp.where(j == 0, i * bval, entry)
+            ptr = jnp.where(j == 0, PTR_UP, ptr)
+            entry = jnp.where(i == 0, j * bval, entry)
+            ptr = jnp.where(i == 0, PTR_LEFT, ptr)
+            entry = jnp.where(valid, entry, NEG)
+            ptr = jnp.where(valid, ptr, PTR_NONE)
+            return (entry, prev1, lod, lo1), ptr.astype(jnp.int8)
+
+        U = Uraw + gap_p
+        L = Lraw + gap_p
 
         # tie precedence: U >= L, diag only on strict improvement
         # (reference: src/nwalign_vectorized.cpp:8-32)
@@ -159,9 +196,9 @@ def _traceback_kernel(ptrs, s1, len1, s2, len2, rband, nsteps, W):
 
 
 @partial(jax.jit, static_argnames=("nd", "W", "match", "mismatch", "gap_p",
-                                   "end_gap_p", "band"))
+                                   "end_gap_p", "band", "mode"))
 def _nw_batch_jit(s1b, len1b, s2b, len2b, *, nd, W, match, mismatch,
-                  gap_p, end_gap_p, band):
+                  gap_p, end_gap_p, band, mode="vec"):
     len1b = len1b.astype(jnp.int32)
     len2b = len2b.astype(jnp.int32)
     if band < 0:
@@ -172,7 +209,8 @@ def _nw_batch_jit(s1b, len1b, s2b, len2b, *, nd, W, match, mismatch,
 
     fill = jax.vmap(
         lambda a, la, b, lb, lbd, rbd: _fill_kernel(
-            a, la, b, lb, lbd, rbd, nd, W, match, mismatch, gap_p, end_gap_p))
+            a, la, b, lb, lbd, rbd, nd, W, match, mismatch, gap_p,
+            end_gap_p, mode))
     ptrs = fill(s1b, len1b, s2b, len2b, lband, rband)
 
     nsteps = s1b.shape[1] + s2b.shape[1]
@@ -202,7 +240,7 @@ def _nw_batch_jit(s1b, len1b, s2b, len2b, *, nd, W, match, mismatch,
 
 
 def nw_batch(s1b, len1b, s2b, len2b, *, match, mismatch, gap_p,
-             end_gap_p=0, band=-1):
+             end_gap_p=0, band=-1, mode="vec"):
     """Align pairs (s1b[k], s2b[k]) with the vectorized-NW semantics.
 
     s1b: [n, L1] uint8/int codes; len1b: [n]; likewise s2b/len2b.
@@ -215,12 +253,15 @@ def nw_batch(s1b, len1b, s2b, len2b, *, match, mismatch, gap_p,
         transitions except at substitutions; 16 = padding);
       ok [n] bool — traceback reached the origin (always true in-band).
     """
+    if mode == "scalar" and band >= 0:
+        raise ValueError("batched scalar mode is unbanded only (band=-1)")
     nd, W = batch_geometry(np.asarray(len1b), np.asarray(len2b), band)
     return _nw_batch_jit(
         jnp.asarray(s1b, jnp.int8), jnp.asarray(len1b, jnp.int32),
         jnp.asarray(s2b, jnp.int8), jnp.asarray(len2b, jnp.int32),
         nd=nd, W=W, match=int(match), mismatch=int(mismatch),
-        gap_p=int(gap_p), end_gap_p=int(end_gap_p), band=int(band))
+        gap_p=int(gap_p), end_gap_p=int(end_gap_p), band=int(band),
+        mode=mode)
 
 
 def steps_to_alignment(kinds: np.ndarray, p0: np.ndarray, p1: np.ndarray,

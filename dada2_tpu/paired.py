@@ -17,6 +17,12 @@ from .ops.nw_ref import GAP, nw_align_ref
 _NT = "ACGT"
 
 
+def _pack(seqs):
+    from .encode import pack_sequences
+
+    return pack_sequences(seqs)
+
+
 def _codes_to_al_str(al: np.ndarray) -> str:
     out = []
     for c in al:
@@ -185,6 +191,29 @@ def _merge_one(dadaF, derepF, dadaR, derepR, minOverlap, maxMismatch,
     n0F = dadaF.clustering["n0"].to_numpy()
     n0R = dadaR.clustering["n0"].to_numpy()
 
+    # batched unbanded scalar NW with merge-specific scoring
+    # (reference: R/paired.R:152-159; device sweep replaces the per-pair
+    # C_nwalign .Call)
+    als = {}
+    if not justConcatenate and ups:
+        from .ops.nw_batch import nw_batch, steps_to_alignment
+
+        fs = [Fseqs[f] for f, r in ups]
+        rs = [rc(Rseqs[r]) for f, r in ups]
+        m1, l1 = _pack(fs)
+        m2, l2 = _pack(rs)
+        sc = (1, -64, -64) if maxMismatch == 0 else (1, -8, -8)
+        out = nw_batch(m1, l1, m2, l2, match=sc[0], mismatch=sc[1],
+                       gap_p=sc[2], end_gap_p=0, band=-1, mode="scalar")
+        kinds, p0, p1 = (np.asarray(out[0]), np.asarray(out[1]),
+                         np.asarray(out[2]))
+        if not np.asarray(out[5]).all():
+            raise RuntimeError("N-W Align out of range.")
+        for k, (f, r) in enumerate(ups):
+            a0, a1_ = steps_to_alignment(kinds[k], p0[k], p1[k],
+                                         m1[k][: l1[k]], m2[k][: l2[k]])
+            als[(f, r)] = (_codes_to_al_str(a0), _codes_to_al_str(a1_))
+
     rows = []
     for f, r in ups:
         fseq = Fseqs[f]
@@ -193,13 +222,7 @@ def _merge_one(dadaF, derepF, dadaR, derepR, minOverlap, maxMismatch,
             seq = fseq + "N" * 10 + rseq
             rows.append([seq, counts[(f, r)], f, r, 0, 0, 0, np.nan, True])
             continue
-        # unbanded scalar NW with merge-specific scoring (R/paired.R:152-159)
-        if maxMismatch == 0:
-            a1, a2 = nwalign(fseq, rseq, match=1, mismatch=-64, gap=-64,
-                             band=-1, endsfree=True, vec=False)
-        else:
-            a1, a2 = nwalign(fseq, rseq, match=1, mismatch=-8, gap=-8,
-                             band=-1, endsfree=True, vec=False)
+        a1, a2 = als[(f, r)]
         nmatch, nmismatch, nindel = eval_pair(a1, a2)
         prefer = 1 + int(n0R[r] > n0F[f])
         accept = nmatch >= minOverlap and (nmismatch + nindel) <= maxMismatch

@@ -98,3 +98,39 @@ def test_mixed_length_batch():
         got0, got1 = steps_to_alignment(kinds[k], p0[k], p1[k], a, b)
         assert np.array_equal(ref0, got0) and np.array_equal(ref1, got1)
         assert ham[k] == 0  # pure shifts have no substitutions in-band
+
+
+@pytest.mark.parametrize("egp,params", [(0, (1, -64, -64)),
+                                        (0, (1, -8, -8)),
+                                        (-8, (5, -4, -8))])
+def test_scalar_mode_parity(egp, params):
+    """Batched scalar mode vs the oracle scalar aligner (the mergePairs
+    configuration: unbanded, ends-free, merge scoring)."""
+    match, mismatch, gap = params
+    rng = np.random.default_rng(hash((egp, params)) % 2**32)
+    pairs = [_random_pair(rng, lmin=10, lmax=50) for _ in range(30)]
+    kinds, p0, p1, ham, tvec, ok = _run_batch(pairs, match, mismatch, gap,
+                                              egp, -1)
+    assert ok.all()
+    from dada2_tpu.ops.nw_batch import nw_batch
+    n = len(pairs)
+    L1 = max(len(a) for a, _ in pairs)
+    L2 = max(len(b) for _, b in pairs)
+    s1b = np.full((n, L1), 255, np.uint8)
+    s2b = np.full((n, L2), 255, np.uint8)
+    l1 = np.array([len(a) for a, _ in pairs], np.int64)
+    l2 = np.array([len(b) for _, b in pairs], np.int64)
+    for k, (a, b) in enumerate(pairs):
+        s1b[k, : len(a)] = a
+        s2b[k, : len(b)] = b
+    out = nw_batch(s1b, l1, s2b, l2, match=match, mismatch=mismatch,
+                   gap_p=gap, end_gap_p=egp, band=-1, mode="scalar")
+    kinds, p0, p1 = (np.asarray(out[0]), np.asarray(out[1]),
+                     np.asarray(out[2]))
+    assert np.asarray(out[5]).all()
+    for k, (a, b) in enumerate(pairs):
+        ref0, ref1 = nw_align_ref(a, b, match, mismatch, gap, egp, -1,
+                                  mode="scalar")
+        got0, got1 = steps_to_alignment(kinds[k], p0[k], p1[k], a, b)
+        assert np.array_equal(ref0, got0), f"pair {k} al0"
+        assert np.array_equal(ref1, got1), f"pair {k} al1"
