@@ -24,28 +24,39 @@ from .ops.nw_batch import nw_batch, steps_to_alignment
 from .ops.nw_ref import GAP
 
 
-def _align_parents(sq: str, parents: List[str], maxShift: int,
-                   match: int, mismatch: int, gap_p: int):
-    """Ends-free vectorized-NW alignments of sq vs each parent.
+def _align_pairs(pairs: List[tuple], seqs: List[str], maxShift: int,
+                 match: int, mismatch: int, gap_p: int):
+    """Ends-free vectorized-NW alignments of arbitrary (query, parent)
+    index pairs in ONE device batch.
 
     reference: nwalign_vectorized2 calls in src/chimera.cpp:27,122.
-    Returns a list of (al0, al1) uint8 code arrays (GAP=254)."""
-    seqs = [sq] + list(parents)
+    Returns {pair: (al0, al1)} uint8 code arrays (GAP=254)."""
+    if not pairs:
+        return {}
     mat, lens = pack_sequences(seqs)
-    n = len(parents)
-    s1b = np.tile(mat[0], (n, 1))
-    l1b = np.full(n, lens[0], np.int64)
+    qi = np.array([p[0] for p in pairs], np.int64)
+    pi = np.array([p[1] for p in pairs], np.int64)
     kinds, p0, p1, _, _, ok = nw_batch(
-        s1b, l1b, mat[1:], lens[1:], match=match, mismatch=mismatch,
-        gap_p=gap_p, end_gap_p=0, band=maxShift)
+        mat[qi], lens[qi], mat[pi], lens[pi], match=match,
+        mismatch=mismatch, gap_p=gap_p, end_gap_p=0, band=maxShift)
     kinds, p0, p1 = np.asarray(kinds), np.asarray(p0), np.asarray(p1)
     if not np.asarray(ok).all():
         raise RuntimeError("N-W Align out of range.")
-    out = []
-    for k in range(n):
-        out.append(steps_to_alignment(kinds[k], p0[k], p1[k], mat[0][:lens[0]],
-                                      mat[1 + k][: lens[1 + k]]))
+    out = {}
+    for k, pr in enumerate(pairs):
+        out[pr] = steps_to_alignment(
+            kinds[k], p0[k], p1[k], mat[qi[k]][: lens[qi[k]]],
+            mat[pi[k]][: lens[pi[k]]])
     return out
+
+
+def _align_parents(sq: str, parents: List[str], maxShift: int,
+                   match: int, mismatch: int, gap_p: int):
+    """sq vs each parent (single-query convenience wrapper)."""
+    seqs = [sq] + list(parents)
+    pairs = [(0, 1 + k) for k in range(len(parents))]
+    als = _align_pairs(pairs, seqs, maxShift, match, mismatch, gap_p)
+    return [als[p] for p in pairs]
 
 
 def _ham_endsfree(al0: np.ndarray, al1: np.ndarray) -> int:
@@ -116,17 +127,10 @@ def _get_lr(al0: np.ndarray, al1: np.ndarray, allow_one_off: bool,
     return left, right, left_oo, right_oo
 
 
-def is_bimera(sq: str, parents: List[str], allowOneOff: bool = False,
-              minOneOffParentDistance: int = 4, maxShift: int = 16,
-              **opt_overrides) -> bool:
-    """True if sq is consistent with being a two-parent chimera.
-
-    reference: C_is_bimera (src/chimera.cpp:18-58), isBimera
-    (R/chimeras.R:43-47)."""
-    opts = current_options().replace(**opt_overrides)
-    als = _align_parents(sq, parents, maxShift, opts.MATCH, opts.MISMATCH,
-                         opts.GAP_PENALTY)
-    sqlen = len(sq)
+def _vote_bimera(als, sqlen: int, allowOneOff: bool,
+                 minOneOffParentDistance: int, maxShift: int) -> bool:
+    """Bimera decision from a query's parent alignments
+    (reference: C_is_bimera body, src/chimera.cpp:18-58)."""
     max_left = max_right = 0
     oo_max_left = oo_max_right = oo_max_left_oo = oo_max_right_oo = 0
     for al0, al1 in als:
@@ -150,6 +154,20 @@ def is_bimera(sq: str, parents: List[str], allowOneOff: bool = False,
     return False
 
 
+def is_bimera(sq: str, parents: List[str], allowOneOff: bool = False,
+              minOneOffParentDistance: int = 4, maxShift: int = 16,
+              **opt_overrides) -> bool:
+    """True if sq is consistent with being a two-parent chimera.
+
+    reference: C_is_bimera (src/chimera.cpp:18-58), isBimera
+    (R/chimeras.R:43-47)."""
+    opts = current_options().replace(**opt_overrides)
+    als = _align_parents(sq, parents, maxShift, opts.MATCH, opts.MISMATCH,
+                         opts.GAP_PENALTY)
+    return _vote_bimera(als, len(sq), allowOneOff,
+                        minOneOffParentDistance, maxShift)
+
+
 def is_bimera_denovo(unqs, minFoldParentOverAbundance: float = 2,
                      minParentAbundance: int = 8, allowOneOff: bool = False,
                      minOneOffParentDistance: int = 4, maxShift: int = 16,
@@ -159,19 +177,32 @@ def is_bimera_denovo(unqs, minFoldParentOverAbundance: float = 2,
     reference: isBimeraDenovo (R/chimeras.R:105-154)."""
     from .seqtab import get_sequences, get_uniques
 
+    from .options import current_options
+
+    opts = current_options()
     unqs_int = get_uniques(unqs)
     seqs = list(unqs_int.keys())
     abunds = np.array(list(unqs_int.values()))
-    bims = np.zeros(len(seqs), dtype=bool)
-    for i, (sq, abund) in enumerate(zip(seqs, abunds)):
+    # all (query, parent) alignments in one device batch
+    par_idx = []
+    all_pairs = []
+    for i, abund in enumerate(abunds):
         sel = (abunds > minFoldParentOverAbundance * abund) & \
             (abunds > minParentAbundance)
-        pars = [s for s, m in zip(seqs, sel) if m]
-        if len(pars) < 2:
+        idx = np.nonzero(sel)[0]
+        if len(idx) < 2:
+            idx = idx[:0]
+        par_idx.append(idx)
+        all_pairs.extend((i, int(k)) for k in idx)
+    als = _align_pairs(all_pairs, seqs, maxShift, opts.MATCH,
+                       opts.MISMATCH, opts.GAP_PENALTY)
+    bims = np.zeros(len(seqs), dtype=bool)
+    for i, idx in enumerate(par_idx):
+        if len(idx) < 2:
             continue
-        bims[i] = is_bimera(sq, pars, allowOneOff=allowOneOff,
-                            minOneOffParentDistance=minOneOffParentDistance,
-                            maxShift=maxShift)
+        bims[i] = _vote_bimera(
+            [als[(i, int(k))] for k in idx], len(seqs[i]), allowOneOff,
+            minOneOffParentDistance, maxShift)
     flagged = {s for s, b in zip(seqs, bims) if b}
     seqs_input = get_sequences(unqs)
     out = pd.Series([s in flagged for s in seqs_input], index=seqs_input)
@@ -204,37 +235,51 @@ def is_bimera_denovo_table(seqtab: pd.DataFrame,
     nflag = np.zeros(ncol, dtype=np.int64)
     nsam = np.zeros(ncol, dtype=np.int64)
 
+    # all (query, union-parent) alignments across all columns in ONE batch
+    unions = []
+    all_pairs = []
+    for j in range(ncol):
+        present = mat[:, j] > 0
+        if not present.any():
+            unions.append(np.zeros(0, np.int64))
+            continue
+        parent_mask = (mat > (minFoldParentOverAbundance *
+                              mat[:, j][:, None])) & \
+            (mat >= minParentAbundance)
+        parent_mask[~present, :] = False
+        union = np.nonzero(parent_mask.any(axis=0))[0]
+        union = union[union != j]
+        unions.append(union)
+        all_pairs.extend((j, int(k)) for k in union)
+    als_all = _align_pairs(all_pairs, sqs, maxShift, opts.MATCH,
+                           opts.MISMATCH, opts.GAP_PENALTY)
+
     for j in range(ncol):
         present = mat[:, j] > 0
         nsam[j] = int(present.sum())
         if nsam[j] == 0:
             continue
         sqlen = len(sqs[j])
-        # union of possible parents over the samples where j is present
         parent_mask = (mat > (minFoldParentOverAbundance *
                               mat[:, j][:, None])) & \
             (mat >= minParentAbundance)
         parent_mask[~present, :] = False
-        union = np.nonzero(parent_mask.any(axis=0))[0]
-        union = union[union != j] if j in union else union
+        union = unions[j]
         lefts = np.zeros(ncol, dtype=np.int64)
         rights = np.zeros(ncol, dtype=np.int64)
         lefts_oo = np.zeros(ncol, dtype=np.int64)
         rights_oo = np.zeros(ncol, dtype=np.int64)
         allowed = np.zeros(ncol, dtype=bool)
-        if len(union):
-            als = _align_parents(sqs[j], [sqs[k] for k in union], maxShift,
-                                 opts.MATCH, opts.MISMATCH,
-                                 opts.GAP_PENALTY)
-            for k, (al0, al1) in zip(union, als):
-                left, right, left_oo, right_oo = _get_lr(
-                    al0, al1, allowOneOff, maxShift)
-                if allowOneOff and _ham_endsfree(al0, al1) >= \
-                        minOneOffParentDistance:
-                    allowed[k] = True
-                if left + right < sqlen:
-                    lefts[k], rights[k] = left, right
-                    lefts_oo[k], rights_oo[k] = left_oo, right_oo
+        for k in union:
+            al0, al1 = als_all[(j, int(k))]
+            left, right, left_oo, right_oo = _get_lr(
+                al0, al1, allowOneOff, maxShift)
+            if allowOneOff and _ham_endsfree(al0, al1) >= \
+                    minOneOffParentDistance:
+                allowed[k] = True
+            if left + right < sqlen:
+                lefts[k], rights[k] = left, right
+                lefts_oo[k], rights_oo[k] = left_oo, right_oo
         for i in np.nonzero(present)[0]:
             pk = np.nonzero(parent_mask[i])[0]
             if len(pk) == 0:
