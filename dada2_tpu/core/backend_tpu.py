@@ -190,7 +190,8 @@ class _PallasBlocks:
         self.maxlen = int(self.lens.max())
         self.block_idx = nwp.assemble_blocks(rawset.seqs, self.lens)
         self.nblocks = self.block_idx.shape[0]
-        self.L2R = nwp._round_up(self.maxlen + 128, 8)
+        # coarse rounding: samples with nearby max lengths share compiles
+        self.L2R = nwp._round_up(self.maxlen + 128, 32)
         s2r = nwp.pack_s2_blocks(rawset.seqs, self.lens, self.block_idx,
                                  self.L2R)
         self.d_s2r = jnp.asarray(s2r)
@@ -216,9 +217,10 @@ class _PallasBlocks:
         return np.maximum(32, ((W + 31) // 32) * 32)
 
     def geometry(self):
-        # center-independent statics: one compiled program per WP bucket
-        NDP = nwp._round_up(2 * self.maxlen + 1, 8)
-        L1R = nwp._round_up(self.maxlen + 1 + 128, 8)
+        # center-independent statics: one compiled program per WP bucket;
+        # coarse rounding shares compiles across similar-length samples
+        NDP = nwp._round_up(2 * self.maxlen + 1, 64)
+        L1R = nwp._round_up(self.maxlen + 1 + 128, 32)
         return NDP, L1R
 
     def scal_params(self, len1: int, band: int):

@@ -576,7 +576,11 @@ def filter_and_trim(fwd, filt, rev=None, filt_rev=None, compress=None,
     if multithread:
         ncores = os.cpu_count() if multithread is True else int(multithread)
     if ncores > 1 and len(jobs) > 1:
-        with ProcessPoolExecutor(max_workers=ncores) as ex:
+        # spawn, not fork: the parent may have live JAX threads
+        import multiprocessing as mp
+        with ProcessPoolExecutor(
+                max_workers=ncores,
+                mp_context=mp.get_context("spawn")) as ex:
             results = list(ex.map(runner, jobs))
     else:
         results = [runner(j) for j in jobs]
