@@ -32,10 +32,14 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
     has_quals = rs.quals is not None
 
     # Final subs for every raw vs its cluster center, and birth subs
-    # (reference: src/Rmain.cpp:174-236)
+    # (reference: src/Rmain.cpp:174-236). Clusters are independent, so the
+    # device sweeps are interleaved across threads (the reference's
+    # FinalSubsParallel TBB loop, here overlapping dispatch latency).
     subs: List[Optional[Sub]] = [None] * rs.n
     birth_subs: List[Optional[Sub]] = [None] * nclust
-    for i, bi in enumerate(eng.clusters):
+
+    def _one_cluster(i):
+        bi = eng.clusters[i]
         members = np.asarray(bi.slots, dtype=np.int64)
         ss = eng.backend.subs_to_center(bi.center, members, opts)
         for m, s in zip(members, ss):
@@ -44,6 +48,14 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
             from_center = eng.clusters[bi.birth_comp_i].center
             birth_subs[i] = eng.backend.subs_pair(
                 from_center, bi.center, opts, opts.USE_KMERS, 1.0)
+
+    if nclust > 2:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(_one_cluster, range(nclust)))
+    else:
+        for i in range(nclust):
+            _one_cluster(i)
 
     # Final within-cluster p and the OMEGA_C correction gate
     # (reference: src/Rmain.cpp:238-252)
