@@ -31,3 +31,6 @@ __version__ = "0.1.0"
 from .diagnostics import (kmer_dist, kord_dist, kmer_matches,
                           kdist_matches, check_convergence, pfasta,
                           seqtab_to_mothur, samdf_to_qiime2)
+from . import data, refdb, trace
+from .refdb import tax_check
+from .trace import COUNTERS, profile_trace
