@@ -126,10 +126,11 @@ def _unblock_derive(kinds_blocks, inv, s1full, len1, s2pad, len2b, *, nd):
 
 
 @partial(jax.jit, static_argnames=("spec", "L1R", "L2R", "NDP", "match",
-                                   "mismatch", "gap_p", "interpret"))
+                                   "mismatch", "gap_p", "interpret",
+                                   "mesh"))
 def _fused_align_all(scal, params, sels, perm, center, seqs, lens, s2r,
                      inv, kmers, kords, *, spec, L1R, L2R, NDP, match,
-                     mismatch, gap_p, interpret):
+                     mismatch, gap_p, interpret, mesh=None):
     """One-dispatch compare sweep: k-mer screens, per-WP-bucket pallas
     calls, un-block, derive, and a packed int8 result — all one compiled
     program, so a compare costs ONE dispatch and ONE host fetch (the
@@ -143,11 +144,28 @@ def _fused_align_all(scal, params, sels, perm, center, seqs, lens, s2r,
     s1t = _build_s1t(center_seq, L1R)
     outs = []
     for (WP, nreal), sel in zip(spec, sels):
-        out = nwp._pallas_call(
-            jnp.take(scal, sel, 0), jnp.take(params, sel, 0), s1t,
-            jnp.take(s2r, sel, 0), L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
-            match=match, mismatch=mismatch, gap_p=gap_p, end_gap_p=0,
-            interpret=interpret)
+        g_scal = jnp.take(scal, sel, 0)
+        g_params = jnp.take(params, sel, 0)
+        g_s2r = jnp.take(s2r, sel, 0)
+        if mesh is None:
+            out = nwp._pallas_call(
+                g_scal, g_params, s1t, g_s2r, L1R=L1R, L2R=L2R, NDP=NDP,
+                WP=WP, match=match, mismatch=mismatch, gap_p=gap_p,
+                end_gap_p=0, interpret=interpret)
+        else:
+            # shard the block grid over the mesh's "pairs" axis; each
+            # device sweeps its local blocks with the same kernel
+            from jax.sharding import PartitionSpec as P
+
+            out = jax.shard_map(
+                lambda sc, pr, s1, s2: nwp._pallas_call(
+                    sc, pr, s1, s2, L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
+                    match=match, mismatch=mismatch, gap_p=gap_p,
+                    end_gap_p=0, interpret=interpret),
+                mesh=mesh,
+                in_specs=(P("pairs"), P("pairs"), P(), P("pairs")),
+                out_specs=P("pairs"), check_vma=False,
+            )(g_scal, g_params, s1t, g_s2r)
         outs.append(out[:nreal])
     kinds_blocks = jnp.take(jnp.concatenate(outs, axis=0), perm, axis=0)
     kinds, p0, p1, ham, tvec, ok = _unblock_derive(
@@ -248,9 +266,13 @@ class TpuBackend(CompareBackend):
     # scan path remains the fallback (and the CPU-test path)
     VMEM_SLAB_CAP = 12 * 1024 * 1024
 
-    def __init__(self, rawset: RawSet, use_quals: bool = True):
+    def __init__(self, rawset: RawSet, use_quals: bool = True, mesh=None):
         self.rs = rawset
         self.use_quals = use_quals
+        if mesh is None:
+            from ..parallel import get_mesh
+            mesh = get_mesh()
+        self.mesh = mesh
         self.d_seqs = jnp.asarray(rawset.seqs, jnp.int8)
         self.d_lens = jnp.asarray(rawset.lens, jnp.int32)
         self.d_kmers = jnp.asarray(rawset.kmers, jnp.int32)
@@ -311,9 +333,11 @@ class TpuBackend(CompareBackend):
         spec = []
         sels = []
         orders = []
+        ndev = 1 if self.mesh is None else self.mesh.shape.get("pairs", 1)
         for w in np.unique(wp):
             bidx = np.nonzero(wp == w)[0]
             nbg = 1 << (len(bidx) - 1).bit_length()
+            nbg = max(nbg, ndev)  # both powers of two -> divisible
             pad = np.full(nbg - len(bidx), bidx[0], np.int64)
             sels.append(jnp.asarray(np.concatenate([bidx, pad]), jnp.int32))
             spec.append((int(w), len(bidx)))
@@ -328,7 +352,8 @@ class TpuBackend(CompareBackend):
             self.d_lens, pb.d_s2r, pb.d_inv, self.d_kmers, self.d_kords,
             spec=tuple(spec), L1R=L1R, L2R=pb.L2R, NDP=NDP,
             match=opts.MATCH, mismatch=opts.MISMATCH,
-            gap_p=opts.GAP_PENALTY, interpret=self._interpret)
+            gap_p=opts.GAP_PENALTY, interpret=self._interpret,
+            mesh=self.mesh)
         self._align_cache[key] = res
         while len(self._align_cache) > 4:
             self._align_cache.pop(next(iter(self._align_cache)))

@@ -70,3 +70,42 @@ def test_shard_count_invariance():
         np.testing.assert_array_equal(outs[0][0], h)
         np.testing.assert_array_equal(outs[0][2], c)
         np.testing.assert_allclose(outs[0][1], l, rtol=1e-12)
+
+
+def test_sharded_compare_backend_parity(extdata):
+    """The mesh-sharded flagship compare path must match single-device
+    results exactly (8 virtual CPU devices, pallas interpret mode)."""
+    import os
+
+    import dada2_tpu.parallel as par
+    from dada2_tpu.core.backend_tpu import TpuBackend
+    from dada2_tpu.core.raws import make_rawset
+    from dada2_tpu.data import tperr1
+    from dada2_tpu.derep import derep_fastq
+    from dada2_tpu.options import DEFAULT_OPTIONS
+    from jax.sharding import Mesh
+
+    os.environ["DADA2_TPU_PALLAS"] = "1"
+    try:
+        d = derep_fastq(str(extdata / "sam1F.fastq.gz"))
+        seqs, ab, quals = d.sequences[:40], d.abundances[:40], d.quals[:40]
+        rs = make_rawset(seqs, ab, None, quals)
+        opts = DEFAULT_OPTIONS.normalized()
+        err = tperr1()
+        skip = np.zeros(rs.n, dtype=bool)
+
+        single = TpuBackend(rs)
+        lam_s, ham_s = single.compare(0, skip, opts, err, True, 1.0)
+
+        mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("pairs",))
+        par.use_mesh(mesh)
+        try:
+            sharded = TpuBackend(rs)
+            assert sharded.mesh is mesh
+            lam_m, ham_m = sharded.compare(0, skip, opts, err, True, 1.0)
+        finally:
+            par.use_mesh(None)
+        np.testing.assert_array_equal(ham_s, ham_m)
+        np.testing.assert_array_equal(lam_s, lam_m)
+    finally:
+        os.environ.pop("DADA2_TPU_PALLAS", None)
