@@ -473,6 +473,8 @@ class TpuBackend(CompareBackend):
         al_idx = np.nonzero(cand & ~gapless)[0]
 
         if len(gl_idx):
+            from ..trace import COUNTERS
+            COUNTERS.gapless += len(gl_idx)
             tvec, h = self._gapless_tvec_ham(center, gl_idx)
             lam[gl_idx] = self._lambdas(gl_idx, tvec, err)
             ham[gl_idx] = h

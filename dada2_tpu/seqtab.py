@@ -149,22 +149,64 @@ def collapse_no_mismatch(seqtab: pd.DataFrame, minOverlap: int = 20,
     totals = seqtab.values.sum(axis=0)
     order = np.argsort(-totals, kind="stable")
     seqs = [seqtab.columns[i] for i in order]
+
+    # batch-align every prefix-screened candidate pair up front (one
+    # device sweep instead of one Python DP per pair); the greedy loop
+    # below then only consults precomputed hamming distances
+    cand_pairs = []
+    for qi in range(1, len(seqs)):
+        qprefix = seqs[qi][:minOverlap]
+        for ri in range(qi):
+            rprefix = seqs[ri][:minOverlap]
+            if qprefix in seqs[ri] or rprefix in seqs[qi]:
+                cand_pairs.append((qi, ri))
+    ham = {}
+    if cand_pairs:
+        from .encode import pack_sequences
+        from .ops.nw_batch import nw_batch
+
+        mat, lens = pack_sequences(seqs)
+        qidx = np.array([p[0] for p in cand_pairs], np.int64)
+        ridx = np.array([p[1] for p in cand_pairs], np.int64)
+        from .options import current_options
+        o = current_options()
+        if not vec and band >= 0:
+            # banded scalar mode has no batched kernel; per-pair fallback
+            for qi, ri in cand_pairs:
+                ham[(qi, ri)] = nwhamming(seqs[qi], seqs[ri], vec=False,
+                                          band=band)
+        else:
+            out = nw_batch(mat[qidx], lens[qidx], mat[ridx], lens[ridx],
+                           match=o.MATCH, mismatch=o.MISMATCH,
+                           gap_p=o.GAP_PENALTY, end_gap_p=0, band=band,
+                           mode="vec" if vec else "scalar")
+            kinds = np.asarray(out[0])
+            p0s, p1s = np.asarray(out[1]), np.asarray(out[2])
+            from .ops.nw_batch import steps_to_alignment
+            from .paired import _codes_to_al_str, eval_pair
+            for k, pr in enumerate(cand_pairs):
+                a0, a1 = steps_to_alignment(kinds[k], p0s[k], p1s[k],
+                                            mat[qidx[k]][: lens[qidx[k]]],
+                                            mat[ridx[k]][: lens[ridx[k]]])
+                _, mm, ind = eval_pair(_codes_to_al_str(a0),
+                                       _codes_to_al_str(a1))
+                ham[pr] = mm + ind
+
     seqs_out: List[str] = []
+    out_idx: List[int] = []
     collapsed = pd.DataFrame(
         np.zeros_like(seqtab.values), index=seqtab.index, columns=seqtab.columns)
-    for query in seqs:
+    for qi, query in enumerate(seqs):
         added = False
-        prefix = query[:minOverlap]
-        for ref in seqs_out:
-            prefix_ref = ref[:minOverlap]
-            if prefix in ref or prefix_ref in query:
-                if nwhamming(query, ref, vec=vec, band=band) == 0:
-                    collapsed[ref] = collapsed[ref] + seqtab[query]
-                    added = True
-                    break
+        for ri in out_idx:
+            if (qi, ri) in ham and ham[(qi, ri)] == 0:
+                collapsed[seqs[ri]] = collapsed[seqs[ri]] + seqtab[query]
+                added = True
+                break
         if not added:
             collapsed[query] = seqtab[query]
             seqs_out.append(query)
+            out_idx.append(qi)
     collapsed = collapsed.loc[:, collapsed.columns.isin(seqs_out)]
     collapsed = _order_columns(collapsed, orderBy)
     collapsed = _order_columns(collapsed, "abundance")
