@@ -290,7 +290,12 @@ class TpuBackend(CompareBackend):
         self._pb: Optional[_PallasBlocks] = None
         if self.use_pallas:
             self._pb = _PallasBlocks(rawset)
-        self._align_cache: dict = {}  # small LRU of per-center alignments
+        # small LRU of per-center alignments; the finalize pass hits one
+        # shared backend from a thread pool (core/output.py), so all
+        # cache access goes through the lock
+        self._align_cache: dict = {}
+        import threading
+        self._cache_lock = threading.Lock()
 
     # ---- screens -------------------------------------------------------
 
@@ -324,10 +329,11 @@ class TpuBackend(CompareBackend):
         len1 = int(self.lens[center])
         key = (center, opts.BAND_SIZE, opts.MATCH, opts.MISMATCH,
                opts.GAP_PENALTY)
-        hit = self._align_cache.pop(key, None)
-        if hit is not None:
-            self._align_cache[key] = hit  # refresh LRU order
-            return hit
+        with self._cache_lock:
+            hit = self._align_cache.pop(key, None)
+            if hit is not None:
+                self._align_cache[key] = hit  # refresh LRU order
+                return hit
         scal, params = pb.scal_params(len1, opts.BAND_SIZE)
 
         spec = []
@@ -354,9 +360,10 @@ class TpuBackend(CompareBackend):
             match=opts.MATCH, mismatch=opts.MISMATCH,
             gap_p=opts.GAP_PENALTY, interpret=self._interpret,
             mesh=self.mesh)
-        self._align_cache[key] = res
-        while len(self._align_cache) > 4:
-            self._align_cache.pop(next(iter(self._align_cache)))
+        with self._cache_lock:
+            self._align_cache[key] = res
+            while len(self._align_cache) > 4:
+                self._align_cache.pop(next(iter(self._align_cache)), None)
         return res
 
     def _unpack(self, packed: np.ndarray):

@@ -323,7 +323,10 @@ class Engine:
         # (src/cluster.cpp:331-345); we set it to the source cluster.
         new.birth_from = mini
         new.birth_pval = pval
-        new.birth_fold = self.rs.reads[raw] / expected
+        # expected==0 yields +inf, as the C++ division does silently
+        # (reference: src/cluster.cpp:321-327)
+        with np.errstate(divide="ignore"):
+            new.birth_fold = self.rs.reads[raw] / expected
         new.birth_e = expected
         new.birth_comp_i = int(self.comp_i[raw])
         new.birth_comp_lam = float(self.comp_lam[raw])

@@ -43,7 +43,7 @@ class Derep:
                 f"{tot} reads)")
 
 
-def _qtables(chunk: FastqChunk):
+def _qtables(chunk: FastqChunk, phred_offset: int = 33):
     """Per-chunk dereplication (reference: qtables2, R/sequenceIO.R:150-183).
 
     Returns (seqs_in_lexical_order, counts, qual_sums, read_map).
@@ -54,7 +54,7 @@ def _qtables(chunk: FastqChunk):
     pos_mask = np.array([len(s) > 0 for s in seqs])
     if not pos_mask.any():
         raise ValueError("Only zero-length sequences detected during dereplication.")
-    qmat = quals_to_matrix(chunk.quals)
+    qmat = quals_to_matrix(chunk.quals, phred_offset)
     order_keys = sorted(range(nread), key=lambda i: seqs[i]) if pos_mask.all() \
         else sorted((i for i in range(nread) if pos_mask[i]), key=lambda i: seqs[i])
     # unique sequences in lexical order, counts, and per-unique qual sums
@@ -90,13 +90,16 @@ def derep_fastq(fls, n: int = 1_000_000, verbose: bool = False,
             fls = [str(fls)]
     else:
         fls = [str(f) for f in fls]
+    from .io.fastq import phred_offset_for
+
+    offset = phred_offset_for(qualityType)
     rval = {}
     for fl in fls:
         # native C++ loader (dada2_tpu/native): same semantics, much
         # faster host path; falls back to the Python implementation
         from .native import derep_fastq_native
 
-        nat = derep_fastq_native(fl, n)
+        nat = derep_fastq_native(fl, n, offset)
         if nat is not None:
             seqs_n, counts_n, quals_n, map_n = nat
             uniques = {s: int(c) for s, c in zip(seqs_n, counts_n)}
@@ -113,7 +116,7 @@ def derep_fastq(fls, n: int = 1_000_000, verbose: bool = False,
         qsum: Optional[np.ndarray] = None
         maps: List[np.ndarray] = []
         for chunk in stream_fastq(fl, n=n):
-            cs, cc, cq, cmap = _qtables(chunk)
+            cs, cc, cq, cmap = _qtables(chunk, offset)
             if qsum is None:
                 uniq_seqs = list(cs)
                 counts = cc.tolist()

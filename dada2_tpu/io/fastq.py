@@ -97,7 +97,8 @@ def write_fastq(path: str, ids, seqs, quals, append: bool = False,
         raw.close()
 
 
-def quals_to_matrix(quals: List[bytes]) -> np.ndarray:
+def quals_to_matrix(quals: List[bytes],
+                    offset: int = PHRED_OFFSET) -> np.ndarray:
     """[n, maxlen] float64 phred scores; NaN beyond each read's length."""
     n = len(quals)
     lens = np.array([len(q) for q in quals], dtype=np.int64)
@@ -105,9 +106,25 @@ def quals_to_matrix(quals: List[bytes]) -> np.ndarray:
     out = np.full((n, L), np.nan)
     for i, q in enumerate(quals):
         out[i, : lens[i]] = (
-            np.frombuffer(q, dtype=np.uint8).astype(np.float64) - PHRED_OFFSET
+            np.frombuffer(q, dtype=np.uint8).astype(np.float64) - offset
         )
     return out
+
+
+def phred_offset_for(qualityType: str) -> int:
+    """Map the reference's qualityType names to a phred offset.
+
+    reference: derepFastq(qualityType=) forwards to ShortRead's
+    FastqStreamer (R/sequenceIO.R:45-64): "FastqQuality" = phred+33,
+    "SFastqQuality" = Illumina 1.3+ phred+64; "Auto" lets ShortRead sniff
+    — modern data is universally phred+33, which is what Auto resolves to
+    here."""
+    table = {"Auto": 33, "FastqQuality": 33, "SFastqQuality": 64}
+    if qualityType not in table:
+        raise ValueError(
+            f"Unknown qualityType {qualityType!r}; expected one of "
+            f"{sorted(table)}")
+    return table[qualityType]
 
 
 def parse_fastq_directory(path: str) -> List[str]:

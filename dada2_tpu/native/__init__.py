@@ -32,16 +32,19 @@ def _build() -> bool:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """The native library, building it if needed; None if unavailable."""
+    """The native library, building it if needed; None if unavailable.
+
+    DADA2_TPU_NATIVE=0 and the module-level _failed flag are honored on
+    EVERY call (not just the first), so the pure-Python fallback can be
+    forced at any point — the parity tests rely on this."""
     global _lib, _failed
-    if _lib is not None or _failed:
+    if _failed or os.environ.get("DADA2_TPU_NATIVE", "1") == "0":
+        return None
+    if _lib is not None:
         return _lib
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if os.environ.get("DADA2_TPU_NATIVE", "1") == "0":
-            _failed = True
-            return None
         fresh = (os.path.exists(_LIB) and
                  os.path.getmtime(_LIB) >= os.path.getmtime(_SRC))
         if not fresh and not _build():
@@ -53,7 +56,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _failed = True
             return None
         lib.derep_fastq_native.restype = ctypes.c_void_p
-        lib.derep_fastq_native.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.derep_fastq_native.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                           ctypes.c_int]
         lib.dr_error.restype = ctypes.c_char_p
         lib.dr_error.argtypes = [ctypes.c_void_p]
         for fn in ("dr_nuniq", "dr_nreads"):
@@ -71,7 +75,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
 
 
-def derep_fastq_native(path: str, chunk_size: int = 1_000_000):
+def derep_fastq_native(path: str, chunk_size: int = 1_000_000,
+                       phred_offset: int = 33):
     """Dereplicate a fastq file with the C++ loader.
 
     Returns (uniq_seqs list[str], counts int64[n], quals float64[n, L]
@@ -82,7 +87,8 @@ def derep_fastq_native(path: str, chunk_size: int = 1_000_000):
     lib = get_lib()
     if lib is None:
         return None
-    handle = lib.derep_fastq_native(path.encode(), chunk_size)
+    handle = lib.derep_fastq_native(path.encode(), chunk_size,
+                                    int(phred_offset))
     try:
         err = lib.dr_error(handle)
         if err:

@@ -110,7 +110,8 @@ bool read_record(GzLines &in, Read &r, std::string &err) {
 
 extern "C" {
 
-DerepResult *derep_fastq_native(const char *path, int64_t chunk_size) {
+DerepResult *derep_fastq_native(const char *path, int64_t chunk_size,
+                                int phred_offset) {
   auto *res = new DerepResult();
   gzFile f = gzopen(path, "rb");
   if (f == nullptr) {
@@ -159,7 +160,7 @@ DerepResult *derep_fastq_native(const char *path, int64_t chunk_size) {
       u.count++;
       size_t L = std::min(r.qual.size(), r.seq.size());
       for (size_t p = 0; p < L; p++) {
-        u.qsum[p] += (double)(r.qual[p] - 33);
+        u.qsum[p] += (double)(r.qual[p] - phred_offset);
       }
       readmap[i] = (int64_t)cu.size() - 1;
     }

@@ -59,3 +59,49 @@ def test_native_is_default_path(extdata):
     d = derep_fastq(str(extdata / "sam1F.fastq.gz"))
     assert len(d.uniques) == 896
     assert int(d.abundances.sum()) == 1500
+
+
+def test_quality_type_offsets(tmp_path):
+    """phred+64 decoding parity between the native and Python loaders."""
+    from dada2_tpu.derep import derep_fastq
+    from dada2_tpu.io.fastq import write_fastq
+
+    seqs = ["ACGTACGT", "ACGTACGT", "TTTTAAAA"]
+    q33 = ["IIIIIIII", "IIIIIIII", "########"]          # Q40 / Q2
+    q64 = ["".join(chr(ord(c) + 31) for c in q) for q in q33]
+    f33 = tmp_path / "p33.fastq"
+    f64 = tmp_path / "p64.fastq"
+    write_fastq(str(f33), [f"r{i}" for i in range(3)], seqs, q33)
+    write_fastq(str(f64), [f"r{i}" for i in range(3)], seqs, q64)
+    d33 = derep_fastq(str(f33))
+    d64 = derep_fastq(str(f64), qualityType="SFastqQuality")
+    assert d33.uniques == d64.uniques
+    np.testing.assert_array_equal(d33.quals, d64.quals)
+    d64py = _python_derep_qt(str(f64), "SFastqQuality")
+    np.testing.assert_array_equal(d64.quals, d64py.quals)
+    with pytest.raises(ValueError):
+        derep_fastq(str(f33), qualityType="bogus")
+
+
+def _python_derep_qt(path, qt):
+    import dada2_tpu.native as nat
+    nat._failed = True
+    try:
+        from dada2_tpu.derep import derep_fastq
+        return derep_fastq(path, qualityType=qt)
+    finally:
+        nat._failed = False
+
+
+def test_env_var_forces_fallback_after_load(extdata):
+    """DADA2_TPU_NATIVE=0 must bypass an already-loaded native lib."""
+    import dada2_tpu.native as nat
+
+    assert nat.get_lib() is not None
+    os.environ["DADA2_TPU_NATIVE"] = "0"
+    try:
+        assert nat.get_lib() is None
+        assert nat.derep_fastq_native(str(extdata / "sam1F.fastq.gz")) is None
+    finally:
+        os.environ.pop("DADA2_TPU_NATIVE", None)
+    assert nat.get_lib() is not None
