@@ -73,38 +73,84 @@ def cpu_baseline(rs, center: int) -> float:
 
 
 def tpu_rate(rs, center: int):
-    """alignments/sec/chip of the production device path: the pallas
-    wavefront kernel over device-resident length-sorted blocks, the
-    derive post-pass, and the ham/tvec device->host transfer the engine
-    consumes. Steady-state, compile excluded."""
+    """alignments/sec/chip of the production engine compare path: the
+    pallas wavefront kernel over device-resident length-sorted blocks,
+    the derive + f32 log-lambda screen post-pass, the small packed
+    device->host fetch, and the exact host float64 lambda for the
+    shortlisted rows — everything the engine consumes per compare sweep
+    in steady state. Steady-state, compile excluded.
+
+    GAPLESS is disabled so every row goes through the NW kernel, matching
+    the work the C baseline is timed on."""
     import jax
     from dada2_tpu.core.backend_tpu import TpuBackend
     from dada2_tpu.options import DEFAULT_OPTIONS
 
     info(f"devices: {jax.devices()}")
     n = rs.n
-    opts = DEFAULT_OPTIONS.normalized()
+    opts = DEFAULT_OPTIONS.replace(GAPLESS=False).normalized()
     backend = TpuBackend(rs)
     info(f"pallas path: {backend.use_pallas}")
     geom = backend._pallas_ok(int(rs.lens[center]), opts)
+    from dada2_tpu.data import tperr1
 
-    def run(c: int = center):
-        backend._align_cache.clear()
+    err = tperr1()
+    qmax = int(rs.quals.max()) if rs.quals is not None else 40
+    if qmax + 1 > err.shape[1]:  # extend like dada (R/dada.R:302-313)
+        err = np.hstack([err] + [err[:, -1:]] * (qmax + 1 - err.shape[1]))
+    skip = np.zeros(n, bool)
+    total = int(rs.reads.sum())
+
+    def compare(c, e_thresh=None):
         if geom is not None:
-            res = backend._align_all_pallas(c, opts, geom)
-            tvec, ham, _, _, _ = backend._unpack(np.asarray(res[6]))
-            return ham, tvec
+            return backend.compare(c, skip, opts, err, True, 1.0, e_thresh)
         from dada2_tpu.ops import nw_batch as nwb
-        s1b = np.tile(rs.seqs[center], (n, 1))
-        l1b = np.full(n, int(rs.lens[center]), np.int32)
+        s1b = np.tile(rs.seqs[c], (n, 1))
+        l1b = np.full(n, int(rs.lens[c]), np.int32)
         out = nwb.nw_batch(s1b, l1b, rs.seqs, rs.lens, match=MATCH,
                            mismatch=MISMATCH, gap_p=GAP, end_gap_p=0,
                            band=BAND)
-        return np.asarray(out[3]), np.asarray(out[4])
+        return None, np.asarray(out[3])
 
+    nthreads = 8
     t0 = time.time()
-    ham, _ = run()
-    info(f"first call (compile): {time.time() - t0:.1f}s")
+    # init sweeps (exact lambda for every row, full fetch) over the timed
+    # centers; their running max builds the E_minmax the engine would
+    # carry into steady state (reference: src/cluster.cpp:73-85)
+    e_minmax = np.full(n, -999.0)
+    ham = None
+    for c in range(nthreads):
+        lam_c, h = compare(c)
+        if c == center:
+            ham = h
+        if lam_c is not None:
+            e_minmax = np.maximum(e_minmax, lam_c * int(rs.reads[c]))
+    info(f"first calls (compile + init sweeps): {time.time() - t0:.1f}s")
+    e_thresh = e_minmax / total if geom is not None else None
+
+    if geom is not None:
+        # hardware-correctness gate: the device path's exact lambdas must
+        # be bit-identical to the clean numpy oracle (this is where a
+        # Mosaic-vs-interpret semantics drift would surface)
+        from dada2_tpu.core.backend_ref import OracleBackend
+
+        lam_dev, ham_dev = compare(center)
+        oracle = OracleBackend(rs)
+        pick = np.linspace(0, n - 1, 16).astype(np.int64)
+        osk = np.ones(n, bool)
+        osk[pick] = False
+        lam_o, ham_o = oracle.compare(center, osk, opts, err, True, 1.0)
+        if not (np.array_equal(lam_o[pick], lam_dev[pick])
+                and np.array_equal(ham_o[pick], ham_dev[pick])):
+            info("FATAL: device lambda/ham diverge from the numpy oracle")
+            raise SystemExit(1)
+        info("oracle spot-check: 16/16 rows bit-identical")
+
+    def run(c: int = center):
+        with backend._cache_lock:
+            backend._align_cache.clear()
+        lam, h = compare(c, e_thresh)
+        return h, lam
     # sequential steady state
     reps, t0 = 0, time.time()
     while reps < 3 or time.time() - t0 < 2.0:
@@ -116,7 +162,6 @@ def tpu_rate(rs, center: int):
     # threads, the production multi-sample pattern (dada multithread=True)
     from concurrent.futures import ThreadPoolExecutor
 
-    nthreads = 4
     with ThreadPoolExecutor(max_workers=nthreads) as ex:
         list(ex.map(run, range(nthreads)))  # warm distinct centers
         reps, t0 = 0, time.time()
@@ -139,8 +184,9 @@ def main():
     cpu_aps, cpu_sum, cpu_reps = cpu_baseline(rs, center)
     dev_aps, dev_sum, dev_reps = tpu_rate(rs, center)
     if cpu_sum // cpu_reps != dev_sum:
-        info(f"WARNING: checksum mismatch cpu={cpu_sum // cpu_reps} "
-             f"tpu={dev_sum} (semantics drift?)")
+        info(f"FATAL: checksum mismatch cpu={cpu_sum // cpu_reps} "
+             f"tpu={dev_sum} (semantics drift) — no perf number published")
+        raise SystemExit(1)
     info(f"tpu: {dev_aps:.0f} aligns/s ({dev_reps} reps); "
          f"cpu 1-core: {cpu_aps:.0f} aligns/s; ratio {dev_aps / cpu_aps:.2f}x")
     print(json.dumps({

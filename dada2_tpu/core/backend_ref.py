@@ -35,7 +35,10 @@ class OracleBackend(CompareBackend):
         return al2subs(*al)
 
     def compare(self, center: int, skip: np.ndarray, opts: DadaOptions,
-                err: np.ndarray, use_kmers: bool, kdist_cutoff: float):
+                err: np.ndarray, use_kmers: bool, kdist_cutoff: float,
+                e_thresh: Optional[np.ndarray] = None):
+        # e_thresh is an optimization hint only; the oracle always
+        # computes the exact lambda for every candidate row
         rs = self.rs
         n = rs.n
         lam = np.zeros(n)

@@ -111,38 +111,51 @@ def _build_s1t(seq, L1R):
     return jnp.broadcast_to(row[:, None], (L1R, nwp.LANES))
 
 
-@partial(jax.jit, static_argnames=("nd",))
-def _unblock_derive(kinds_blocks, inv, s1full, len1, s2pad, len2b, *, nd):
-    """Un-block the kernel output and run the derive post-pass on device."""
-    nb = kinds_blocks.shape[0]
-    kb = jnp.swapaxes(kinds_blocks, 1, 2).reshape(nb * nwp.LANES, -1)
-    kinds = jnp.take(kb, inv, axis=0)
-    n = inv.shape[0]
-    s1b = jnp.broadcast_to(s1full[None, :], (n, s1full.shape[0]))
-    l1b = jnp.broadcast_to(len1, (n,)).astype(jnp.int32)
-    p0, p1, ham, tvec, ok = nwp.derive_from_kinds(
-        kinds, s1b, l1b, s2pad, len2b, nd=nd)
-    return kinds, p0, p1, ham, tvec, ok
+SMALL_PACK_BYTES = 25
+
+
+@jax.jit
+def _qlerr_table(quals, err32):
+    """[17, n, L] per-position log error factors: qlerr[t] = log
+    err32[t, quals], with row 16 = 0 (the pad transition). Computed ONCE
+    per error matrix; per-compare log-lambda then needs only a 17-way
+    select instead of a TPU-hostile element gather."""
+    lerr = jnp.log(err32)
+    ql = jnp.take(lerr, quals, axis=1)          # [16, n, L]
+    return jnp.concatenate(
+        [ql, jnp.zeros((1,) + quals.shape, jnp.float32)], axis=0)
 
 
 @partial(jax.jit, static_argnames=("spec", "L1R", "L2R", "NDP", "match",
                                    "mismatch", "gap_p", "interpret",
                                    "mesh"))
-def _fused_align_all(scal, params, sels, perm, center, seqs, lens, s2r,
-                     inv, kmers, kords, *, spec, L1R, L2R, NDP, match,
-                     mismatch, gap_p, interpret, mesh=None):
+def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
+                     qlerr, s2r, inv, kmers, kords, *, spec, L1R, L2R,
+                     NDP, match, mismatch, gap_p, interpret, mesh=None):
     """One-dispatch compare sweep: k-mer screens, per-WP-bucket pallas
-    calls, un-block, derive, and a packed int8 result — all one compiled
-    program, so a compare costs ONE dispatch and ONE host fetch (the
-    device<->host tunnel round-trip dominates on remote-attached chips).
+    calls (whose in-kernel traceback emits substitution and alignment-map
+    tiles), elementwise reassembly, an f32 log-lambda screen, and a SMALL
+    packed int8 result — all one compiled program, so a steady-state
+    compare costs ONE dispatch and ONE 25-byte-per-row host fetch (the
+    device<->host tunnel round-trips dominate on remote-attached chips;
+    transition vectors and alignment maps stay device-resident and only
+    shortlisted rows are ever fetched).
 
-    Returns (kinds, p0, p1, ham, tvec, ok, packed) where
-    packed [n, L2 + 17] int8 rows hold: tvec (L2), ham int32 (4), minsum
-    int32 (4), kmatch int32 (4), lens int32 (4), ok (1)."""
+    Returns (maps, tvec, small):
+      maps  [n, L1R] int16 — query position aligned to each center
+            position (1-based rows; -1 = gap, -2 = unconsumed);
+      tvec  [n, L] int8 — per-query-position transition codes;
+      small [n, 25] int8 — ham i16, ham_gapless i16, minsum i16,
+            kmatch i16, loglam f32, abssum f32, loglam_gapless f32,
+            abssum_gapless f32, ok.
+    loglam is the f32 natural-log lambda under the error matrix baked
+    into qlerr (the screen for the exact host float64 product, reference:
+    src/pval.cpp:144-197); abssum is the sum of |log factors|, from which
+    the host derives a sound per-row error bound on loglam."""
     center_seq = seqs[center]
     len1 = lens[center]
     s1t = _build_s1t(center_seq, L1R)
-    outs = []
+    outs = ([], [], [])
     for (WP, nreal), sel in zip(spec, sels):
         g_scal = jnp.take(scal, sel, 0)
         g_params = jnp.take(params, sel, 0)
@@ -158,45 +171,93 @@ def _fused_align_all(scal, params, sels, perm, center, seqs, lens, s2r,
             from jax.sharding import PartitionSpec as P
 
             out = jax.shard_map(
-                lambda sc, pr, s1, s2: nwp._pallas_call(
+                lambda sc, pr, s1, s2: tuple(nwp._pallas_call(
                     sc, pr, s1, s2, L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
                     match=match, mismatch=mismatch, gap_p=gap_p,
-                    end_gap_p=0, interpret=interpret),
+                    end_gap_p=0, interpret=interpret)),
                 mesh=mesh,
                 in_specs=(P("pairs"), P("pairs"), P(), P("pairs")),
-                out_specs=P("pairs"), check_vma=False,
+                out_specs=(P("pairs"),) * 4, check_vma=False,
             )(g_scal, g_params, s1t, g_s2r)
-        outs.append(out[:nreal])
-    kinds_blocks = jnp.take(jnp.concatenate(outs, axis=0), perm, axis=0)
-    kinds, p0, p1, ham, tvec, ok = _unblock_derive(
-        kinds_blocks, inv, center_seq.astype(jnp.int8), len1, seqs, lens,
-        nd=NDP)
+        for k in range(3):
+            outs[k].append(out[k + 1][:nreal])
+    sub_blocks = jnp.take(jnp.concatenate(outs[0], axis=0), perm, axis=0)
+    map_blocks = jnp.take(jnp.concatenate(outs[1], axis=0), perm, axis=0)
+    end_blocks = jnp.take(jnp.concatenate(outs[2], axis=0), perm, axis=0)
+
+    # sub tiles are in reversed right-aligned storage (row l2max-1-p for
+    # query position p, block-uniform); flip + per-block slice moves them
+    # to query coordinates without any gather
+    nb = sub_blocks.shape[0]
+    L = seqs.shape[1]
+    flipped = jnp.concatenate(
+        [sub_blocks[:, ::-1, :], jnp.zeros((nb, L, nwp.LANES),
+                                           jnp.int32)], axis=1)
+    subq = jax.vmap(lambda a, o: jax.lax.dynamic_slice(
+        a, (o, 0), (L, nwp.LANES)))(flipped, offs)
+    subover = jnp.take(jnp.swapaxes(subq, 1, 2).reshape(-1, L), inv,
+                       axis=0)
+    maps = jnp.take(
+        jnp.swapaxes(map_blocks, 1, 2).reshape(-1, map_blocks.shape[1]),
+        inv, axis=0).astype(jnp.int16)
+    endf = jnp.take(jnp.swapaxes(end_blocks, 1, 2).reshape(-1, 8), inv,
+                    axis=0)
+    ok = (endf[:, 0] == 0) & (endf[:, 1] == 0)
+
+    posL = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = posL < lens[:, None]
+    s2 = seqs.astype(jnp.int32)
+    issub = valid & (subover > 0)
+    tvec = jnp.where(valid,
+                     jnp.where(issub, 4 * (subover - 1) + s2, 5 * s2),
+                     16)
+    ham = issub.sum(axis=1)
+
     # screens (reference: src/kmers.cpp:58-93,121-150)
     minsum = jnp.minimum(kmers[center][None, :], kmers).sum(axis=-1)
     minklen = jnp.minimum(lens, len1) - (KMER_SIZE - 1)
-    pos = jnp.arange(kords.shape[1], dtype=jnp.int32)[None, :]
+    posk = jnp.arange(kords.shape[1], dtype=jnp.int32)[None, :]
     kmatch = jnp.sum(((kords == kords[center][None, :]) &
-                      (pos < minklen[:, None])).astype(jnp.int32), axis=-1)
+                      (posk < minklen[:, None])).astype(jnp.int32),
+                     axis=-1)
 
-    def i32col(x):
+    def loglam_of(t):
+        lf = jnp.zeros(jnp.broadcast_shapes(t.shape, qlerr.shape[1:]),
+                       jnp.float32)
+        for t0 in range(17):
+            lf = lf + jnp.where(t == t0, qlerr[t0], jnp.float32(0.0))
+        lf = jnp.where(valid, lf, jnp.float32(0.0))
+        return lf.sum(axis=1), jnp.abs(lf).sum(axis=1)
+
+    loglam, abssum = loglam_of(tvec)
+    # gapless (pad-to-length) variant, straight from the sequences
+    # (reference: src/nwalign_endsfree.cpp:539-555)
+    s0 = center_seq.astype(jnp.int32)[None, :]
+    both = valid & (posL < len1)
+    subg = both & (s0 != s2)
+    t_gl = jnp.where(valid, jnp.where(subg, 4 * s0 + s2, 5 * s2), 16)
+    ham_gl = subg.sum(axis=1)
+    loglam_gl, abssum_gl = loglam_of(t_gl)
+
+    def i16col(x):
         return jax.lax.bitcast_convert_type(
-            x.astype(jnp.int32)[:, None], jnp.int8).reshape(-1, 4)
+            x.astype(jnp.int16)[:, None], jnp.int8).reshape(-1, 2)
 
-    packed = jnp.concatenate(
-        [tvec, i32col(ham), i32col(minsum), i32col(kmatch),
-         i32col(lens), ok.astype(jnp.int8)[:, None]], axis=1)
-    return kinds, p0, p1, ham, tvec, ok, packed
+    def f32col(x):
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.float32)[:, None], jnp.int8).reshape(-1, 4)
+
+    small = jnp.concatenate(
+        [i16col(ham), i16col(ham_gl), i16col(minsum), i16col(kmatch),
+         f32col(loglam), f32col(abssum), f32col(loglam_gl),
+         f32col(abssum_gl), ok.astype(jnp.int8)[:, None]], axis=1)
+    return maps, tvec.astype(jnp.int8), small
 
 
 @jax.jit
-def _fetch_steps(kinds, p0, p1, ok, idx):
-    """Gather member rows and pack (kinds, p0, p1, ok) for one fetch."""
-    sel = idx.astype(jnp.int32)
-    okrow = jnp.broadcast_to(
-        jnp.take(ok, sel).astype(jnp.int32)[:, None],
-        (sel.shape[0], kinds.shape[1]))
-    return jnp.stack([jnp.take(kinds, sel, 0), jnp.take(p0, sel, 0),
-                      jnp.take(p1, sel, 0), okrow], axis=1)
+def _gather_rows(arr, idx):
+    """Device gather of selected rows (the shortlist tvec/map fetch)."""
+    return jnp.take(arr, idx.astype(jnp.int32), axis=0)
 
 
 class _PallasBlocks:
@@ -221,6 +282,8 @@ class _PallasBlocks:
         self.d_inv = jnp.asarray(inv, jnp.int32)
         self.l2_blocks = self.lens[self.block_idx]      # [nb, LANES]
         self.l2max = self.l2_blocks.max(axis=1)
+        # per-block flip offset moving sub tiles to query coordinates
+        self.d_offs = jnp.asarray(self.L2R - self.l2max, jnp.int32)
 
     def block_wp(self, len1: int, band: int) -> np.ndarray:
         """Per-block window bucket (multiple of 32 rows)."""
@@ -277,6 +340,11 @@ class TpuBackend(CompareBackend):
         self.d_lens = jnp.asarray(rawset.lens, jnp.int32)
         self.d_kmers = jnp.asarray(rawset.kmers, jnp.int32)
         self.d_kords = jnp.asarray(rawset.kords, jnp.int32)
+        self._use_quals_dev = use_quals and rawset.quals is not None
+        if self._use_quals_dev:
+            self.d_quals = jnp.asarray(rawset.quals, jnp.int32)
+        else:
+            self.d_quals = jnp.zeros((1, rawset.seqs.shape[1]), jnp.int32)
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = rawset.max_len
         import os
@@ -294,8 +362,25 @@ class TpuBackend(CompareBackend):
         # shared backend from a thread pool (core/output.py), so all
         # cache access goes through the lock
         self._align_cache: dict = {}
+        self._qlerr_cache: dict = {}
         import threading
         self._cache_lock = threading.Lock()
+
+    def _get_qlerr(self, err: np.ndarray):
+        """Device [17, n, L] log-error-factor table for the current error
+        matrix (cached; recomputed only when err changes, i.e. once per
+        selfConsist round)."""
+        key = (hash(err.tobytes()), err.shape)
+        with self._cache_lock:
+            hit = self._qlerr_cache.get(key)
+            if hit is not None:
+                return hit
+        ql = _qlerr_table(self.d_quals, jnp.asarray(err, jnp.float32))
+        with self._cache_lock:
+            self._qlerr_cache[key] = ql
+            while len(self._qlerr_cache) > 2:
+                self._qlerr_cache.pop(next(iter(self._qlerr_cache)), None)
+        return ql
 
     # ---- screens -------------------------------------------------------
 
@@ -311,29 +396,43 @@ class TpuBackend(CompareBackend):
             return None
         wp = self._pb.block_wp(len1, opts.BAND_SIZE)
         NDP, L1R = self._pb.geometry()
-        slab_bytes = ((NDP + 3) // 4) * int(wp.max()) * nwp.LANES
+        # pointer slab + the kernel's fixed per-block tiles (kinds, sub,
+        # map, end outputs and the s1/s2 char inputs)
+        fixed = 4 * (NDP + 2 * L1R + 2 * self._pb.L2R + 8) * nwp.LANES
+        slab_bytes = ((NDP + 3) // 4) * int(wp.max()) * nwp.LANES + fixed
         if wp.max() > 128 or slab_bytes > self.VMEM_SLAB_CAP:
             return None
         return wp, NDP, L1R
 
-    def _align_all_pallas(self, center: int, opts: DadaOptions, geom):
+    def _align_all_pallas(self, center: int, opts: DadaOptions, geom,
+                          err: Optional[np.ndarray] = None):
         """Align every unique against the center with the wavefront
-        kernel; returns device (kinds, p0, p1, ham, tvec, ok) in original
-        row order (kinds rows diagonal-ascending).
+        kernel; returns device (kinds, p0, p1, ham, tvec, ok, small) in
+        original row order (kinds rows diagonal-ascending).
 
         Blocks are bucketed by window width so narrow-length blocks never
         pay the widest block's compute; each bucket's block count is
-        padded to a power of two to bound compile diversity."""
+        padded to a power of two to bound compile diversity.
+
+        err feeds the in-program f32 log-lambda screen; the cache keys on
+        it, but err=None accepts a hit computed under ANY err (for
+        lambda-free consumers: the finalize subs path)."""
         wp, NDP, L1R = geom
         pb = self._pb
         len1 = int(self.lens[center])
-        key = (center, opts.BAND_SIZE, opts.MATCH, opts.MISMATCH,
-               opts.GAP_PENALTY)
+        base_key = (center, opts.BAND_SIZE, opts.MATCH, opts.MISMATCH,
+                    opts.GAP_PENALTY)
+        err_key = None if err is None else hash(err.tobytes())
         with self._cache_lock:
-            hit = self._align_cache.pop(key, None)
-            if hit is not None:
-                self._align_cache[key] = hit  # refresh LRU order
-                return hit
+            for k in list(self._align_cache):
+                if k[:-1] == base_key and (err_key is None
+                                           or k[-1] == err_key):
+                    hit = self._align_cache.pop(k)
+                    self._align_cache[k] = hit  # refresh LRU order
+                    return hit
+        if err is None:
+            err = np.ones((16, 41))
+            err_key = hash(err.tobytes())
         scal, params = pb.scal_params(len1, opts.BAND_SIZE)
 
         spec = []
@@ -354,28 +453,58 @@ class TpuBackend(CompareBackend):
 
         res = _fused_align_all(
             jnp.asarray(scal), jnp.asarray(params), tuple(sels),
-            jnp.asarray(perm, jnp.int32), jnp.int32(center), self.d_seqs,
-            self.d_lens, pb.d_s2r, pb.d_inv, self.d_kmers, self.d_kords,
+            jnp.asarray(perm, jnp.int32), pb.d_offs, jnp.int32(center),
+            self.d_seqs, self.d_lens, self._get_qlerr(err), pb.d_s2r,
+            pb.d_inv, self.d_kmers, self.d_kords,
             spec=tuple(spec), L1R=L1R, L2R=pb.L2R, NDP=NDP,
             match=opts.MATCH, mismatch=opts.MISMATCH,
             gap_p=opts.GAP_PENALTY, interpret=self._interpret,
             mesh=self.mesh)
         with self._cache_lock:
-            self._align_cache[key] = res
+            self._align_cache[base_key + (err_key,)] = res
             while len(self._align_cache) > 4:
                 self._align_cache.pop(next(iter(self._align_cache)), None)
         return res
 
-    def _unpack(self, packed: np.ndarray):
-        """Host-side unpack of the fused compare result."""
-        L = self.maxlen
-        tvec = packed[:, :L]
-        ints = packed[:, L: L + 16].copy().view(np.int32)
-        ham = ints[:, 0].astype(np.int64)
-        minsum = ints[:, 1].astype(np.int64)
-        kmatch = ints[:, 2].astype(np.int64)
-        ok = packed[:, L + 16] != 0
-        return tvec, ham, minsum, kmatch, ok
+    def _unpack_small(self, packed: np.ndarray):
+        """Host-side unpack of the fused compare's small result rows:
+        (ham, ham_gapless, minsum, kmatch, loglam, abssum,
+        loglam_gapless, abssum_gapless, ok)."""
+        ints = packed[:, :8].copy().view(np.int16).astype(np.int64)
+        f32 = packed[:, 8:24].copy().view(np.float32).astype(np.float64)
+        ok = packed[:, 24] != 0
+        return (ints[:, 0], ints[:, 1], ints[:, 2], ints[:, 3],
+                f32[:, 0], f32[:, 1], f32[:, 2], f32[:, 3], ok)
+
+    def _fetch_tvec_rows(self, d_tvec, rows: np.ndarray) -> np.ndarray:
+        """Fetch the transition-vector rows of a shortlist (bucketed to a
+        power of two so gather programs are reused)."""
+        nb = _bucket(len(rows))
+        pad = np.full(nb - len(rows), rows[0], np.int64)
+        full = jnp.asarray(np.concatenate([rows, pad]), jnp.int32)
+        return np.asarray(_gather_rows(d_tvec, full))[: len(rows)]
+
+    @staticmethod
+    def _screen_need(loglam: np.ndarray, abssum: np.ndarray, L: int,
+                     e_thresh: Optional[np.ndarray]) -> np.ndarray:
+        """Rows whose exact lambda the engine might consume.
+
+        The engine stores a comparison iff lambda * total_reads >
+        E_minmax (reference: src/cluster.cpp:179-201), i.e. iff
+        log(lambda) > log(e_thresh) with e_thresh = E_minmax/total_reads.
+        The device loglam is f32; a sound bound on its error (any
+        summation order) is eps*(5L + (L+5)*S) with S = sum |log factors|
+        and eps = 2^-23, plus a fudge for the f32 log/table-cast error.
+        Rows below threshold by more than the bound are provably never
+        stored, so their lambda is irrelevant."""
+        if e_thresh is None:
+            return np.ones(loglam.shape[0], bool)
+        eps = 2.0 ** -23
+        margin = 1e-4 + eps * (5.0 * L + (L + 5.0) * abssum)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logthr = np.log(e_thresh)
+        logthr = np.where(np.isnan(logthr), -np.inf, logthr)
+        return (loglam + margin >= logthr) | ~np.isfinite(loglam)
 
     def _align_batch(self, center: int, idx: np.ndarray, opts: DadaOptions):
         """Banded NW of candidates idx vs center. Returns device outputs
@@ -442,7 +571,15 @@ class TpuBackend(CompareBackend):
     # ---- CompareBackend interface -------------------------------------
 
     def compare(self, center: int, skip: np.ndarray, opts: DadaOptions,
-                err: np.ndarray, use_kmers: bool, kdist_cutoff: float):
+                err: np.ndarray, use_kmers: bool, kdist_cutoff: float,
+                e_thresh: Optional[np.ndarray] = None):
+        """Batched compare sweep vs one center.
+
+        e_thresh (= engine E_minmax / total_reads, per raw) enables the
+        f32 log-lambda screen: rows provably below the store threshold
+        get lam=0 without ever fetching or multiplying their factors —
+        the engine discards them identically either way. e_thresh=None
+        computes the exact lambda for every candidate row."""
         rs = self.rs
         n = rs.n
         lam = np.zeros(n)
@@ -452,12 +589,12 @@ class TpuBackend(CompareBackend):
         geom = self._pallas_ok(l1, opts) if opts.BAND_SIZE != 0 else None
 
         if geom is not None:
-            # fast path: ONE fused device call + ONE packed host fetch
-            res = self._align_all_pallas(center, opts, geom)
-            tvec_all, ham_all, minsum, kmatch, ok = self._unpack(
-                np.asarray(res[6]))
+            # fast path: ONE fused device call + ONE small host fetch
+            res = self._align_all_pallas(center, opts, geom, err)
+            (ham_all, ham_gl, minsum, kmatch, loglam, abssum, loglam_gl,
+             abssum_gl, ok) = self._unpack_small(np.asarray(res[2]))
         else:
-            tvec_all = None
+            res = None
             minsum = kmatch = None
             if use_kmers:
                 minsum, kmatch = self._screens(center)
@@ -479,6 +616,28 @@ class TpuBackend(CompareBackend):
         gl_idx = np.nonzero(cand & gapless)[0]
         al_idx = np.nonzero(cand & ~gapless)[0]
 
+        if res is not None:
+            if len(al_idx) and not ok[al_idx].all():
+                raise RuntimeError("N-W Align out of range.")
+            ham[gl_idx] = ham_gl[gl_idx]
+            ham[al_idx] = ham_all[al_idx]
+            ll = np.where(gapless, loglam_gl, loglam)
+            ab = np.where(gapless, abssum_gl, abssum)
+            need = self._screen_need(ll, ab, self.maxlen, e_thresh)
+            from ..trace import COUNTERS
+            COUNTERS.gapless += len(gl_idx)
+            ng = gl_idx[need[gl_idx]]
+            if len(ng):
+                tvec, _ = self._gapless_tvec_ham(center, ng)
+                lam[ng] = self._lambdas(ng, tvec, err)
+            na = al_idx[need[al_idx]]
+            if len(na):
+                tvec = self._fetch_tvec_rows(res[1], na)
+                lam[na] = self._lambdas(na, tvec, err)
+            return lam, ham
+
+        # XLA fallback path (CPU tests / unbucketable geometries):
+        # exact lambda for every candidate row
         if len(gl_idx):
             from ..trace import COUNTERS
             COUNTERS.gapless += len(gl_idx)
@@ -486,16 +645,11 @@ class TpuBackend(CompareBackend):
             lam[gl_idx] = self._lambdas(gl_idx, tvec, err)
             ham[gl_idx] = h
         if len(al_idx):
-            if tvec_all is not None:
-                h = ham_all[al_idx]
-                tvec = tvec_all[al_idx]
-                okh = ok[al_idx]
-            else:
-                _, _, _, h, tvec, okd = self._align_batch(center, al_idx,
-                                                          opts)
-                h = np.asarray(h, np.int64)[: len(al_idx)]
-                tvec = np.asarray(tvec)[: len(al_idx)]
-                okh = np.asarray(okd)[: len(al_idx)]
+            _, _, _, h, tvec, okd = self._align_batch(center, al_idx,
+                                                      opts)
+            h = np.asarray(h, np.int64)[: len(al_idx)]
+            tvec = np.asarray(tvec)[: len(al_idx)]
+            okh = np.asarray(okd)[: len(al_idx)]
             if not okh.all():
                 raise RuntimeError("N-W Align out of range.")
             lam[al_idx] = self._lambdas(al_idx, tvec, err)
@@ -520,6 +674,25 @@ class TpuBackend(CompareBackend):
         mism = nt0 != nt1
         return Sub(nsubs=int(mism.sum()), len0=len0, map=map_,
                    pos=q0[diag][mism].astype(np.int32),
+                   nt0=nt0[mism], nt1=nt1[mism])
+
+    def _maprow_to_sub(self, maprow: np.ndarray, center: int,
+                       j: int) -> Sub:
+        """Sub from the kernel-emitted alignment map (row i = 1-based
+        query position for the diagonal step at center position i, -1 for
+        an up-step gap). reference: al2subs,
+        src/nwalign_endsfree.cpp:570-639."""
+        rs = self.rs
+        len0 = int(self.lens[center])
+        m = maprow[1: len0 + 1].astype(np.int32)
+        diag = m >= 1
+        map_ = np.where(diag, m - 1, GAP_GLYPH).astype(np.int32)
+        q0 = np.nonzero(diag)[0]
+        nt0 = rs.seqs[center, q0]
+        nt1 = rs.seqs[j, m[diag] - 1]
+        mism = nt0 != nt1
+        return Sub(nsubs=int(mism.sum()), len0=len0, map=map_,
+                   pos=q0[mism].astype(np.int32),
                    nt0=nt0[mism], nt1=nt1[mism])
 
     def _gapless_sub(self, center: int, j: int) -> Sub:
@@ -547,10 +720,13 @@ class TpuBackend(CompareBackend):
         geom = self._pallas_ok(l1, opts) if opts.BAND_SIZE != 0 else None
         res = None
         if geom is not None:
-            res = self._align_all_pallas(center, opts, geom)
+            res = self._align_all_pallas(center, opts, geom, None)
+        sm = None
+        if res is not None:
+            sm = self._unpack_small(np.asarray(res[2]))
         if use_kmers:
-            if res is not None:
-                _, _, minsum, kmatch, _ = self._unpack(np.asarray(res[6]))
+            if sm is not None:
+                minsum, kmatch = sm[2], sm[3]
             else:
                 minsum, kmatch = self._screens(center)
             minsum, kmatch = minsum[members], kmatch[members]
@@ -569,14 +745,15 @@ class TpuBackend(CompareBackend):
         if len(al):
             idx = members[al]
             if res is not None:
-                steps = np.asarray(_fetch_steps(
-                    res[0], res[1], res[2], res[5],
-                    jnp.asarray(idx, jnp.int32)))
-                # flip to the traceback-reverse step convention
-                kinds = steps[:, 0, ::-1]
-                p0 = steps[:, 1, ::-1]
-                p1 = steps[:, 2, ::-1]
-                okh = steps[:, 3, 0] != 0
+                nb = _bucket(len(idx))
+                pad = np.full(nb - len(idx), idx[0], np.int64)
+                rows = jnp.asarray(np.concatenate([idx, pad]), jnp.int32)
+                mrows = np.asarray(_gather_rows(res[0], rows))[: len(al)]
+                if not sm[8][idx].all():
+                    raise RuntimeError("N-W Align out of range.")
+                for r, k in enumerate(al):
+                    out[k] = self._maprow_to_sub(mrows[r], center,
+                                                 int(idx[r]))
             else:
                 kinds, p0, p1, _, _, ok = self._align_batch(center, idx,
                                                             opts)
@@ -584,11 +761,11 @@ class TpuBackend(CompareBackend):
                 p0 = np.asarray(p0)[: len(al)]
                 p1 = np.asarray(p1)[: len(al)]
                 okh = np.asarray(ok)[: len(al)]
-            if not okh.all():
-                raise RuntimeError("N-W Align out of range.")
-            for r, k in enumerate(al):
-                out[k] = self._steps_to_sub(kinds[r], p0[r], p1[r],
-                                            center, int(idx[r]))
+                if not okh.all():
+                    raise RuntimeError("N-W Align out of range.")
+                for r, k in enumerate(al):
+                    out[k] = self._steps_to_sub(kinds[r], p0[r], p1[r],
+                                                center, int(idx[r]))
         return out
 
     def subs_pair(self, i0: int, i1: int, opts: DadaOptions,

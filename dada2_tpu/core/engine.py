@@ -59,10 +59,18 @@ class CompareBackend:
     where skipped raws get lam=0/ham=-1, screened-out ("shrouded") raws get
     lam=0/ham=-1, and aligned raws get their exact sequential-float64 lambda
     and substitution count.
+
+    e_thresh (optional, = E_minmax/total_reads per raw) lets a backend
+    return lam=0 for rows it can PROVE fall below the engine's store
+    threshold (lam*total_reads > E_minmax, reference:
+    src/cluster.cpp:179-201) — the engine discards such rows identically,
+    so results are unchanged while the backend skips their exact-lambda
+    work. Backends may ignore it.
     """
 
     def compare(self, center: int, skip: np.ndarray, opts: DadaOptions,
-                err: np.ndarray, use_kmers: bool, kdist_cutoff: float):
+                err: np.ndarray, use_kmers: bool, kdist_cutoff: float,
+                e_thresh: Optional[np.ndarray] = None):
         raise NotImplementedError
 
     def subs_pair(self, i0: int, i1: int, opts: DadaOptions,
@@ -158,7 +166,8 @@ class Engine:
             skip = np.zeros(self.n, dtype=bool)
         t0 = _time.time()
         lam, ham = self.backend.compare(center, skip, self.opts, self.err,
-                                        use_kmers, kdist_cutoff)
+                                        use_kmers, kdist_cutoff,
+                                        self.E_minmax / self.total_reads)
         if np.any((lam < 0) | (lam > 1)):
             raise ValueError("Lambda out-of-range error.")
         naligned = int((ham >= 0).sum())

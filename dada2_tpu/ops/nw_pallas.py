@@ -48,8 +48,8 @@ LANES = 128
 def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
     endsfree = end_gap_p > gap_p
 
-    def kernel(scal_ref, par_ref, s1_ref, s2r_ref, kinds_ref, slab_ref,
-               p1_ref, p2_ref, acc_ref):
+    def kernel(scal_ref, par_ref, s1_ref, s2r_ref, kinds_ref, sub_ref,
+               map_ref, end_ref, slab_ref, p1_ref, p2_ref, acc_ref):
         b = pl.program_id(0)
         len1 = scal_ref[b, 0]
         len2max = scal_ref[b, 1]
@@ -63,6 +63,13 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
         rb_l = jnp.broadcast_to(par_ref[pl.ds(2, 1), :], (WP, LANES))
 
         kinds_ref[...] = jnp.zeros((NDP, LANES), jnp.int32)
+        # substitution overrides in s2r storage layout (row l2max-1-p for
+        # query position p): 0 = none, 1+nt0 at mismatched diagonals
+        sub_ref[...] = jnp.zeros((L2R, LANES), jnp.int32)
+        # center-coordinate alignment map: row i = query j consumed by the
+        # diagonal step at center position i, -1 for an up step (gap)
+        map_ref[...] = jnp.full((L1R, LANES), -2, jnp.int32)
+        end_ref[...] = jnp.zeros((8, LANES), jnp.int32)
         acc_ref[...] = jnp.zeros((WP, LANES), jnp.int32)
 
         def o(d):
@@ -183,18 +190,42 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
                 jnp.int32)
             ptr_tile = (packed >> (2 * (d & 3))) & 3
             r_b = jnp.broadcast_to(i_t - od, (WP, LANES))
-            ptr_lane = jnp.sum(jnp.where(riota == r_b, ptr_tile, 0),
+            onehot = riota == r_b
+            ptr_lane = jnp.sum(jnp.where(onehot, ptr_tile, 0),
                                axis=0, keepdims=True)
             active = ((i_t + j_t) == d) & ((i_t > 0) | (j_t > 0))
             kind = jnp.where(active, ptr_lane, 0)
             kinds_ref[pl.ds(d, 1)] = kind
-            takes1 = ((kind == 1) | (kind == 3)).astype(jnp.int32)
+            # chars consumed by this step, via the same one-hot row select
+            # (window rows r hold s1[od+r-1] / s2[d-od-r-1], as in fill)
+            c1w = s1_ref[pl.ds(od, WP), :]
+            c2w = s2r_ref[pl.ds(C - d + od, WP), :]
+            c1l = jnp.sum(jnp.where(onehot, c1w, 0), axis=0, keepdims=True)
+            c2l = jnp.sum(jnp.where(onehot, c2w, 0), axis=0, keepdims=True)
+            diag = kind == 1
+            consume1 = diag | (kind == 3)
+            # mismatched diagonal -> substitution override 1+nt0 at the
+            # query position's storage row (window row == r_b)
+            issub = diag & (c1l != c2l)
+            subw = sub_ref[pl.ds(C - d + od, WP), :]
+            sub_ref[pl.ds(C - d + od, WP), :] = jnp.where(
+                onehot & jnp.broadcast_to(issub, (WP, LANES)),
+                jnp.broadcast_to(c1l + 1, (WP, LANES)), subw)
+            # alignment map at center row i_t: j for diag, -1 for up
+            mapw = map_ref[pl.ds(od, WP), :]
+            mval = jnp.where(diag, j_t, -1)
+            map_ref[pl.ds(od, WP), :] = jnp.where(
+                onehot & jnp.broadcast_to(consume1, (WP, LANES)),
+                jnp.broadcast_to(mval, (WP, LANES)), mapw)
+            takes1 = consume1.astype(jnp.int32)
             takes2 = ((kind == 1) | (kind == 2)).astype(jnp.int32)
             return (i_t - takes1, j_t - takes2)
 
         i0 = jnp.full((1, LANES), 1, jnp.int32) * len1
         j0 = l2row.astype(jnp.int32)
-        jax.lax.fori_loop(0, nd, tb_body, (i0, j0))
+        i_f, j_f = jax.lax.fori_loop(0, nd, tb_body, (i0, j0))
+        end_ref[pl.ds(0, 1), :] = i_f
+        end_ref[pl.ds(1, 1), :] = j_f
 
     return kernel
 
@@ -204,6 +235,10 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
                                    "interpret"))
 def _pallas_call(scal, params, s1t, s2r, *, L1R, L2R, NDP, WP, match,
                  mismatch, gap_p, end_gap_p, interpret=False):
+    """Returns (kinds [nb, NDP, LANES], sub [nb, L2R, LANES],
+    map [nb, L1R, LANES], end [nb, 8, LANES]); sub/map/end are emitted by
+    the in-kernel traceback so no XLA gather/scatter post-pass is needed
+    (TPU scatters serialize; the kernel's one-hot window writes do not)."""
     nblocks = s2r.shape[0]
     kernel = _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p,
                           end_gap_p)
@@ -215,7 +250,12 @@ def _pallas_call(scal, params, s1t, s2r, *, L1R, L2R, NDP, WP, match,
             pl.BlockSpec((L1R, LANES), lambda b, *_: (0, 0)),
             pl.BlockSpec((None, L2R, LANES), lambda b, *_: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, NDP, LANES), lambda b, *_: (b, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((None, NDP, LANES), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((None, L2R, LANES), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((None, L1R, LANES), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((None, 8, LANES), lambda b, *_: (b, 0, 0)),
+        ],
         scratch_shapes=[pltpu.VMEM(((NDP + 3) // 4, WP, LANES), jnp.int8),
                         pltpu.VMEM((WP, LANES), jnp.int32),
                         pltpu.VMEM((WP, LANES), jnp.int32),
@@ -224,7 +264,12 @@ def _pallas_call(scal, params, s1t, s2r, *, L1R, L2R, NDP, WP, match,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nblocks, NDP, LANES), jnp.int32),
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks, NDP, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, L2R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, L1R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, 8, LANES), jnp.int32),
+        ],
         interpret=interpret,
     )(scal, params, s1t, s2r)
 
@@ -363,7 +408,7 @@ def nw_pallas_grouped(s1: np.ndarray, len1: int, s2b, len2b, *, match,
         jnp.asarray(scal), jnp.asarray(params), jnp.asarray(s1t),
         jnp.asarray(s2r), L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
         match=int(match), mismatch=int(mismatch), gap_p=int(gap_p),
-        end_gap_p=int(end_gap_p), interpret=interpret)
+        end_gap_p=int(end_gap_p), interpret=interpret)[0]
 
     # un-block: rows for the first occurrence of each original index
     flat_idx = block_idx.reshape(-1)

@@ -95,3 +95,31 @@ def test_full_run_parity_pallas_interpret(sample, monkeypatch):
     eng_o, res_o = _run(OracleBackend, small, err)
     eng_t, res_t = _run(TpuBackend, small, err)
     _assert_same(res_o, res_t)
+
+
+def test_screen_thresholded_compare(sample, monkeypatch):
+    """With e_thresh set, the screened compare must agree with the exact
+    compare on every row it keeps, and rows it zeroes must be provably
+    below the engine's store threshold."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    seqs, ab, quals = sample
+    err = tperr1()
+    opts = DEFAULT_OPTIONS.normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+    be = TpuBackend(rs, use_quals=True)
+    assert be.use_pallas
+    skip = np.zeros(rs.n, bool)
+    lam_full, ham_full = be.compare(0, skip, opts, err, True, 1.0)
+    total = int(rs.reads.sum())
+    # a mid-scale threshold: half the rows land on each side
+    e_minmax = np.full(rs.n, np.median(lam_full[lam_full > 0]) * total / 2)
+    lam_s, ham_s = be.compare(0, skip, opts, err, True, 1.0,
+                              e_minmax / total)
+    np.testing.assert_array_equal(ham_s, ham_full)
+    kept = lam_s != 0
+    np.testing.assert_array_equal(lam_s[kept], lam_full[kept])
+    # zeroed rows would have been discarded by the engine's store rule
+    assert (lam_full[~kept] * total <= e_minmax[~kept]).all()
+    # and every row the engine WOULD store was kept
+    store = lam_full * total > e_minmax
+    assert kept[store].all()
