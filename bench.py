@@ -112,14 +112,16 @@ def tpu_rate(rs, center: int):
                            band=BAND)
         return None, np.asarray(out[3])
 
-    nthreads = 8
+    nthreads = 32
+    ninit = 8
     t0 = time.time()
-    # init sweeps (exact lambda for every row, full fetch) over the timed
+    # init sweeps (exact lambda for every row, full fetch) over a few
     # centers; their running max builds the E_minmax the engine would
-    # carry into steady state (reference: src/cluster.cpp:73-85)
+    # carry into steady state (reference: src/cluster.cpp:73-85). The
+    # remaining timed centers are warmed by the pipelined warmup pass.
     e_minmax = np.full(n, -999.0)
     ham = None
-    for c in range(nthreads):
+    for c in range(ninit):
         lam_c, h = compare(c)
         if c == center:
             ham = h
