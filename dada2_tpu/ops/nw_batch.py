@@ -75,8 +75,10 @@ def _fill_kernel(s1, len1, s2, len2, lband, rband, nd, W,
     """
     endsfree = end_gap_p > gap_p
     scalar_endsfree = end_gap_p != gap_p
-    j_first = jnp.maximum(1, len1 - lband)
-    i_first = jnp.maximum(1, len2 - rband)
+    # the one-diagonal-late recalc skip applies only when the band clips
+    # that side (reference: src/nwalign_vectorized.cpp:186-215)
+    j_first = jnp.where(lband < len1, len1 - lband, 0)
+    i_first = jnp.where(rband < len2, len2 - rband, 0)
     r = jnp.arange(W, dtype=jnp.int32)
 
     prev1 = jnp.full(W, NEG, jnp.int32).at[0].set(0)  # diag 0: cell (0,0)

@@ -128,8 +128,10 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
             ptr = jnp.where(i_t == 0, 2, ptr)
 
             if endsfree:
-                j_first = jnp.maximum(1, len1 - lb_l)
-                i_first = jnp.maximum(1, len2_l - rb_l)
+                # one-diagonal-late skip only when the band clips that
+                # side (reference: src/nwalign_vectorized.cpp:186-215)
+                j_first = jnp.where(lb_l < len1, len1 - lb_l, 0)
+                i_first = jnp.where(rb_l < len2_l, len2_l - rb_l, 0)
                 lastrow = ((i_t == len1) & (j_t > j_first) & (i_t > 0)
                            & (j_t > 0))
                 # score(len1, j-1) on diag d-1 sits at window row len1-o1

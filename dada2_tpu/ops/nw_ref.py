@@ -123,9 +123,13 @@ def _nw_vec(s1, s2, match, mismatch, gap_p, end_gap_p, band):
 
     endsfree = end_gap_p > gap_p
     # first in-band cells of the last row / last col are skipped by the
-    # reference's recalc flags (activated one antidiagonal late)
-    j_first = max(1, len1 - lband)
-    i_first = max(1, len2 - rband)
+    # reference's recalc flags (activated one antidiagonal late) — but
+    # ONLY when the band actually clips that side; with lband >= len1 the
+    # whole left column is prefilled and the recalc starts at j=1
+    # (reference: src/nwalign_vectorized.cpp:186-215, recalc_left
+    # activation at i_max==len1-1)
+    j_first = len1 - lband if lband < len1 else 0
+    i_first = len2 - rband if rband < len2 else 0
 
     for i in range(1, len1 + 1):
         lo = max(1, i - lband)

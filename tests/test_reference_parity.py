@@ -1,0 +1,222 @@
+"""Parity fuzz vs the ACTUAL reference implementation.
+
+The reference package's aligner and k-mer translation units
+(src/nwalign_vectorized.cpp, src/nwalign_endsfree.cpp, src/kmers.cpp) are
+compiled UNMODIFIED from /root/reference at test time, behind the minimal
+Rcpp stub in tests/refharness/, and fuzzed against this repo's semantic
+oracle (ops/nw_ref.py). This grounds every downstream parity test (the
+TPU kernels are parity-tested against the oracle) in the reference
+itself, not in a second in-repo reading of it.
+"""
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from dada2_tpu.ops import nw_ref
+from dada2_tpu.encode import KMER_SIZE, kmer_counts, kmer_ords
+
+REF_SRC = "/root/reference/src"
+HARNESS = os.path.join(os.path.dirname(__file__), "refharness")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_SRC), reason="reference sources not mounted")
+
+
+@pytest.fixture(scope="module")
+def reflib(tmp_path_factory):
+    so = str(tmp_path_factory.mktemp("refbuild") / "refalign.so")
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+         "-I", HARNESS, "-I", REF_SRC, "-o", so,
+         os.path.join(HARNESS, "wrapper.cpp"),
+         os.path.join(REF_SRC, "nwalign_vectorized.cpp"),
+         os.path.join(REF_SRC, "nwalign_endsfree.cpp"),
+         os.path.join(REF_SRC, "kmers.cpp")],
+        check=True, capture_output=True)
+    lib = ctypes.CDLL(so)
+    lib.ref_align.restype = ctypes.c_int
+    lib.ref_align.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+                              ctypes.c_char_p, ctypes.c_int] + \
+        [ctypes.c_int] * 6 + [ctypes.c_char_p, ctypes.c_char_p,
+                              ctypes.c_int]
+    for f in ("ref_kmer_dist", "ref_kord_dist"):
+        fn = getattr(lib, f)
+        fn.restype = ctypes.c_double
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+                       ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    return lib
+
+
+def _ref_align(lib, which, s1, s2, match, mismatch, gap_p, end_gap_p=0,
+               homo_gap_p=0, band=16):
+    """Call a reference aligner on our 0..3 code arrays; returns (a1, a2)
+    in our conventions (codes 0..3, GAP=254) or None on its error."""
+    cap = len(s1) + len(s2) + 2
+    b0 = ctypes.create_string_buffer(cap)
+    b1 = ctypes.create_string_buffer(cap)
+    r1 = bytes((np.asarray(s1) + 1).astype(np.uint8))
+    r2 = bytes((np.asarray(s2) + 1).astype(np.uint8))
+    L = lib.ref_align(which, r1, len(s1), r2, len(s2), match, mismatch,
+                      gap_p, end_gap_p, homo_gap_p, band, b0, b1, cap)
+    if L < 0:
+        return None
+
+    def dec(buf):
+        a = np.frombuffer(buf.raw[:L], dtype=np.uint8).astype(np.int16)
+        return np.where(a == ord("-"), nw_ref.GAP, a - 1).astype(np.uint8)
+
+    return dec(b0), dec(b1)
+
+
+def _rand_pair(rng, lo=30, hi=260, maxshift=12):
+    l1 = int(rng.integers(lo, hi))
+    s1 = rng.integers(0, 4, l1).astype(np.uint8)
+    s2 = s1.copy().tolist()
+    # substitutions
+    for _ in range(int(rng.integers(0, max(2, l1 // 6)))):
+        p = int(rng.integers(0, len(s2)))
+        s2[p] = int(rng.integers(0, 4))
+    # indels
+    for _ in range(int(rng.integers(0, 4))):
+        p = int(rng.integers(0, len(s2)))
+        if rng.random() < 0.5 and len(s2) > lo:
+            del s2[p]
+        else:
+            s2.insert(p, int(rng.integers(0, 4)))
+    # end shifts (ends-free territory)
+    shift = int(rng.integers(0, maxshift))
+    if shift and rng.random() < 0.5:
+        s2 = s2[shift:]
+    elif shift:
+        s2 = [int(rng.integers(0, 4)) for _ in range(shift)] + s2
+    return s1, np.array(s2, dtype=np.uint8)
+
+
+def _assert_alignment_equal(ours, refs, ctx):
+    if refs is None:
+        assert ours is None, f"{ctx}: reference errored, oracle did not"
+        return
+    assert ours is not None, f"{ctx}: oracle errored, reference did not"
+    np.testing.assert_array_equal(ours[0], refs[0], err_msg=ctx)
+    np.testing.assert_array_equal(ours[1], refs[1], err_msg=ctx)
+
+
+def _oracle(s1, s2, mode, match, mismatch, gap_p, end_gap_p, band,
+            homo_gap_p=None):
+    try:
+        return nw_ref.nw_align_ref(s1, s2, match, mismatch, gap_p,
+                                   end_gap_p=end_gap_p, band=band,
+                                   mode=mode, homo_gap_p=homo_gap_p)
+    except RuntimeError:
+        return None
+
+
+def test_vectorized_parity(reflib):
+    """Oracle vec mode == nwalign_vectorized2, incl. band widening, the
+    swap variant and ends-free boundary recalc (reference:
+    src/nwalign_vectorized.cpp:71-318)."""
+    rng = np.random.default_rng(7)
+    params = [(5, -4, -8), (1, -64, -64), (4, -5, -7)]
+    for trial in range(300):
+        s1, s2 = _rand_pair(rng)
+        match, mismatch, gap_p = params[trial % len(params)]
+        band = int(rng.choice([4, 8, 16, 32, 64]))
+        for end_gap_p in (0, gap_p):
+            ctx = f"vec trial={trial} band={band} egp={end_gap_p}"
+            refs = _ref_align(reflib, 0, s1, s2, match, mismatch, gap_p,
+                              end_gap_p=end_gap_p, band=band)
+            ours = _oracle(s1, s2, "vec", match, mismatch, gap_p,
+                           end_gap_p, band)
+            _assert_alignment_equal(ours, refs, ctx)
+
+
+def test_scalar_endsfree_parity(reflib):
+    """Oracle scalar mode == nwalign_endsfree (reference:
+    src/nwalign_endsfree.cpp:76-216)."""
+    rng = np.random.default_rng(11)
+    for trial in range(150):
+        s1, s2 = _rand_pair(rng)
+        band = int(rng.choice([0, 8, 16, 32]))
+        ctx = f"ef trial={trial} band={band}"
+        refs = _ref_align(reflib, 1, s1, s2, 5, -4, -8, band=band)
+        ours = _oracle(s1, s2, "scalar", 5, -4, -8, 0, band)
+        _assert_alignment_equal(ours, refs, ctx)
+
+
+def test_scalar_global_parity(reflib):
+    """Oracle scalar mode with end_gap_p == gap_p == nwalign (reference:
+    src/nwalign_endsfree.cpp:403-537)."""
+    rng = np.random.default_rng(13)
+    for trial in range(150):
+        s1, s2 = _rand_pair(rng)
+        band = int(rng.choice([0, 8, 16, 32]))
+        ctx = f"global trial={trial} band={band}"
+        refs = _ref_align(reflib, 3, s1, s2, 5, -4, -8, band=band)
+        ours = _oracle(s1, s2, "scalar", 5, -4, -8, -8, band)
+        _assert_alignment_equal(ours, refs, ctx)
+
+
+def test_homopolymer_parity(reflib):
+    """Oracle homopolymer variant == nwalign_endsfree_homo (reference:
+    src/nwalign_endsfree.cpp:220-396)."""
+    rng = np.random.default_rng(17)
+    for trial in range(150):
+        s1, s2 = _rand_pair(rng)
+        # inject homopolymer runs, the variant's raison d'etre
+        for _ in range(3):
+            p = int(rng.integers(0, len(s1) - 8))
+            s1[p: p + int(rng.integers(3, 8))] = int(rng.integers(0, 4))
+        band = int(rng.choice([0, 16, 32]))
+        hgp = int(rng.choice([-1, -2, -4]))
+        ctx = f"homo trial={trial} band={band} hgp={hgp}"
+        refs = _ref_align(reflib, 2, s1, s2, 5, -4, -8, homo_gap_p=hgp,
+                          band=band)
+        ours = _oracle(s1, s2, "scalar", 5, -4, -8, 0, band,
+                       homo_gap_p=hgp)
+        _assert_alignment_equal(ours, refs, ctx)
+
+
+def test_gapless_parity(reflib):
+    rng = np.random.default_rng(19)
+    for _ in range(50):
+        s1, s2 = _rand_pair(rng)
+        refs = _ref_align(reflib, 4, s1, s2, 5, -4, -8)
+        ours = nw_ref.nw_gapless(s1, s2)
+        _assert_alignment_equal(tuple(ours), refs, "gapless")
+
+
+def test_kmer_screen_parity(reflib):
+    """The backend's integer min-sum/kord screens reproduce the
+    reference's kmer_dist / kord_dist at every SSE level (reference:
+    src/kmers.cpp)."""
+    rng = np.random.default_rng(23)
+    k = KMER_SIZE
+    for trial in range(200):
+        s1, s2 = _rand_pair(rng, lo=40, hi=300)
+        l1, l2 = len(s1), len(s2)
+        L = max(l1, l2)
+        seqs = np.full((2, L), 255, np.uint8)
+        seqs[0, :l1] = s1
+        seqs[1, :l2] = s2
+        lens = np.array([l1, l2])
+        km = kmer_counts(seqs, lens)
+        ko = kmer_ords(seqs, lens)
+        minsum = int(np.minimum(km[0], km[1]).sum())
+        our_kdist = 1.0 - minsum / (min(l1, l2) - k + 1.0)
+        minklen = min(l1, l2) - (k - 1)
+        kmatch = int(((ko[0, :minklen] == ko[1, :minklen]) &
+                      (ko[0, :minklen] >= 0)).sum())
+        our_kord = 1.0 - kmatch / (min(l1, l2) - k + 1.0)
+        r1 = bytes((s1 + 1).astype(np.uint8))
+        r2 = bytes((s2 + 1).astype(np.uint8))
+        for sse in (0, 1, 2):
+            rd = reflib.ref_kmer_dist(r1, l1, r2, l2, k, sse)
+            assert abs(rd - our_kdist) < 1e-12, (trial, sse, rd, our_kdist)
+        for sse in (0, 1):
+            if sse == 0 and l1 != l2:
+                continue  # scalar kord_dist returns 1 on length mismatch
+            rd = reflib.ref_kord_dist(r1, l1, r2, l2, k, sse)
+            assert abs(rd - our_kord) < 1e-12, (trial, sse, rd, our_kord)
