@@ -272,10 +272,15 @@ class Engine:
         out[zero] = 0.0
         need = ~singleton & (ham != 0) & (lam != 0)
         if np.any(need):
+            import math
+
             E = lam[need] * bi_reads
             pv = _sp.pdtrc(reads[need] - 1, E)
             cond = ~(prior[need] | opts.DETECT_SINGLETONS)
-            norm = 1.0 - np.exp(-E)
+            # libm exp (not numpy's SIMD exp, which can differ in the
+            # last ulp): the reference's calc_pA calls C exp()
+            # (reference: src/pval.cpp:55)
+            norm = 1.0 - np.array([math.exp(-e) for e in E])
             small = norm < 1e-7  # TAIL_APPROX_CUTOFF, src/dada.h:25
             norm = np.where(small, E - 0.5 * E * E, norm)
             out[need] = np.where(cond, pv / norm, pv)

@@ -172,10 +172,15 @@ def pois_tail(reads: int, e_reads: float) -> float:
 
 
 def calc_pA(reads: int, e_reads: float, prior: bool) -> float:
-    """Abundance p-value (reference: src/pval.cpp:44-64)."""
+    """Abundance p-value (reference: src/pval.cpp:44-64).
+
+    Uses libm exp (math.exp), as the reference's C exp() does — numpy's
+    SIMD exp can differ in the last ulp."""
+    import math
+
     pval = pois_tail(reads, e_reads)
     if not prior:
-        norm = 1.0 - np.exp(-e_reads)
+        norm = 1.0 - math.exp(-e_reads)
         if norm < TAIL_APPROX_CUTOFF:
             norm = e_reads - 0.5 * e_reads * e_reads
         pval = pval / norm

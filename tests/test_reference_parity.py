@@ -29,7 +29,7 @@ pytestmark = pytest.mark.skipif(
 def reflib(tmp_path_factory):
     so = str(tmp_path_factory.mktemp("refbuild") / "refalign.so")
     subprocess.run(
-        ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+        ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
          "-I", HARNESS, "-I", REF_SRC, "-o", so,
          os.path.join(HARNESS, "wrapper.cpp"),
          os.path.join(REF_SRC, "nwalign_vectorized.cpp"),
@@ -220,3 +220,120 @@ def test_kmer_screen_parity(reflib):
                 continue  # scalar kord_dist returns 1 on length mismatch
             rd = reflib.ref_kord_dist(r1, l1, r2, l2, k, sse)
             assert abs(rd - our_kord) < 1e-12, (trial, sse, rd, our_kord)
+
+
+# ---------------------------------------------------------------------------
+# Engine-level parity: the reference's divisive clustering engine
+# (cluster.cpp / containers.cpp / pval.cpp), compiled unmodified and driven
+# through its own C API exactly as run_dada drives it, vs this repo's Engine
+# on real MiSeq data. The Poisson tail is held common via a hook (R's exact
+# pgamma machinery is not available without R; both engines use
+# scipy.special.pdtrc here, so this test isolates the clustering semantics:
+# lambdas, E_minmax pruning, shuffles, budding, greedy locks).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def refengine(tmp_path_factory):
+    so = str(tmp_path_factory.mktemp("refeng") / "refengine.so")
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
+         "-I", HARNESS, "-I", REF_SRC, "-o", so,
+         os.path.join(HARNESS, "engine_wrapper.cpp")] +
+        [os.path.join(REF_SRC, f) for f in
+         ("cluster.cpp", "containers.cpp", "pval.cpp",
+          "nwalign_vectorized.cpp", "nwalign_endsfree.cpp", "kmers.cpp")],
+        check=True, capture_output=True)
+    lib = ctypes.CDLL(so)
+    lib.run_ref_dada.restype = ctypes.c_int
+    return lib
+
+
+@pytest.mark.parametrize("overrides", [
+    {},                                          # production defaults
+    {"GAPLESS": False, "GREEDY": False},         # no screens/locks
+    {"DETECT_SINGLETONS": True, "BAND_SIZE": 32},
+    {"OMEGA_A": 1e-10, "MIN_HAMMING": 2},        # more budding
+])
+def test_engine_parity_sam1F(refengine, overrides):
+    """Full clustering run on sam1F + tperr1: cluster assignments,
+    comparison lambdas/hammings, p-values, E_minmax, centers and birth
+    records must match the reference engine exactly."""
+    from scipy import special as sp
+
+    from dada2_tpu.core.backend_tpu import TpuBackend
+    from dada2_tpu.core.engine import Engine
+    from dada2_tpu.core.raws import make_rawset
+    from dada2_tpu.data import tperr1
+    from dada2_tpu.derep import derep_fastq
+    from dada2_tpu.options import DEFAULT_OPTIONS
+
+    extdata = os.path.join(os.path.dirname(__file__), "extdata")
+    d = derep_fastq(os.path.join(extdata, "sam1F.fastq.gz"))
+    N = 300  # most-abundant uniques; keeps the python-driven run quick
+    seqs = d.sequences[:N]
+    ab = d.abundances[:N]
+    quals = d.quals[:N]
+
+    err = tperr1()
+    qmax = int(np.nanmax(quals))
+    if qmax + 1 > err.shape[1]:
+        err = np.hstack([err] + [err[:, -1:]] * (qmax + 1 - err.shape[1]))
+
+    # --- reference engine ---
+    PPOIS = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_int,
+                             ctypes.c_double)
+    hook = PPOIS(lambda n, lam: float(sp.pdtrc(n, lam)))
+    refengine.set_ppois_hook(hook)
+
+    n = len(seqs)
+    code = {"A": 1, "C": 2, "G": 3, "T": 4}
+    enc = [bytes(code[c] for c in s) for s in seqs]
+    arr = (ctypes.c_char_p * n)(*enc)
+    qstride = quals.shape[1]
+    qflat = np.ascontiguousarray(np.nan_to_num(quals, nan=0.0))
+    reads = np.ascontiguousarray(ab, dtype=np.int32)
+    priors = np.zeros(n, np.uint8)
+    errflat = np.ascontiguousarray(err)
+    cluster_of = np.full(n, -1, np.int32)
+    comp_lambda = np.zeros(n)
+    comp_ham = np.zeros(n, np.int32)
+    pvals = np.zeros(n)
+    e_minmax = np.zeros(n)
+    centers = np.full(n, -1, np.int32)
+    btypes = ctypes.create_string_buffer(n)
+    bpvals = np.zeros(n)
+
+    def P(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    opts = DEFAULT_OPTIONS.replace(**overrides).normalized()
+    nclust = refengine.run_ref_dada(
+        n, arr, P(qflat), qstride, P(reads), P(priors), P(errflat),
+        err.shape[1], opts.MATCH, opts.MISMATCH, opts.GAP_PENALTY,
+        opts.GAP_PENALTY, int(opts.USE_KMERS),
+        ctypes.c_double(opts.KDIST_CUTOFF), opts.BAND_SIZE,
+        ctypes.c_double(opts.OMEGA_A), ctypes.c_double(opts.OMEGA_P),
+        int(opts.DETECT_SINGLETONS), 0, ctypes.c_double(opts.MIN_FOLD),
+        opts.MIN_HAMMING, opts.MIN_ABUNDANCE, 1, 1, opts.SSE,
+        int(opts.GAPLESS), int(opts.GREEDY),
+        P(cluster_of), P(comp_lambda), P(comp_ham), P(pvals),
+        P(e_minmax), P(centers), btypes, P(bpvals))
+    assert nclust > 1
+
+    # --- our engine ---
+    rs = make_rawset(seqs, ab, None, quals)
+    eng = Engine(rs, err, opts, TpuBackend(rs, use_quals=True),
+                 use_quals=True)
+    eng.run(max_clust=0)
+
+    assert len(eng.clusters) == nclust
+    np.testing.assert_array_equal(eng.cluster_of, cluster_of)
+    np.testing.assert_array_equal(eng.comp_ham, comp_ham)
+    np.testing.assert_array_equal(eng.comp_lam, comp_lambda)
+    np.testing.assert_array_equal(eng.p, pvals)
+    np.testing.assert_array_equal(eng.E_minmax, e_minmax)
+    for i, c in enumerate(eng.clusters):
+        assert c.center == centers[i], i
+        assert c.birth_type.encode() == btypes.raw[i: i + 1], i
+        if i > 0:
+            assert c.birth_pval == bpvals[i], i
