@@ -119,9 +119,16 @@ def _qlerr_table(quals, err32):
     """[17, n, L] per-position log error factors: qlerr[t] = log
     err32[t, quals], with row 16 = 0 (the pad transition). Computed ONCE
     per error matrix; per-compare log-lambda then needs only a 17-way
-    select instead of a TPU-hostile element gather."""
-    lerr = jnp.log(err32)
-    ql = jnp.take(lerr, quals, axis=1)          # [16, n, L]
+    select instead of a TPU-hostile element gather.
+
+    The quality lookup itself is a one-hot matmul on the MXU (a fused
+    iota-compare feeding a dot), not an element gather — TPU gathers
+    serialize on the scalar core."""
+    lerr = jnp.log(err32)                                  # [16, Q]
+    Q = err32.shape[1]
+    onehot = (quals[:, :, None] ==
+              jnp.arange(Q, dtype=jnp.int32)[None, None, :])
+    ql = jnp.einsum("nlq,tq->tnl", onehot.astype(jnp.float32), lerr)
     return jnp.concatenate(
         [ql, jnp.zeros((1,) + quals.shape, jnp.float32)], axis=0)
 
@@ -260,11 +267,18 @@ def _gather_rows(arr, idx):
     return jnp.take(arr, idx.astype(jnp.int32), axis=0)
 
 
+@partial(jax.jit, static_argnames=("W",))
+def _gather_rows_slice(arr, idx, W):
+    """Row gather + column slice (fetch only the columns a consumer
+    needs; W is bucketed so programs are reused)."""
+    return jnp.take(arr, idx.astype(jnp.int32), axis=0)[:, :W]
+
+
 class _PallasBlocks:
     """Device-resident length-sorted candidate blocks for the wavefront
     kernel; packed once per RawSet, reused by every compare."""
 
-    def __init__(self, rawset: RawSet):
+    def __init__(self, rawset: RawSet, put=jnp.asarray):
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = int(self.lens.max())
         self.block_idx = nwp.assemble_blocks(rawset.seqs, self.lens)
@@ -273,17 +287,17 @@ class _PallasBlocks:
         self.L2R = nwp._round_up(self.maxlen + 128, 32)
         s2r = nwp.pack_s2_blocks(rawset.seqs, self.lens, self.block_idx,
                                  self.L2R)
-        self.d_s2r = jnp.asarray(s2r)
+        self.d_s2r = put(s2r)
         flat = self.block_idx.reshape(-1)
         inv = np.full(rawset.n, -1, np.int64)
         for r, j in enumerate(flat):
             if inv[j] < 0:
                 inv[j] = r
-        self.d_inv = jnp.asarray(inv, jnp.int32)
+        self.d_inv = put(inv.astype(np.int32))
         self.l2_blocks = self.lens[self.block_idx]      # [nb, LANES]
         self.l2max = self.l2_blocks.max(axis=1)
         # per-block flip offset moving sub tiles to query coordinates
-        self.d_offs = jnp.asarray(self.L2R - self.l2max, jnp.int32)
+        self.d_offs = put((self.L2R - self.l2max).astype(np.int32))
 
     def block_wp(self, len1: int, band: int) -> np.ndarray:
         """Per-block window bucket (multiple of 32 rows)."""
@@ -329,22 +343,36 @@ class TpuBackend(CompareBackend):
     # scan path remains the fallback (and the CPU-test path)
     VMEM_SLAB_CAP = 12 * 1024 * 1024
 
-    def __init__(self, rawset: RawSet, use_quals: bool = True, mesh=None):
+    def __init__(self, rawset: RawSet, use_quals: bool = True, mesh=None,
+                 device=None):
+        """device: optional jax.Device this backend's arrays and compute
+        are pinned to — the samples-axis data parallelism places each
+        sample's backend on its own mesh device (computation follows
+        operands). Mutually exclusive with mesh (pairs-axis sharding of
+        one sample across devices)."""
         self.rs = rawset
         self.use_quals = use_quals
-        if mesh is None:
+        self.device = device
+        if mesh is None and device is None:
             from ..parallel import get_mesh
             mesh = get_mesh()
         self.mesh = mesh
-        self.d_seqs = jnp.asarray(rawset.seqs, jnp.int8)
-        self.d_lens = jnp.asarray(rawset.lens, jnp.int32)
-        self.d_kmers = jnp.asarray(rawset.kmers, jnp.int32)
-        self.d_kords = jnp.asarray(rawset.kords, jnp.int32)
+
+        def put(x):
+            return (jax.device_put(x, device) if device is not None
+                    else jnp.asarray(x))
+
+        self._put = put
+        self.d_seqs = put(np.asarray(rawset.seqs, np.int8))
+        self.d_lens = put(np.asarray(rawset.lens, np.int32))
+        self.d_kmers = put(np.asarray(rawset.kmers, np.int32))
+        self.d_kords = put(np.asarray(rawset.kords, np.int32))
         self._use_quals_dev = use_quals and rawset.quals is not None
         if self._use_quals_dev:
-            self.d_quals = jnp.asarray(rawset.quals, jnp.int32)
+            self.d_quals = put(np.asarray(rawset.quals, np.int32))
         else:
-            self.d_quals = jnp.zeros((1, rawset.seqs.shape[1]), jnp.int32)
+            self.d_quals = put(
+                np.zeros((1, rawset.seqs.shape[1]), np.int32))
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = rawset.max_len
         import os
@@ -357,7 +385,7 @@ class TpuBackend(CompareBackend):
         self._interpret = jax.default_backend() == "cpu"
         self._pb: Optional[_PallasBlocks] = None
         if self.use_pallas:
-            self._pb = _PallasBlocks(rawset)
+            self._pb = _PallasBlocks(rawset, put)
         # small LRU of per-center alignments; the finalize pass hits one
         # shared backend from a thread pool (core/output.py), so all
         # cache access goes through the lock
@@ -376,7 +404,8 @@ class TpuBackend(CompareBackend):
             hit = self._qlerr_cache.get(key)
             if hit is not None:
                 return hit
-        ql = _qlerr_table(self.d_quals, jnp.asarray(err, jnp.float32))
+        ql = _qlerr_table(self.d_quals,
+                          self._put(err.astype(np.float32)))
         with self._cache_lock:
             self._qlerr_cache[key] = ql
             while len(self._qlerr_cache) > 2:
@@ -387,7 +416,8 @@ class TpuBackend(CompareBackend):
 
     def _screens(self, center: int):
         minsum, kmatch = _screen_kernel(self.d_kmers, self.d_kords,
-                                        self.d_lens, jnp.int32(center))
+                                        self.d_lens,
+                                        self._put(np.int32(center)))
         return np.asarray(minsum, np.int64), np.asarray(kmatch, np.int64)
 
     # ---- batched alignment --------------------------------------------
@@ -453,15 +483,15 @@ class TpuBackend(CompareBackend):
                 nbg = 1 << (len(bidx) - 1).bit_length()
                 nbg = max(nbg, ndev)  # both powers of two -> divisible
                 pad = np.full(nbg - len(bidx), bidx[0], np.int64)
-                sels.append(jnp.asarray(np.concatenate([bidx, pad]),
-                                        jnp.int32))
+                sels.append(self._put(
+                    np.concatenate([bidx, pad]).astype(np.int32)))
                 spec.append((int(w), len(bidx)))
                 orders.append(bidx)
             order = np.concatenate(orders)
             perm = np.empty_like(order)
             perm[order] = np.arange(len(order))
-            prep = (jnp.asarray(scal), jnp.asarray(params), tuple(sels),
-                    jnp.asarray(perm, jnp.int32), tuple(spec))
+            prep = (self._put(scal), self._put(params), tuple(sels),
+                    self._put(perm.astype(np.int32)), tuple(spec))
             with self._cache_lock:
                 self._prep_cache[pkey] = prep
                 while len(self._prep_cache) > 64:
@@ -470,7 +500,8 @@ class TpuBackend(CompareBackend):
         d_scal, d_params, sels, d_perm, spec = prep
 
         res = _fused_align_all(
-            d_scal, d_params, sels, d_perm, pb.d_offs, jnp.int32(center),
+            d_scal, d_params, sels, d_perm, pb.d_offs,
+            self._put(np.int32(center)),
             self.d_seqs, self.d_lens, self._get_qlerr(err), pb.d_s2r,
             pb.d_inv, self.d_kmers, self.d_kords,
             spec=spec, L1R=L1R, L2R=pb.L2R, NDP=NDP,
@@ -498,7 +529,7 @@ class TpuBackend(CompareBackend):
         power of two so gather programs are reused)."""
         nb = _bucket(len(rows))
         pad = np.full(nb - len(rows), rows[0], np.int64)
-        full = jnp.asarray(np.concatenate([rows, pad]), jnp.int32)
+        full = self._put(np.concatenate([rows, pad]).astype(np.int32))
         return np.asarray(_gather_rows(d_tvec, full))[: len(rows)]
 
     @staticmethod
@@ -535,8 +566,9 @@ class TpuBackend(CompareBackend):
                                    self.lens[idx], opts.BAND_SIZE)
         nd = _round_up(max(nd, 2), 64)
         W = _round_up(W, 16)
-        s2b = jnp.take(self.d_seqs, jnp.asarray(full), axis=0)
-        l2b = jnp.take(self.d_lens, jnp.asarray(full), axis=0)
+        dfull = self._put(full.astype(np.int32))
+        s2b = jnp.take(self.d_seqs, dfull, axis=0)
+        l2b = jnp.take(self.d_lens, dfull, axis=0)
         out = _align_center_jit(
             self.d_seqs[center], self.d_lens[center], s2b, l2b,
             nd=nd, W=W, match=opts.MATCH, mismatch=opts.MISMATCH,
@@ -764,7 +796,8 @@ class TpuBackend(CompareBackend):
             if res is not None:
                 nb = _bucket(len(idx))
                 pad = np.full(nb - len(idx), idx[0], np.int64)
-                rows = jnp.asarray(np.concatenate([idx, pad]), jnp.int32)
+                rows = self._put(
+                    np.concatenate([idx, pad]).astype(np.int32))
                 mrows = np.asarray(_gather_rows(res[0], rows))[: len(al)]
                 if not sm[8][idx].all():
                     raise RuntimeError("N-W Align out of range.")
@@ -789,6 +822,38 @@ class TpuBackend(CompareBackend):
                   use_kmers: bool, kdist_cutoff: float) -> Optional[Sub]:
         return self._subs_batch(i0, np.array([i1], np.int64), opts,
                                 use_kmers, kdist_cutoff)[0]
+
+    def subs_info(self, center: int, members: np.ndarray,
+                  opts: DadaOptions):
+        """Vectorized final-subs summary straight from the device map
+        tiles: one bucketed gather fetch + bulk numpy, no per-raw Sub
+        objects (reference semantics: FinalSubsParallel,
+        src/Rmain.cpp:206-235 with use_kmers=FALSE, so nothing screens
+        out)."""
+        members = np.asarray(members, np.int64)
+        m = len(members)
+        len0 = int(self.lens[center])
+        geom = self._pallas_ok(len0, opts) if opts.BAND_SIZE != 0 else None
+        if geom is None:
+            return super().subs_info(center, members, opts)
+        rs = self.rs
+        res = self._align_all_pallas(center, opts, geom, None)
+        sm = self._unpack_small(np.asarray(res[2]))
+        if not sm[8][members].all():
+            raise RuntimeError("N-W Align out of range.")
+        nb = _bucket(m)
+        pad = np.full(nb - m, members[0], np.int64)
+        dfull = self._put(np.concatenate([members, pad]).astype(np.int32))
+        W = _round_up(len0 + 2, 64)
+        mrows = np.asarray(_gather_rows_slice(res[0], dfull, W))[:m]
+        mr = mrows[:, 1: len0 + 1].astype(np.int64)   # row i = 1..len0
+        diag = mr >= 1
+        p1mat = np.where(diag, mr - 1, GAP_GLYPH)
+        p1c = np.where(diag, mr - 1, 0)
+        nti0 = rs.seqs[center, :len0].astype(np.int64)[None, :]
+        nti1 = rs.seqs[members[:, None], p1c].astype(np.int64)
+        nsubs = (diag & (nti0 != nti1)).sum(axis=1).astype(np.int64)
+        return p1mat, nsubs
 
     def subs_to_center(self, center: int, members: np.ndarray,
                        opts: DadaOptions) -> List[Optional[Sub]]:

@@ -86,6 +86,28 @@ class CompareBackend:
         """
         raise NotImplementedError
 
+    def subs_info(self, center: int, members: np.ndarray,
+                  opts: DadaOptions):
+        """Batched final-subs summary: (p1mat [m, len0] int64 query
+        positions with GAP_GLYPH at gaps, or -1 rows for screened-out
+        members; nsubs [m] int64, -1 for screened-out). Semantically the
+        map/nsubs fields of subs_to_center, in matrix form so the output
+        assembly can stay vectorized. Backends may override with a
+        batched implementation."""
+        from ..encode import GAP_GLYPH as _GG
+
+        subs = self.subs_to_center(center, members, opts)
+        len0 = int(self.rs.lens[center])
+        m = len(members)
+        p1mat = np.full((m, len0), -1, dtype=np.int64)
+        nsubs = np.full(m, -1, dtype=np.int64)
+        for r, s in enumerate(subs):
+            if s is None:
+                continue
+            p1mat[r] = s.map
+            nsubs[r] = s.nsubs
+        return p1mat, nsubs
+
 
 class Engine:
     """The clustering state (B). reference: src/dada.h:108-123."""

@@ -1,7 +1,13 @@
 """Output assembly for dada_uniques: clustering table, transition counts,
 cluster quality profiles, birth substitutions, and the uniques->ASV map.
 
-reference: src/Rmain.cpp:172-295 and src/error.cpp.
+reference: src/Rmain.cpp:172-295 and src/error.cpp. The final-subs pass is
+batched: each cluster fetches ONE alignment-map matrix from the backend
+(subs_info) and every downstream statistic is computed in bulk numpy —
+no per-raw Sub objects on the hot path (the reference's FinalSubsParallel
+materializes per-raw Subs because its consumers are per-raw C loops;
+here the consumers are vectorized, so the Sub layer would be pure
+overhead at production scale).
 """
 from __future__ import annotations
 
@@ -9,11 +15,12 @@ from typing import List, Optional
 
 import numpy as np
 import pandas as pd
+from scipy import special as _sp
 
 from ..encode import GAP_GLYPH, codes_to_seq
 from ..options import DadaOptions
 from .engine import Engine
-from ..ops.subs import Sub, calc_pA
+from ..ops.subs import Sub
 
 _NT = "ACGT"
 TRANS_ROWS = [f"{a}2{b}" for a in _NT for b in _NT]
@@ -35,15 +42,14 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
     # (reference: src/Rmain.cpp:174-236). Clusters are independent, so the
     # device sweeps are interleaved across threads (the reference's
     # FinalSubsParallel TBB loop, here overlapping dispatch latency).
-    subs: List[Optional[Sub]] = [None] * rs.n
+    info = [None] * nclust           # (members, p1mat, nsubs) per cluster
     birth_subs: List[Optional[Sub]] = [None] * nclust
 
     def _one_cluster(i):
         bi = eng.clusters[i]
         members = np.asarray(bi.slots, dtype=np.int64)
-        ss = eng.backend.subs_to_center(bi.center, members, opts)
-        for m, s in zip(members, ss):
-            subs[int(m)] = s
+        p1mat, nsubs = eng.backend.subs_info(bi.center, members, opts)
+        info[i] = (members, p1mat, nsubs)
         if i > 0:
             from_center = eng.clusters[bi.birth_comp_i].center
             birth_subs[i] = eng.backend.subs_pair(
@@ -58,63 +64,55 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
             _one_cluster(i)
 
     # Final within-cluster p and the OMEGA_C correction gate
-    # (reference: src/Rmain.cpp:238-252)
+    # (reference: src/Rmain.cpp:238-252; prior=TRUE there, so the pval is
+    # the bare Poisson tail with no presence conditioning)
     pvals = np.zeros(rs.n)
     for i, bi in enumerate(eng.clusters):
-        for raw in bi.slots:
-            if raw == bi.center:
-                eng.p[raw] = 1.0
-            else:
-                eng.p[raw] = calc_pA(int(rs.reads[raw]),
-                                     eng.comp_lam[raw] * bi.reads, True)
-                if eng.p[raw] < omegaC:
-                    eng.correct[raw] = False
-            pvals[raw] = eng.p[raw]
+        mem = np.asarray(bi.slots, dtype=np.int64)
+        eng.p[bi.center] = 1.0
+        notc = mem[mem != bi.center]
+        if len(notc):
+            pv = _sp.pdtrc(rs.reads[notc] - 1,
+                           eng.comp_lam[notc] * bi.reads)
+            eng.p[notc] = pv
+            eng.correct[notc[pv < omegaC]] = False
+        pvals[mem] = eng.p[mem]
 
-    clustering = _clustering_df(eng, subs, birth_subs, has_quals)
-    subqual = _transition_matrix(eng, subs, has_quals, err_ncol)
-    clusterquals = _cluster_quality_matrix(eng, subs, has_quals, rs.max_len)
+    clustering = _clustering_df(eng, info, birth_subs, has_quals)
+    subqual = _transition_matrix(eng, info, has_quals, err_ncol)
+    clusterquals = _cluster_quality_matrix(eng, info, has_quals,
+                                           rs.max_len)
     birth_df = _birth_subs_df(eng, birth_subs, has_quals)
 
     # map from uniques to cluster, -1 where not corrected
     # (reference: src/Rmain.cpp:268-279, NA -> -1 here; R adds 1-indexing)
     map_ = np.full(rs.n, -1, dtype=np.int64)
     for i, bi in enumerate(eng.clusters):
-        for raw in bi.slots:
-            if eng.correct[raw]:
-                map_[raw] = i
+        mem = np.asarray(bi.slots, dtype=np.int64)
+        map_[mem[eng.correct[mem]]] = i
 
     return dict(clustering=clustering, birth_subs=birth_df, subqual=subqual,
                 clusterquals=clusterquals, map=map_, pval=pvals)
 
 
-def _clustering_df(eng: Engine, subs, birth_subs, has_quals) -> pd.DataFrame:
+def _clustering_df(eng: Engine, info, birth_subs, has_quals) -> pd.DataFrame:
     """reference: src/error.cpp:9-127."""
     rs = eng.rs
     nclust = len(eng.clusters)
     seqs, abund, n0, n1, nunq = [], [], [], [], []
     b_from, b_pval, b_fold, b_ham, b_qave = [], [], [], [], []
     for i, bi in enumerate(eng.clusters):
+        members, p1mat, nsubs = info[i]
+        reads = rs.reads[members]
         # representative sequence: most abundant member, first-slot ties
-        best, best_reads = -1, 0
-        a = z = o = u = 0
-        for raw in bi.slots:
-            if rs.reads[raw] > best_reads:
-                best, best_reads = raw, int(rs.reads[raw])
-            if eng.correct[raw]:
-                a += int(rs.reads[raw])
-                u += 1
-                s = subs[raw]
-                if s is not None:
-                    if s.nsubs == 0:
-                        z += int(rs.reads[raw])
-                    if s.nsubs == 1:
-                        o += int(rs.reads[raw])
+        best = int(members[np.argmax(reads)]) if len(members) else -1
+        corr = eng.correct[members]
+        withsub = corr & (nsubs >= 0)
         seqs.append(codes_to_seq(rs.seqs[best, : rs.lens[best]]))
-        abund.append(a)
-        n0.append(z)
-        n1.append(o)
-        nunq.append(u)
+        abund.append(int(reads[corr].sum()))
+        n0.append(int(reads[withsub & (nsubs == 0)].sum()))
+        n1.append(int(reads[withsub & (nsubs == 1)].sum()))
+        nunq.append(int(corr.sum()))
         if i == 0:
             b_from.append(np.nan)
             b_pval.append(np.nan)
@@ -137,6 +135,8 @@ def _clustering_df(eng: Engine, subs, birth_subs, has_quals) -> pd.DataFrame:
                 b_qave.append(np.nan)
 
     # post-hoc pvalue from summed cross-cluster E (reference: error.cpp:99-119)
+    from ..ops.subs import calc_pA
+
     center_of = {bi.center: i for i, bi in enumerate(eng.clusters)}
     tot_e = np.zeros(nclust)
     for i, bi in enumerate(eng.clusters):
@@ -169,37 +169,39 @@ def _sub_q1(eng: Engine, i: int, s: Sub) -> np.ndarray:
     return eng.rs.quals[raw1, pos1]
 
 
-def _transition_matrix(eng: Engine, subs, has_quals, ncol: int) -> np.ndarray:
-    """16 x Q observed transition counts (reference: src/error.cpp:131-172)."""
+def _transition_matrix(eng: Engine, info, has_quals, ncol: int) -> np.ndarray:
+    """16 x Q observed transition counts (reference: src/error.cpp:131-172).
+
+    Integer counts: one flat weighted bincount per cluster."""
     rs = eng.rs
     if not has_quals:
         ncol = 1
-    out = np.zeros((16, ncol), dtype=np.int64)
-    for bi in eng.clusters:
-        center = bi.center
-        clen = int(rs.lens[center])
-        cseq = rs.seqs[center, :clen].astype(np.int64)
-        for raw in bi.slots:
-            if not eng.correct[raw]:
-                continue
-            s = subs[raw]
-            if s is None:
-                continue
-            pos1 = s.map  # [clen]
-            ok = pos1 != GAP_GLYPH
-            nti0 = cseq[ok]
-            p1 = pos1[ok]
-            nti1 = rs.seqs[raw, p1].astype(np.int64)
-            t = 4 * nti0 + nti1
-            if has_quals:
-                q = rs.quals[raw, p1].astype(np.int64)
-            else:
-                q = np.zeros(len(t), dtype=np.int64)
-            np.add.at(out, (t, q), int(rs.reads[raw]))
-    return out
+    out = np.zeros(16 * ncol, dtype=np.int64)
+    for i, bi in enumerate(eng.clusters):
+        members, p1mat, nsubs = info[i]
+        use = eng.correct[members] & (nsubs >= 0)
+        if not use.any():
+            continue
+        mem = members[use]
+        pm = p1mat[use]
+        clen = int(rs.lens[bi.center])
+        cseq = rs.seqs[bi.center, :clen].astype(np.int64)
+        ok = pm != GAP_GLYPH
+        p1 = np.where(ok, pm, 0)
+        nti1 = rs.seqs[mem[:, None], p1].astype(np.int64)
+        t = 4 * cseq[None, :] + nti1
+        if has_quals:
+            q = rs.quals[mem[:, None], p1].astype(np.int64)
+        else:
+            q = np.zeros_like(t)
+        w = np.broadcast_to(rs.reads[mem][:, None], t.shape)
+        flat = (t * ncol + q)[ok]
+        out += np.bincount(flat, weights=w[ok],
+                           minlength=16 * ncol).astype(np.int64)
+    return out.reshape(16, ncol)
 
 
-def _cluster_quality_matrix(eng: Engine, subs, has_quals, maxlen) -> np.ndarray:
+def _cluster_quality_matrix(eng: Engine, info, has_quals, maxlen) -> np.ndarray:
     """Average positional quality per cluster (reference: src/error.cpp:225-258)."""
     rs = eng.rs
     nclust = len(eng.clusters)
@@ -207,20 +209,23 @@ def _cluster_quality_matrix(eng: Engine, subs, has_quals, maxlen) -> np.ndarray:
     if not has_quals:
         return out
     for i, bi in enumerate(eng.clusters):
+        members, p1mat, nsubs = info[i]
+        use = eng.correct[members] & (nsubs >= 0)
         seqlen = int(rs.lens[bi.center])
         nreads = np.zeros(seqlen, dtype=np.int64)
         acc = np.zeros(seqlen)
-        for raw in bi.slots:  # slot order: float accumulation order matters
-            if not eng.correct[raw]:
+        ok = p1mat != GAP_GLYPH
+        p1 = np.where(ok, p1mat, 0)
+        w = rs.reads[members]
+        qv = rs.quals[members[:, None], p1].astype(np.float64)
+        contrib = np.where(ok, qv * w[:, None], 0.0)
+        cnt = np.where(ok, w[:, None], 0)
+        for r in range(len(members)):
+            # slot order: float accumulation order matters
+            if not use[r]:
                 continue
-            s = subs[raw]
-            if s is None:
-                continue
-            ok = s.map != GAP_GLYPH
-            p1 = s.map[ok]
-            w = int(rs.reads[raw])
-            nreads[ok] += w
-            acc[ok] += rs.quals[raw, p1].astype(np.float64) * w
+            nreads += cnt[r]
+            acc += contrib[r]
         with np.errstate(invalid="ignore", divide="ignore"):
             out[:seqlen, i] = acc / nreads
         out[seqlen:, i] = np.nan

@@ -48,13 +48,13 @@ class DadaResult:
                 f"{len(self.map)} input unique sequences.")
 
 
-def _make_backend(rawset, opts, use_quals, err_ncol):
+def _make_backend(rawset, opts, use_quals, err_ncol, device=None):
     """Choose the compare backend: device-batched unless the requested
     aligner has no batched implementation (scalar/homopolymer modes)."""
     from .core.backend_ref import OracleBackend
     if opts.VECTORIZED_ALIGNMENT or opts.BAND_SIZE == 0:
         from .core.backend_tpu import TpuBackend
-        return TpuBackend(rawset, use_quals=use_quals)
+        return TpuBackend(rawset, use_quals=use_quals, device=device)
     return OracleBackend(rawset, use_quals=use_quals)
 
 
@@ -68,6 +68,7 @@ def dada_uniques(
     max_clust: int,
     use_quals: bool,
     backend=None,
+    device=None,
 ) -> dict:
     """Run the core engine on one set of uniques.
 
@@ -85,7 +86,8 @@ def dada_uniques(
     if err.shape[0] != 16:
         raise ValueError("Error matrix must have 16 rows.")
     if backend is None:
-        backend = _make_backend(rawset, opts, use_quals, err.shape[1])
+        backend = _make_backend(rawset, opts, use_quals, err.shape[1],
+                                device=device)
     eng = Engine(rawset, err, opts, backend, use_quals=use_quals)
     eng.run(max_clust=max_clust)
     return finalize(eng, opts, err.shape[1], opts.OMEGA_C)
@@ -101,6 +103,7 @@ def dada(
     verbose: Union[bool, int] = True,
     multithread: bool = True,
     checkpoint: Optional[str] = None,
+    mesh=None,
     **opt_overrides,
 ):
     """Sample inference from dereplicated amplicon reads.
@@ -112,6 +115,13 @@ def dada(
     is saved there after every round and a restarted call resumes from the
     last completed round (SURVEY.md §5.4 — the reference has no native
     checkpointing; its idiom is workflow-level saveRDS).
+
+    mesh: optional jax.sharding.Mesh with a ``samples`` axis — the
+    multi-chip data-parallel mode. Each sample's engine computes on its
+    round-robin-assigned mesh device, and every selfConsist round's
+    16 x Q transition tally is reduced with a psum over the samples axis
+    (the collective replacing accumulateTrans, reference:
+    R/errorModels.R:462-471). Results are bit-identical to mesh=None.
     """
     opts = current_options().replace(**opt_overrides)
     verbose = int(verbose)
@@ -217,6 +227,7 @@ def dada(
             drpi.quals if opts.USE_QUALS else None, opts,
             max_clust=1 if initializeErr else opts.MAX_CLUST,
             use_quals=True,  # R passes TRUE unconditionally (R/dada.R:344)
+            device=(mesh_devs[i % len(mesh_devs)] if mesh_devs else None),
         )
         clustering[i] = res["clustering"]
         clusterquals[i] = res["clusterquals"].T
@@ -231,6 +242,10 @@ def dada(
         if verbose >= 2:
             from .trace import COUNTERS
             print("   " + COUNTERS.summary())
+
+    from .parallel.dist import sample_devices
+
+    mesh_devs = sample_devices(mesh)
 
     # thread-pool over samples: per-sample engines are independent, and
     # interleaving them overlaps device dispatch/fetch latency with the
@@ -254,7 +269,13 @@ def dada(
             for i, drpi in enumerate(derep):
                 _one_sample(i, drpi)
 
-        cur = accumulate_trans(trans)
+        if mesh is not None:
+            # collective reduction over the mesh's samples axis
+            from .parallel.dist import accumulate_trans_mesh
+
+            cur = accumulate_trans_mesh(mesh, trans)
+        else:
+            cur = accumulate_trans(trans)
 
         if errorEstimationFunction is None:
             err = None

@@ -110,9 +110,10 @@ def kmer_counts(
     n, L = codes.shape
     kord = kmer_ords(codes, lens, k)
     nk = 4**k
-    out = np.zeros((n, nk), dtype=dtype)
-    rows = np.repeat(np.arange(n), L)
-    flat = kord.ravel()
+    rows = np.repeat(np.arange(n, dtype=np.int64), L)
+    flat = kord.ravel().astype(np.int64)
     valid = flat >= 0
-    np.add.at(out, (rows[valid], flat[valid]), 1)
-    return out
+    # one flat bincount (np.add.at is an order of magnitude slower)
+    counts = np.bincount(rows[valid] * nk + flat[valid],
+                         minlength=n * nk)
+    return counts.reshape(n, nk).astype(dtype)

@@ -167,3 +167,39 @@ def dryrun_multichip(n_devices: int) -> None:
     assert (ham[:, 0] == 0).all()
     total = int((reads * lens).sum())
     assert int(counts.sum()) == total, (int(counts.sum()), total)
+
+
+def accumulate_trans_mesh(mesh: Mesh, tallies):
+    """Sum per-sample 16 x Q transition tallies with a psum over the
+    mesh's ``samples`` axis — the production replacement for the host
+    accumulateTrans reduction (reference: R/errorModels.R:462-471) when
+    samples are sharded across devices.
+
+    tallies: list of [16, Qi] integer arrays (ragged Q allowed, as in the
+    reference). Returns the summed [16, Qmax] int64 host array,
+    bit-identical to errors.accumulate_trans.
+    """
+    ncol = max(t.shape[1] for t in tallies)
+    S = len(tallies)
+    nshard = mesh.shape.get("samples", 1)
+    Sp = ((S + nshard - 1) // nshard) * nshard
+    stack = np.zeros((Sp, 16, ncol), np.int64)
+    for k, t in enumerate(tallies):
+        stack[k, :, : t.shape[1]] = t
+
+    def _sum(local):
+        return jax.lax.psum(jnp.sum(local, axis=0), "samples")
+
+    out = jax.jit(jax.shard_map(
+        _sum, mesh=mesh, in_specs=P("samples"), out_specs=P(),
+        check_vma=False))(stack)
+    return np.asarray(out).astype(np.int64)
+
+
+def sample_devices(mesh: Optional[Mesh]):
+    """Round-robin device assignment for per-sample engines (the
+    samples-axis data parallelism: each sample's backend computes on its
+    own device)."""
+    if mesh is None:
+        return None
+    return list(mesh.devices.reshape(-1))

@@ -2,6 +2,7 @@
 import sys
 
 import jax
+import pandas as pd
 import numpy as np
 
 
@@ -109,3 +110,35 @@ def test_sharded_compare_backend_parity(extdata):
         np.testing.assert_array_equal(lam_s, lam_m)
     finally:
         os.environ.pop("DADA2_TPU_PALLAS", None)
+
+
+def test_dada_mesh_invariance(extdata):
+    """dada(selfConsist) with samples sharded over an 8-device mesh must
+    produce the SAME error matrix and ASV tables as the meshless run —
+    the production samples-axis data parallelism (each sample's backend
+    pinned to its mesh device, tallies psummed each round)."""
+    from dada2_tpu import dada, derep_fastq
+    from dada2_tpu.parallel.dist import cpu_devices, make_mesh
+
+    drps = [derep_fastq(str(extdata / f))
+            for f in ("sam1F.fastq.gz", "sam2F.fastq.gz")]
+    # trim to speed the CPU run
+    for d in drps:
+        top = dict(list(d.uniques.items())[:120])
+        d.uniques = top
+        d.quals = d.quals[:120]
+
+    kw = dict(err=None, selfConsist=True, MAX_CONSIST=2,
+              multithread=False, verbose=False)
+    base = dada([d for d in drps], **kw)
+    mesh = make_mesh(devices=cpu_devices(8), samples=8)
+    sharded = dada([d for d in drps], mesh=mesh, **kw)
+
+    base = list(base.values())
+    sharded = list(sharded.values())
+    for b, s in zip(base, sharded):
+        np.testing.assert_array_equal(b.err_out, s.err_out)
+        np.testing.assert_array_equal(b.trans, s.trans)
+        assert b.denoised == s.denoised
+        pd.testing.assert_frame_equal(b.clustering, s.clustering)
+        np.testing.assert_array_equal(b.map, s.map)
