@@ -60,10 +60,16 @@ def _screen_kernel(kmers, kords, lens, center):
 
 
 @partial(jax.jit, static_argnames=("nd", "W", "match", "mismatch", "gap_p",
-                                   "end_gap_p", "band"))
-def _align_center_jit(s1, len1, s2b, len2b, *, nd, W, match, mismatch,
-                      gap_p, end_gap_p, band):
-    """nw_batch specialization: one center vs a batch of candidates."""
+                                   "end_gap_p", "band", "mode",
+                                   "homo_gap_p"))
+def _align_center_jit(s1, len1, s2b, len2b, h1=None, h2b=None, *, nd, W,
+                      match, mismatch, gap_p, end_gap_p, band,
+                      mode="vec", homo_gap_p=0):
+    """nw_batch specialization: one center vs a batch of candidates.
+
+    mode/homo args select the scalar-aligner recurrences (the
+    non-vectorized and 454/PacBio homopolymer engine configs, reference:
+    src/nwalign_endsfree.cpp:76-396)."""
     len1 = len1.astype(jnp.int32)
     len2b = len2b.astype(jnp.int32)
     if band < 0:
@@ -73,11 +79,18 @@ def _align_center_jit(s1, len1, s2b, len2b, *, nd, W, match, mismatch,
         lband = band + jnp.maximum(0, len1 - len2b)
         rband = band + jnp.maximum(0, len2b - len1)
 
-    fill = jax.vmap(
-        lambda b, lb, lbd, rbd: nwb._fill_kernel(
-            s1, len1, b, lb, lbd, rbd, nd, W, match, mismatch, gap_p,
-            end_gap_p))
-    ptrs = fill(s2b, len2b, lband, rband)
+    if h1 is not None:
+        fill = jax.vmap(
+            lambda b, lb, lbd, rbd, hb: nwb._fill_kernel(
+                s1, len1, b, lb, lbd, rbd, nd, W, match, mismatch, gap_p,
+                end_gap_p, mode, h1, hb, homo_gap_p, band >= 0))
+        ptrs = fill(s2b, len2b, lband, rband, h2b)
+    else:
+        fill = jax.vmap(
+            lambda b, lb, lbd, rbd: nwb._fill_kernel(
+                s1, len1, b, lb, lbd, rbd, nd, W, match, mismatch, gap_p,
+                end_gap_p, mode, None, None, homo_gap_p, band >= 0))
+        ptrs = fill(s2b, len2b, lband, rband)
 
     nsteps = s1.shape[0] + s2b.shape[1]
     tb = jax.vmap(
@@ -425,6 +438,10 @@ class TpuBackend(CompareBackend):
     def _pallas_ok(self, len1: int, opts: DadaOptions):
         if self._pb is None or opts.BAND_SIZE < 0:
             return None
+        if self._scalar_mode(opts):
+            # the wavefront kernel implements the vectorized-aligner
+            # semantics; scalar/homopolymer configs use the XLA batch path
+            return None
         wp = self._pb.block_wp(len1, opts.BAND_SIZE)
         NDP, L1R = self._pb.geometry()
         # pointer slab + the kernel's fixed per-block tiles (kinds, sub,
@@ -554,9 +571,24 @@ class TpuBackend(CompareBackend):
         logthr = np.where(np.isnan(logthr), -np.inf, logthr)
         return (loglam + margin >= logthr) | ~np.isfinite(loglam)
 
+    def _scalar_mode(self, opts: DadaOptions) -> bool:
+        """Non-vectorized engine configs (scalar / homopolymer aligner,
+        reference: R/dada.R:228-237 forces VECTORIZED off for them)."""
+        return not opts.VECTORIZED_ALIGNMENT and opts.BAND_SIZE != 0
+
+    def _homo_masks(self):
+        if not hasattr(self, "_homo"):
+            hm = nwb.homo_mask_batch(self.rs.seqs, self.lens)
+            self._homo = (hm, self._put(hm))
+        return self._homo
+
     def _align_batch(self, center: int, idx: np.ndarray, opts: DadaOptions):
         """Banded NW of candidates idx vs center. Returns device outputs
-        (kinds, p0, p1, ham, tvec, ok) with rows matching idx order."""
+        (kinds, p0, p1, ham, tvec, ok) with rows matching idx order.
+
+        Serves both the vectorized-aligner fallback and the batched
+        scalar/homopolymer configs (reference:
+        src/nwalign_endsfree.cpp:76-396)."""
         nb = _bucket(len(idx))
         # pad with copies of a real row so padded rows share its geometry
         pad = np.full(nb - len(idx), idx[0], np.int64)
@@ -569,10 +601,21 @@ class TpuBackend(CompareBackend):
         dfull = self._put(full.astype(np.int32))
         s2b = jnp.take(self.d_seqs, dfull, axis=0)
         l2b = jnp.take(self.d_lens, dfull, axis=0)
+        mode = "scalar" if self._scalar_mode(opts) else "vec"
+        hgp = opts.HOMOPOLYMER_GAP_PENALTY
+        use_homo = (mode == "scalar" and hgp is not None
+                    and hgp != opts.GAP_PENALTY)
+        h1 = h2b = None
+        if use_homo:
+            _, d_homo = self._homo_masks()
+            h1 = d_homo[center]
+            h2b = jnp.take(d_homo, dfull, axis=0)
         out = _align_center_jit(
-            self.d_seqs[center], self.d_lens[center], s2b, l2b,
+            self.d_seqs[center], self.d_lens[center], s2b, l2b, h1, h2b,
             nd=nd, W=W, match=opts.MATCH, mismatch=opts.MISMATCH,
-            gap_p=opts.GAP_PENALTY, end_gap_p=0, band=opts.BAND_SIZE)
+            gap_p=opts.GAP_PENALTY, end_gap_p=0, band=opts.BAND_SIZE,
+            mode=mode,
+            homo_gap_p=int(hgp) if use_homo else 0)
         return out
 
     # ---- lambda (host, exact float64) ---------------------------------

@@ -49,13 +49,13 @@ class DadaResult:
 
 
 def _make_backend(rawset, opts, use_quals, err_ncol, device=None):
-    """Choose the compare backend: device-batched unless the requested
-    aligner has no batched implementation (scalar/homopolymer modes)."""
-    from .core.backend_ref import OracleBackend
-    if opts.VECTORIZED_ALIGNMENT or opts.BAND_SIZE == 0:
-        from .core.backend_tpu import TpuBackend
-        return TpuBackend(rawset, use_quals=use_quals, device=device)
-    return OracleBackend(rawset, use_quals=use_quals)
+    """The device-batched backend serves every engine config: the pallas
+    wavefront kernel for the vectorized aligner, and the batched XLA
+    scalar/homopolymer path for non-vectorized configs (reference:
+    src/nwalign_endsfree.cpp:76-396). OracleBackend remains a test
+    oracle only."""
+    from .core.backend_tpu import TpuBackend
+    return TpuBackend(rawset, use_quals=use_quals, device=device)
 
 
 def dada_uniques(

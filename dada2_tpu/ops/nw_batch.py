@@ -61,28 +61,38 @@ def _hi(d, len1, lband):
 
 
 def _fill_kernel(s1, len1, s2, len2, lband, rband, nd, W,
-                 match, mismatch, gap_p, end_gap_p, mode="vec"):
+                 match, mismatch, gap_p, end_gap_p, mode="vec",
+                 homo1=None, homo2=None, homo_gap_p=0, banded=False):
     """DP fill for one pair; returns ptr [nd, W] int8. vmapped over pairs.
 
     mode="vec": the hot-path aligner semantics (reference:
     src/nwalign_vectorized.cpp) — tie precedence up >= left > diag,
     ends-free last-row/col recalculation one diagonal late.
-    mode="scalar": the classic aligner used by nwalign/mergePairs
-    (reference: src/nwalign_endsfree.cpp:76-216 when end_gap_p != gap_p,
-    :403-537 when equal) — free gaps along the last row/col, tie
-    precedence up >= diag and up >= left, then left >= diag. Only
-    supported unbanded (band < 0), which is how mergePairs calls it.
+    mode="scalar": the classic aligner used by nwalign/mergePairs and
+    the non-vectorized engine configs (reference:
+    src/nwalign_endsfree.cpp:76-216 when end_gap_p != gap_p, :403-537
+    when equal) — free gaps along the last row/col, tie precedence
+    up >= diag and up >= left, then left >= diag. With banded=True the
+    out-of-band boundary reads the reference's magic -9999 fill
+    (src/nwalign_endsfree.cpp:113-119). homo1/homo2 ([L] bool masks of
+    positions inside homopolymer runs >= 3) switch gap_p to homo_gap_p
+    per position, the 454/PacBio variant
+    (src/nwalign_endsfree.cpp:220-396).
     """
     endsfree = end_gap_p > gap_p
     scalar_endsfree = end_gap_p != gap_p
+    use_homo = homo1 is not None
     # the one-diagonal-late recalc skip applies only when the band clips
     # that side (reference: src/nwalign_vectorized.cpp:186-215)
     j_first = jnp.where(lband < len1, len1 - lband, 0)
     i_first = jnp.where(rband < len2, len2 - rband, 0)
     r = jnp.arange(W, dtype=jnp.int32)
 
-    prev1 = jnp.full(W, NEG, jnp.int32).at[0].set(0)  # diag 0: cell (0,0)
-    prev2 = jnp.full(W, NEG, jnp.int32)
+    # scalar banded mode: adjacent out-of-band neighbors read -9999, the
+    # reference's band-boundary fill value
+    OOB = -9999 if (mode == "scalar" and banded) else NEG
+    prev1 = jnp.full(W, OOB, jnp.int32).at[0].set(0)  # diag 0: cell (0,0)
+    prev2 = jnp.full(W, OOB, jnp.int32)
 
     def step(carry, d):
         prev1, prev2, lo1, lo2 = carry
@@ -92,10 +102,10 @@ def _fill_kernel(s1, len1, s2, len2, lband, rband, nd, W,
         j = d - i
         valid = r <= (hid - lod)
 
-        p1pad = jnp.concatenate([jnp.full(2, NEG, jnp.int32), prev1,
-                                 jnp.full(2, NEG, jnp.int32)])
-        p2pad = jnp.concatenate([jnp.full(2, NEG, jnp.int32), prev2,
-                                 jnp.full(2, NEG, jnp.int32)])
+        p1pad = jnp.concatenate([jnp.full(2, OOB, jnp.int32), prev1,
+                                 jnp.full(2, OOB, jnp.int32)])
+        p2pad = jnp.concatenate([jnp.full(2, OOB, jnp.int32), prev2,
+                                 jnp.full(2, OOB, jnp.int32)])
         Uraw = jax.lax.dynamic_slice(p1pad, (lod - lo1 - 1 + 2,), (W,))
         Lraw = jax.lax.dynamic_slice(p1pad, (lod - lo1 + 2,), (W,))
         Dp = jax.lax.dynamic_slice(p2pad, (lod - lo2 - 1 + 2,), (W,))
@@ -107,8 +117,15 @@ def _fill_kernel(s1, len1, s2, len2, lband, rband, nd, W,
             # free end gaps along last row/col; precedence up >= diag and
             # up >= left, then left >= diag
             # (reference: src/nwalign_endsfree.cpp:120-156)
-            Ugap = jnp.where(scalar_endsfree & (j == len2), 0, gap_p)
-            Lgap = jnp.where(scalar_endsfree & (i == len1), 0, gap_p)
+            if use_homo:
+                h1 = homo1[jnp.clip(i - 1, 0, homo1.shape[0] - 1)]
+                h2 = homo2[jnp.clip(j - 1, 0, homo2.shape[0] - 1)]
+                ugap_in = jnp.where(h1, homo_gap_p, gap_p)
+                lgap_in = jnp.where(h2, homo_gap_p, gap_p)
+            else:
+                ugap_in = lgap_in = gap_p
+            Ugap = jnp.where(scalar_endsfree & (j == len2), 0, ugap_in)
+            Lgap = jnp.where(scalar_endsfree & (i == len1), 0, lgap_in)
             U = Uraw + Ugap
             L = Lraw + Lgap
             upw = (U >= D) & (U >= L)
@@ -122,7 +139,7 @@ def _fill_kernel(s1, len1, s2, len2, lband, rband, nd, W,
             ptr = jnp.where(j == 0, PTR_UP, ptr)
             entry = jnp.where(i == 0, j * bval, entry)
             ptr = jnp.where(i == 0, PTR_LEFT, ptr)
-            entry = jnp.where(valid, entry, NEG)
+            entry = jnp.where(valid, entry, OOB)
             ptr = jnp.where(valid, ptr, PTR_NONE)
             return (entry, prev1, lod, lo1), ptr.astype(jnp.int8)
 
@@ -198,9 +215,11 @@ def _traceback_kernel(ptrs, s1, len1, s2, len2, rband, nsteps, W):
 
 
 @partial(jax.jit, static_argnames=("nd", "W", "match", "mismatch", "gap_p",
-                                   "end_gap_p", "band", "mode"))
-def _nw_batch_jit(s1b, len1b, s2b, len2b, *, nd, W, match, mismatch,
-                  gap_p, end_gap_p, band, mode="vec"):
+                                   "end_gap_p", "band", "mode",
+                                   "homo_gap_p"))
+def _nw_batch_jit(s1b, len1b, s2b, len2b, homo1b=None, homo2b=None, *,
+                  nd, W, match, mismatch, gap_p, end_gap_p, band,
+                  mode="vec", homo_gap_p=0):
     len1b = len1b.astype(jnp.int32)
     len2b = len2b.astype(jnp.int32)
     if band < 0:
@@ -208,12 +227,20 @@ def _nw_batch_jit(s1b, len1b, s2b, len2b, *, nd, W, match, mismatch,
     else:
         lband = band + jnp.maximum(0, len1b - len2b)
         rband = band + jnp.maximum(0, len2b - len1b)
+    banded = band >= 0
 
-    fill = jax.vmap(
-        lambda a, la, b, lb, lbd, rbd: _fill_kernel(
-            a, la, b, lb, lbd, rbd, nd, W, match, mismatch, gap_p,
-            end_gap_p, mode))
-    ptrs = fill(s1b, len1b, s2b, len2b, lband, rband)
+    if homo1b is not None:
+        fill = jax.vmap(
+            lambda a, la, b, lb, lbd, rbd, h1, h2: _fill_kernel(
+                a, la, b, lb, lbd, rbd, nd, W, match, mismatch, gap_p,
+                end_gap_p, mode, h1, h2, homo_gap_p, banded))
+        ptrs = fill(s1b, len1b, s2b, len2b, lband, rband, homo1b, homo2b)
+    else:
+        fill = jax.vmap(
+            lambda a, la, b, lb, lbd, rbd: _fill_kernel(
+                a, la, b, lb, lbd, rbd, nd, W, match, mismatch, gap_p,
+                end_gap_p, mode, None, None, homo_gap_p, banded))
+        ptrs = fill(s1b, len1b, s2b, len2b, lband, rband)
 
     nsteps = s1b.shape[1] + s2b.shape[1]
     tb = jax.vmap(
@@ -241,8 +268,29 @@ def _nw_batch_jit(s1b, len1b, s2b, len2b, *, nd, W, match, mismatch,
     return kinds, p0, p1, ham, tvec, ok
 
 
+def homo_mask_batch(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """[n, L] bool: positions inside a homopolymer run of length >= 3,
+    batched (reference: src/nwalign_endsfree.cpp:227-255)."""
+    codes = np.asarray(codes)
+    n, L = codes.shape
+    if L < 3:
+        return np.zeros((n, L), bool)
+    pos = np.arange(L)[None, :]
+    real = pos < np.asarray(lens)[:, None]
+    eq = np.zeros((n, L), bool)
+    eq[:, 1:] = (codes[:, 1:] == codes[:, :-1]) & real[:, 1:]
+    # position is in a run >= 3 iff some window of 2 consecutive eq-links
+    # covers it: eq[i] & eq[i+1] marks i-1..i+1
+    tri = np.zeros((n, L), bool)
+    tri[:, 1:] = eq[:, 1:] & np.roll(eq, -1, axis=1)[:, 1:]
+    out = tri | np.roll(tri, 1, axis=1) | np.roll(tri, -1, axis=1)
+    out[:, 0] = tri[:, 0] | (tri[:, 1] if L > 1 else False)
+    return out & real
+
+
 def nw_batch(s1b, len1b, s2b, len2b, *, match, mismatch, gap_p,
-             end_gap_p=0, band=-1, mode="vec"):
+             end_gap_p=0, band=-1, mode="vec", homo_gap_p=None,
+             homo1b=None, homo2b=None):
     """Align pairs (s1b[k], s2b[k]) with the vectorized-NW semantics.
 
     s1b: [n, L1] uint8/int codes; len1b: [n]; likewise s2b/len2b.
@@ -254,16 +302,29 @@ def nw_batch(s1b, len1b, s2b, len2b, *, match, mismatch, gap_p,
       tvec [n, L2] int8 — 16-way transition index per s2 position (self
         transitions except at substitutions; 16 = padding);
       ok [n] bool — traceback reached the origin (always true in-band).
+
+    mode="scalar" uses the classic aligner's recurrences (banded or not);
+    homo_gap_p (with mode="scalar", ends-free) enables the homopolymer
+    gap variant — homo1b/homo2b masks are computed here if not given.
     """
-    if mode == "scalar" and band >= 0:
-        raise ValueError("batched scalar mode is unbanded only (band=-1)")
     nd, W = batch_geometry(np.asarray(len1b), np.asarray(len2b), band)
+    use_homo = (mode == "scalar" and homo_gap_p is not None
+                and homo_gap_p != gap_p and end_gap_p != gap_p)
+    h1 = h2 = None
+    if use_homo:
+        if homo1b is None:
+            homo1b = homo_mask_batch(s1b, len1b)
+        if homo2b is None:
+            homo2b = homo_mask_batch(s2b, len2b)
+        h1 = jnp.asarray(homo1b, bool)
+        h2 = jnp.asarray(homo2b, bool)
     return _nw_batch_jit(
         jnp.asarray(s1b, jnp.int8), jnp.asarray(len1b, jnp.int32),
         jnp.asarray(s2b, jnp.int8), jnp.asarray(len2b, jnp.int32),
+        h1, h2,
         nd=nd, W=W, match=int(match), mismatch=int(mismatch),
         gap_p=int(gap_p), end_gap_p=int(end_gap_p), band=int(band),
-        mode=mode)
+        mode=mode, homo_gap_p=int(homo_gap_p) if use_homo else 0)
 
 
 def steps_to_alignment(kinds: np.ndarray, p0: np.ndarray, p1: np.ndarray,

@@ -123,3 +123,30 @@ def test_screen_thresholded_compare(sample, monkeypatch):
     # and every row the engine WOULD store was kept
     store = lam_full * total > e_minmax
     assert kept[store].all()
+
+
+def test_full_run_parity_scalar_homo(sample):
+    """Non-vectorized homopolymer config (the 454/PacBio engine mode):
+    the batched scalar path must match the oracle bit-for-bit."""
+    err = tperr1()
+    kw = dict(VECTORIZED_ALIGNMENT=False, HOMOPOLYMER_GAP_PENALTY=-1,
+              BAND_SIZE=32)
+    seqs, ab, quals = sample
+    small = (seqs[:60], ab[:60], quals[:60])
+    eng_o, res_o = _run(OracleBackend, small, err, **kw)
+    eng_t, res_t = _run(TpuBackend, small, err, **kw)
+    assert len(eng_o.clusters) == len(eng_t.clusters)
+    np.testing.assert_array_equal(eng_o.cluster_of, eng_t.cluster_of)
+    np.testing.assert_array_equal(eng_o.comp_lam, eng_t.comp_lam)
+    _assert_same(res_o, res_t)
+
+
+def test_full_run_parity_scalar_novec(sample):
+    """VECTORIZED_ALIGNMENT=False without homopolymer gaps."""
+    err = tperr1()
+    kw = dict(VECTORIZED_ALIGNMENT=False)
+    seqs, ab, quals = sample
+    small = (seqs[:60], ab[:60], quals[:60])
+    eng_o, res_o = _run(OracleBackend, small, err, **kw)
+    eng_t, res_t = _run(TpuBackend, small, err, **kw)
+    _assert_same(res_o, res_t)

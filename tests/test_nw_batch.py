@@ -134,3 +134,66 @@ def test_scalar_mode_parity(egp, params):
         got0, got1 = steps_to_alignment(kinds[k], p0[k], p1[k], a, b)
         assert np.array_equal(ref0, got0), f"pair {k} al0"
         assert np.array_equal(ref1, got1), f"pair {k} al1"
+
+
+def test_scalar_banded_homo_parity():
+    """Batched scalar mode (banded, homopolymer) vs the scalar oracle,
+    which is itself fuzz-verified against the compiled reference
+    (tests/test_reference_parity.py)."""
+    from dada2_tpu.ops import nw_batch as nwb
+    from dada2_tpu.ops import nw_ref
+
+    rng = np.random.default_rng(31)
+    for trial in range(40):
+        l1 = int(rng.integers(40, 120))
+        s1 = rng.integers(0, 4, l1).astype(np.uint8)
+        # homopolymer runs
+        for _ in range(3):
+            p = int(rng.integers(0, l1 - 8))
+            s1[p: p + int(rng.integers(3, 7))] = int(rng.integers(0, 4))
+        s2 = s1.copy().tolist()
+        for _ in range(int(rng.integers(0, 6))):
+            p = int(rng.integers(0, len(s2)))
+            op = rng.random()
+            if op < 0.4:
+                s2[p] = int(rng.integers(0, 4))
+            elif op < 0.7 and len(s2) > 30:
+                del s2[p]
+            else:
+                s2.insert(p, int(rng.integers(0, 4)))
+        s2 = np.array(s2, np.uint8)
+        band = int(rng.choice([-1, 8, 16, 32]))
+        hgp = [None, -1, -3][trial % 3]
+        egp = 0 if trial % 4 else -8  # mostly endsfree, some global
+
+        ours = nw_ref.nw_align_ref(s1, s2, 5, -4, -8, end_gap_p=egp,
+                                   band=band, mode="scalar",
+                                   homo_gap_p=hgp)
+        L = max(l1, len(s2))
+        s1p = np.full((1, L), 255, np.uint8)
+        s2p = np.full((1, L), 255, np.uint8)
+        s1p[0, :l1] = s1
+        s2p[0, : len(s2)] = s2
+        out = nwb.nw_batch(s1p, np.array([l1]), s2p,
+                           np.array([len(s2)]), match=5, mismatch=-4,
+                           gap_p=-8, end_gap_p=egp, band=band,
+                           mode="scalar", homo_gap_p=hgp)
+        kinds, p0, p1 = (np.asarray(out[0])[0], np.asarray(out[1])[0],
+                         np.asarray(out[2])[0])
+        assert np.asarray(out[5])[0], f"trial {trial}: traceback failed"
+        a0, a1 = nwb.steps_to_alignment(kinds, p0, p1, s1, s2)
+        np.testing.assert_array_equal(
+            a0, ours[0], err_msg=f"trial {trial} band={band} hgp={hgp}")
+        np.testing.assert_array_equal(a1, ours[1])
+
+
+def test_homo_mask_batch():
+    from dada2_tpu.ops.nw_batch import homo_mask_batch
+    from dada2_tpu.ops.nw_ref import _homo_mask
+
+    rng = np.random.default_rng(5)
+    for _ in range(50):
+        L = int(rng.integers(3, 80))
+        s = rng.integers(0, 3, L).astype(np.uint8)
+        m = homo_mask_batch(s[None, :], np.array([L]))[0]
+        np.testing.assert_array_equal(m, _homo_mask(s))
