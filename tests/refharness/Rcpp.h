@@ -11,6 +11,11 @@
 
 inline void Rprintf(const char *, ...) {}
 
+#include <climits>
+#include <cmath>
+#define NA_INTEGER INT_MIN
+#define NA_REAL (std::nan(""))
+
 namespace Rcpp {
 
 template <typename... Args>
@@ -85,8 +90,19 @@ inline NumericVector ppois(IntegerVector q, double lambda, bool lower) {
   return out;
 }
 
+class IntegerMatrix {
+ public:
+  int nr = 0, nc = 0;
+  std::vector<int> data;  // column-major, as in R
+  IntegerMatrix() {}
+  IntegerMatrix(int r, int c) : nr(r), nc(c), data((size_t)r * c) {}
+  int &operator()(int i, int j) { return data[i + (size_t)j * nr]; }
+  int operator()(int i, int j) const { return data[i + (size_t)j * nr]; }
+  int nrow() const { return nr; }
+  int ncol() const { return nc; }
+};
+
 // opaque placeholders: only referenced in dada.h declarations
-class IntegerMatrix {};
 class LogicalVector {};
 class DataFrame {};
 class List {};

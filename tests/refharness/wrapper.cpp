@@ -110,3 +110,30 @@ extern "C" double ref_kord_dist(const char *s1, int len1, const char *s2,
     return -99.0;
   }
 }
+
+// filter kernels (reference: src/filter.cpp) ------------------------------
+
+Rcpp::IntegerVector C_matchRef(std::vector<std::string> seqs,
+                               std::string ref, unsigned int word_size,
+                               bool non_overlapping);
+Rcpp::NumericVector C_matrixEE(Rcpp::IntegerMatrix inp);
+
+extern "C" void ref_match_ref(const char **seqs, int nseq, const char *ref,
+                              int word_size, int non_overlapping,
+                              long long *out) {
+  std::vector<std::string> v(nseq);
+  for (int i = 0; i < nseq; i++) v[i] = seqs[i];
+  Rcpp::IntegerVector rv =
+      C_matchRef(v, ref, word_size, non_overlapping != 0);
+  for (int i = 0; i < nseq; i++) out[i] = rv[i];
+}
+
+extern "C" void ref_matrix_ee(const int *q, int nrow, int ncol,
+                              double *out) {
+  Rcpp::IntegerMatrix m(nrow, ncol);
+  for (int i = 0; i < nrow; i++)
+    for (int j = 0; j < ncol; j++)
+      m(i, j) = q[(size_t)i * ncol + j];  // row-major input
+  Rcpp::NumericVector rv = C_matrixEE(m);
+  for (int i = 0; i < nrow; i++) out[i] = rv[i];
+}

@@ -32,6 +32,7 @@ def reflib(tmp_path_factory):
         ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
          "-I", HARNESS, "-I", REF_SRC, "-o", so,
          os.path.join(HARNESS, "wrapper.cpp"),
+         os.path.join(REF_SRC, "filter.cpp"),
          os.path.join(REF_SRC, "nwalign_vectorized.cpp"),
          os.path.join(REF_SRC, "nwalign_endsfree.cpp"),
          os.path.join(REF_SRC, "kmers.cpp")],
@@ -337,3 +338,72 @@ def test_engine_parity_sam1F(refengine, overrides):
         assert c.birth_type.encode() == btypes.raw[i: i + 1], i
         if i > 0:
             assert c.birth_pval == bpvals[i], i
+
+
+@pytest.fixture(scope="module")
+def reffilter(tmp_path_factory):
+    so = str(tmp_path_factory.mktemp("reffil") / "reffilter.so")
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+         "-fPIC", "-I", HARNESS, "-I", REF_SRC, "-o", so,
+         os.path.join(HARNESS, "wrapper.cpp"),
+         os.path.join(REF_SRC, "filter.cpp"),
+         os.path.join(REF_SRC, "nwalign_vectorized.cpp"),
+         os.path.join(REF_SRC, "nwalign_endsfree.cpp"),
+         os.path.join(REF_SRC, "kmers.cpp")],
+        check=True, capture_output=True)
+    lib = ctypes.CDLL(so)
+    lib.ref_match_ref.restype = None
+    lib.ref_matrix_ee.restype = None
+    return lib
+
+
+def test_match_ref_parity(reffilter):
+    """Vectorized rolling-hash match_ref == C_matchRef (reference:
+    src/filter.cpp:7-32), incl. the non-overlapping skip."""
+    from dada2_tpu.filter import match_ref
+
+    rng = np.random.default_rng(41)
+    nt = "ACGT"
+    ref = "".join(rng.choice(list(nt), 300))
+    seqs = []
+    for _ in range(60):
+        L = int(rng.integers(10, 120))
+        if rng.random() < 0.5:  # embed real ref chunks
+            st = int(rng.integers(0, 280))
+            s = ref[st: st + L]
+        else:
+            s = "".join(rng.choice(list(nt), L))
+        if rng.random() < 0.2:  # non-ACGT characters
+            p = int(rng.integers(0, max(1, len(s))))
+            s = s[:p] + "N" + s[p + 1:]
+        seqs.append(s)
+    for ws, novl in ((16, 1), (16, 0), (8, 1)):
+        ours = match_ref(seqs, ref, ws, bool(novl))
+        enc = [s.encode() for s in seqs]
+        arr = (ctypes.c_char_p * len(seqs))(*enc)
+        out = np.zeros(len(seqs), np.int64)
+        reffilter.ref_match_ref(arr, len(seqs), ref.encode(), ws, novl,
+                                out.ctypes.data_as(ctypes.c_void_p))
+        np.testing.assert_array_equal(ours, out, err_msg=f"ws={ws}")
+
+
+def test_matrix_ee_parity(reffilter):
+    """matrix_ee == C_matrixEE bitwise (reference: src/filter.cpp:35-49),
+    incl. the sequential float64 accumulation order."""
+    from dada2_tpu.filter import matrix_ee
+
+    rng = np.random.default_rng(43)
+    NA = np.iinfo(np.int32).min
+    quals = [rng.integers(0, 42, size=int(rng.integers(1, 250)))
+             for _ in range(200)]
+    ours = matrix_ee([q.astype(np.float64) for q in quals])
+    ncol = max(len(q) for q in quals)
+    m = np.full((len(quals), ncol), NA, np.int32)
+    for i, q in enumerate(quals):
+        m[i, : len(q)] = q
+    out = np.zeros(len(quals))
+    reffilter.ref_matrix_ee(
+        m.ctypes.data_as(ctypes.c_void_p), len(quals), ncol,
+        out.ctypes.data_as(ctypes.c_void_p))
+    np.testing.assert_array_equal(ours, out)

@@ -70,3 +70,22 @@ def test_add_species(extdata):
     sp = add_species(tax, str(extdata / "example_species_assignment.fa.gz"))
     assert "Species" in sp.columns
     assert sp.shape[0] == tax.shape[0]
+
+
+def test_score_batch_chunked_equivalence():
+    """Genus-axis chunking of the bootstrap scoring must not change any
+    assignment (same PRNG draws, running-max merge)."""
+    import jax
+    import jax.numpy as jnp
+    from dada2_tpu.taxonomy import _score_batch
+
+    rng = np.random.default_rng(9)
+    G, Aq = 50, 120
+    lgk = jnp.asarray(rng.uniform(-12, -2, (G, 65536)).astype(np.float32))
+    karrays = [rng.integers(0, 65536, size=int(rng.integers(40, Aq)))
+               for _ in range(12)]
+    key = jax.random.PRNGKey(7)
+    full = _score_batch(karrays, lgk, key, G, mem_cap=1 << 40)
+    chunked = _score_batch(karrays, lgk, key, G, mem_cap=12 * 130 * 20)
+    for a, b in zip(full, chunked):
+        np.testing.assert_array_equal(a, b)
