@@ -43,6 +43,14 @@ def info(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+if os.environ.get("DADA2_TPU_STACKDUMP"):
+    import faulthandler
+
+    faulthandler.dump_traceback_later(
+        int(os.environ["DADA2_TPU_STACKDUMP"]), repeat=True,
+        file=sys.stderr)
+
+
 def build_refengine(tmp="/tmp/dada2_refengine_bench.so"):
     srcs = [os.path.join(HARNESS, "engine_wrapper.cpp")] + [
         os.path.join(REF_SRC, f) for f in

@@ -150,8 +150,9 @@ def _qlerr_table(quals, err32):
                                    "mismatch", "gap_p", "interpret",
                                    "mesh"))
 def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
-                     qlerr, s2r, inv, kmers, kords, *, spec, L1R, L2R,
-                     NDP, match, mismatch, gap_p, interpret, mesh=None):
+                     qlerr, s2r, q2r, inv, kmers, kords, *, spec, L1R,
+                     L2R, NDP, match, mismatch, gap_p, interpret,
+                     mesh=None):
     """One-dispatch compare sweep: k-mer screens, per-WP-bucket pallas
     calls (whose in-kernel traceback emits substitution and alignment-map
     tiles), elementwise reassembly, an f32 log-lambda screen, and a SMALL
@@ -161,9 +162,12 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
     transition vectors and alignment maps stay device-resident and only
     shortlisted rows are ever fetched).
 
-    Returns (maps, tvec, small):
+    Returns (maps, ntq, tvec, small):
       maps  [n, L1R] int16 — query position aligned to each center
             position (1-based rows; -1 = gap, -2 = unconsumed);
+      ntq   [n, L1R] int16 — packed (qual << 3 | nt+1) of the query base
+            aligned to each center position, 0 at gaps (feeds the
+            device-side output tallies);
       tvec  [n, L] int8 — per-query-position transition codes;
       small [n, 25] int8 — ham i16, ham_gapless i16, minsum i16,
             kmatch i16, loglam f32, abssum f32, loglam_gapless f32,
@@ -175,35 +179,38 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
     center_seq = seqs[center]
     len1 = lens[center]
     s1t = _build_s1t(center_seq, L1R)
-    outs = ([], [], [])
+    outs = ([], [], [], [])
     for (WP, nreal), sel in zip(spec, sels):
         g_scal = jnp.take(scal, sel, 0)
         g_params = jnp.take(params, sel, 0)
         g_s2r = jnp.take(s2r, sel, 0)
+        g_q2r = jnp.take(q2r, sel, 0)
         if mesh is None:
             out = nwp._pallas_call(
-                g_scal, g_params, s1t, g_s2r, L1R=L1R, L2R=L2R, NDP=NDP,
-                WP=WP, match=match, mismatch=mismatch, gap_p=gap_p,
-                end_gap_p=0, interpret=interpret)
+                g_scal, g_params, s1t, g_s2r, g_q2r, L1R=L1R, L2R=L2R,
+                NDP=NDP, WP=WP, match=match, mismatch=mismatch,
+                gap_p=gap_p, end_gap_p=0, interpret=interpret)
         else:
             # shard the block grid over the mesh's "pairs" axis; each
             # device sweeps its local blocks with the same kernel
             from jax.sharding import PartitionSpec as P
 
             out = jax.shard_map(
-                lambda sc, pr, s1, s2: tuple(nwp._pallas_call(
-                    sc, pr, s1, s2, L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
+                lambda sc, pr, s1, s2, q2: tuple(nwp._pallas_call(
+                    sc, pr, s1, s2, q2, L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
                     match=match, mismatch=mismatch, gap_p=gap_p,
                     end_gap_p=0, interpret=interpret)),
                 mesh=mesh,
-                in_specs=(P("pairs"), P("pairs"), P(), P("pairs")),
-                out_specs=(P("pairs"),) * 4, check_vma=False,
-            )(g_scal, g_params, s1t, g_s2r)
-        for k in range(3):
+                in_specs=(P("pairs"), P("pairs"), P(), P("pairs"),
+                          P("pairs")),
+                out_specs=(P("pairs"),) * 5, check_vma=False,
+            )(g_scal, g_params, s1t, g_s2r, g_q2r)
+        for k in range(4):
             outs[k].append(out[k + 1][:nreal])
     sub_blocks = jnp.take(jnp.concatenate(outs[0], axis=0), perm, axis=0)
     map_blocks = jnp.take(jnp.concatenate(outs[1], axis=0), perm, axis=0)
-    end_blocks = jnp.take(jnp.concatenate(outs[2], axis=0), perm, axis=0)
+    ntq_blocks = jnp.take(jnp.concatenate(outs[2], axis=0), perm, axis=0)
+    end_blocks = jnp.take(jnp.concatenate(outs[3], axis=0), perm, axis=0)
 
     # sub tiles are in reversed right-aligned storage (row l2max-1-p for
     # query position p, block-uniform); flip + per-block slice moves them
@@ -219,6 +226,9 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
                        axis=0)
     maps = jnp.take(
         jnp.swapaxes(map_blocks, 1, 2).reshape(-1, map_blocks.shape[1]),
+        inv, axis=0).astype(jnp.int16)
+    ntq = jnp.take(
+        jnp.swapaxes(ntq_blocks, 1, 2).reshape(-1, ntq_blocks.shape[1]),
         inv, axis=0).astype(jnp.int16)
     endf = jnp.take(jnp.swapaxes(end_blocks, 1, 2).reshape(-1, 8), inv,
                     axis=0)
@@ -271,7 +281,7 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
         [i16col(ham), i16col(ham_gl), i16col(minsum), i16col(kmatch),
          f32col(loglam), f32col(abssum), f32col(loglam_gl),
          f32col(abssum_gl), ok.astype(jnp.int8)[:, None]], axis=1)
-    return maps, tvec.astype(jnp.int8), small
+    return maps, ntq, tvec.astype(jnp.int8), small
 
 
 @jax.jit
@@ -280,11 +290,57 @@ def _gather_rows(arr, idx):
     return jnp.take(arr, idx.astype(jnp.int32), axis=0)
 
 
+@jax.jit
+def _gather_tvec_packed(tvec, idx):
+    """Row gather + 4-bit packing (two transition codes per byte)."""
+    rows = jnp.take(tvec, idx.astype(jnp.int32), axis=0).astype(
+        jnp.uint8) & 15
+    L = rows.shape[1]
+    if L % 2:
+        rows = jnp.pad(rows, ((0, 0), (0, 1)))
+    return rows[:, 0::2] | (rows[:, 1::2] << 4)
+
+
 @partial(jax.jit, static_argnames=("W",))
 def _gather_rows_slice(arr, idx, W):
     """Row gather + column slice (fetch only the columns a consumer
     needs; W is bucketed so programs are reused)."""
     return jnp.take(arr, idx.astype(jnp.int32), axis=0)[:, :W]
+
+
+@partial(jax.jit, static_argnames=("CW", "ncol"))
+def _cluster_stats_dev(ntq, cseq, members, w, *, CW, ncol):
+    """Device per-cluster output tallies from the kernel's ntq tiles
+    (reference semantics: src/error.cpp:131-258; every accumulated term
+    is integer-valued, so any summation order is exact).
+
+    Returns one packed int32 vector [16*ncol + 2*CW]:
+    transition-by-quality counts, quality*reads accums, reads counts."""
+    rows = jnp.take(ntq, members.astype(jnp.int32),
+                    axis=0)[:, 1: CW + 1].astype(jnp.int32)   # [m, CW]
+    diag = rows > 0
+    nt1 = (rows & 7) - 1
+    q1 = rows >> 3
+    csp = jnp.pad(cseq.astype(jnp.int32), (0, CW))[:CW]
+    t = 4 * csp[None, :] + jnp.where(diag, nt1, 0)
+    qq = jnp.where(diag, jnp.minimum(q1, ncol - 1), 0)
+    wcol = w.astype(jnp.int32)[:, None]
+    qacc = jnp.sum(jnp.where(diag, q1 * wcol, 0), axis=0)
+    qcnt = jnp.sum(jnp.where(diag, wcol, 0), axis=0)
+    idx = jnp.where(diag, t * ncol + qq, 16 * ncol)          # [m, CW]
+
+    nb = (16 * ncol + 63) // 64
+
+    def hist_chunk(carry, b0):
+        bins = b0 * 64 + jnp.arange(64, dtype=jnp.int32)
+        h = jnp.sum((idx[:, :, None] == bins[None, None, :])
+                    * wcol[:, :, None], axis=(0, 1))
+        return carry, h
+
+    _, hs = jax.lax.scan(hist_chunk, 0,
+                         jnp.arange(nb, dtype=jnp.int32))
+    trans = hs.reshape(-1)[: 16 * ncol]
+    return jnp.concatenate([trans, qacc, qcnt])
 
 
 class _PallasBlocks:
@@ -301,6 +357,14 @@ class _PallasBlocks:
         s2r = nwp.pack_s2_blocks(rawset.seqs, self.lens, self.block_idx,
                                  self.L2R)
         self.d_s2r = put(s2r)
+        # candidate quals in the same reversed right-aligned layout (the
+        # kernel's ntq payload for device-side output tallies)
+        if rawset.quals is not None:
+            q2r = nwp.pack_s2_blocks(rawset.quals, self.lens,
+                                     self.block_idx, self.L2R)
+        else:
+            q2r = np.zeros_like(s2r)
+        self.d_q2r = put(q2r)
         flat = self.block_idx.reshape(-1)
         inv = np.full(rawset.n, -1, np.int64)
         for r, j in enumerate(flat):
@@ -520,7 +584,7 @@ class TpuBackend(CompareBackend):
             d_scal, d_params, sels, d_perm, pb.d_offs,
             self._put(np.int32(center)),
             self.d_seqs, self.d_lens, self._get_qlerr(err), pb.d_s2r,
-            pb.d_inv, self.d_kmers, self.d_kords,
+            pb.d_q2r, pb.d_inv, self.d_kmers, self.d_kords,
             spec=spec, L1R=L1R, L2R=pb.L2R, NDP=NDP,
             match=opts.MATCH, mismatch=opts.MISMATCH,
             gap_p=opts.GAP_PENALTY, interpret=self._interpret,
@@ -543,11 +607,18 @@ class TpuBackend(CompareBackend):
 
     def _fetch_tvec_rows(self, d_tvec, rows: np.ndarray) -> np.ndarray:
         """Fetch the transition-vector rows of a shortlist (bucketed to a
-        power of two so gather programs are reused)."""
+        power of two so gather programs are reused). Rows travel 4-bit
+        packed — transition codes fit a nibble, and pad positions (code
+        16) are masked by length downstream, so the low nibble suffices."""
         nb = _bucket(len(rows))
         pad = np.full(nb - len(rows), rows[0], np.int64)
         full = self._put(np.concatenate([rows, pad]).astype(np.int32))
-        return np.asarray(_gather_rows(d_tvec, full))[: len(rows)]
+        packed = np.asarray(_gather_tvec_packed(d_tvec, full))[: len(rows)]
+        L = d_tvec.shape[1]
+        out = np.empty((len(rows), packed.shape[1] * 2), np.uint8)
+        out[:, 0::2] = packed & 15
+        out[:, 1::2] = packed >> 4
+        return out[:, :L]
 
     @staticmethod
     def _screen_need(loglam: np.ndarray, abssum: np.ndarray, L: int,
@@ -684,7 +755,7 @@ class TpuBackend(CompareBackend):
             # fast path: ONE fused device call + ONE small host fetch
             res = self._align_all_pallas(center, opts, geom, err)
             (ham_all, ham_gl, minsum, kmatch, loglam, abssum, loglam_gl,
-             abssum_gl, ok) = self._unpack_small(np.asarray(res[2]))
+             abssum_gl, ok) = self._unpack_small(np.asarray(res[3]))
         else:
             res = None
             minsum = kmatch = None
@@ -724,7 +795,7 @@ class TpuBackend(CompareBackend):
                 lam[ng] = self._lambdas(ng, tvec, err)
             na = al_idx[need[al_idx]]
             if len(na):
-                tvec = self._fetch_tvec_rows(res[1], na)
+                tvec = self._fetch_tvec_rows(res[2], na)
                 lam[na] = self._lambdas(na, tvec, err)
             return lam, ham
 
@@ -815,7 +886,7 @@ class TpuBackend(CompareBackend):
             res = self._align_all_pallas(center, opts, geom, None)
         sm = None
         if res is not None:
-            sm = self._unpack_small(np.asarray(res[2]))
+            sm = self._unpack_small(np.asarray(res[3]))
         if use_kmers:
             if sm is not None:
                 minsum, kmatch = sm[2], sm[3]
@@ -881,7 +952,7 @@ class TpuBackend(CompareBackend):
             return super().subs_info(center, members, opts)
         rs = self.rs
         res = self._align_all_pallas(center, opts, geom, None)
-        sm = self._unpack_small(np.asarray(res[2]))
+        sm = self._unpack_small(np.asarray(res[3]))
         if not sm[8][members].all():
             raise RuntimeError("N-W Align out of range.")
         nb = _bucket(m)
@@ -897,6 +968,46 @@ class TpuBackend(CompareBackend):
         nti1 = rs.seqs[members[:, None], p1c].astype(np.int64)
         nsubs = (diag & (nti0 != nti1)).sum(axis=1).astype(np.int64)
         return p1mat, nsubs
+
+    def cluster_stats(self, center: int, members: np.ndarray,
+                      correct: np.ndarray, opts: DadaOptions, ncol: int,
+                      use_quals: bool):
+        """Device-side per-cluster output tallies: the kernel-emitted
+        (nt, qual) center-coordinate tiles are reduced on-chip and only
+        the tiny [16*ncol + 2*len0] result is fetched — no per-member
+        alignment-map transfer. Falls back to the host path off the
+        pallas route or when int32 weights could overflow."""
+        members = np.asarray(members, np.int64)
+        len0 = int(self.lens[center])
+        geom = (self._pallas_ok(len0, opts)
+                if opts.BAND_SIZE != 0 else None)
+        maxq = 250
+        total_w = int(self.rs.reads[members].sum())
+        if (geom is None or not use_quals
+                or total_w * maxq >= 2**31 - 1):
+            return super().cluster_stats(center, members, correct, opts,
+                                         ncol, use_quals)
+        res = self._align_all_pallas(center, opts, geom, None)
+        sm = self._unpack_small(np.asarray(res[3]))
+        if not sm[8][members].all():
+            raise RuntimeError("N-W Align out of range.")
+        nsubs = sm[0][members]
+        m = len(members)
+        nb = _bucket(m)
+        mem_pad = np.concatenate([members,
+                                  np.zeros(nb - m, np.int64)])
+        w_pad = np.zeros(nb, np.int32)
+        w_pad[:m] = np.where(correct, self.rs.reads[members], 0)
+        CW = _round_up(len0 + 2, 64)
+        packed = np.asarray(_cluster_stats_dev(
+            res[1], self.d_seqs[center],
+            self._put(mem_pad.astype(np.int32)), self._put(w_pad),
+            CW=CW, ncol=ncol))
+        trans = packed[: 16 * ncol].astype(np.int64).reshape(16, ncol)
+        qacc = packed[16 * ncol: 16 * ncol + len0].astype(np.int64)
+        qcnt = packed[16 * ncol + CW: 16 * ncol + CW + len0].astype(
+            np.int64)
+        return trans, qacc, qcnt, nsubs
 
     def subs_to_center(self, center: int, members: np.ndarray,
                        opts: DadaOptions) -> List[Optional[Sub]]:

@@ -108,6 +108,51 @@ class CompareBackend:
             nsubs[r] = s.nsubs
         return p1mat, nsubs
 
+    def cluster_stats(self, center: int, members: np.ndarray,
+                      correct: np.ndarray, opts: DadaOptions, ncol: int,
+                      use_quals: bool):
+        """Per-cluster output statistics, batched: returns
+        (trans [16, ncol] int64, qacc [len0] int64, qcnt [len0] int64,
+        nsubs [m] int64).
+
+        trans counts transitions at non-gap center positions over CORRECT
+        members, weighted by reads (reference: src/error.cpp:131-172);
+        qacc/qcnt accumulate quality*reads and reads per center position
+        (reference: src/error.cpp:225-258 — integer-valued additions into
+        doubles, hence order-free and exactly representable); nsubs is
+        the substitution count per member (-1 if unaligned). Backends may
+        override with a device implementation."""
+        from ..encode import GAP_GLYPH as _GG
+
+        rs = self.rs
+        p1mat, nsubs = self.subs_info(center, members, opts)
+        len0 = int(rs.lens[center])
+        if not use_quals:
+            ncol = 1
+        use = correct & (nsubs >= 0)
+        trans = np.zeros(16 * ncol, dtype=np.int64)
+        qacc = np.zeros(len0, dtype=np.int64)
+        qcnt = np.zeros(len0, dtype=np.int64)
+        if use.any():
+            mem = members[use]
+            pm = p1mat[use]
+            ok = pm != _GG
+            p1 = np.where(ok, pm, 0)
+            cseq = rs.seqs[center, :len0].astype(np.int64)
+            nti1 = rs.seqs[mem[:, None], p1].astype(np.int64)
+            t = 4 * cseq[None, :] + nti1
+            if use_quals:
+                q = rs.quals[mem[:, None], p1].astype(np.int64)
+            else:
+                q = np.zeros_like(t)
+            w = rs.reads[mem][:, None]
+            wb = np.broadcast_to(w, t.shape)
+            trans += np.bincount((t * ncol + q)[ok], weights=wb[ok],
+                                 minlength=16 * ncol).astype(np.int64)
+            qacc += (np.where(ok, q * w, 0)).sum(axis=0)
+            qcnt += (np.where(ok, w, 0)).sum(axis=0)
+        return trans.reshape(16, ncol), qacc, qcnt, nsubs
+
 
 class Engine:
     """The clustering state (B). reference: src/dada.h:108-123."""

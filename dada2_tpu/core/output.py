@@ -2,12 +2,13 @@
 cluster quality profiles, birth substitutions, and the uniques->ASV map.
 
 reference: src/Rmain.cpp:172-295 and src/error.cpp. The final-subs pass is
-batched: each cluster fetches ONE alignment-map matrix from the backend
-(subs_info) and every downstream statistic is computed in bulk numpy —
-no per-raw Sub objects on the hot path (the reference's FinalSubsParallel
-materializes per-raw Subs because its consumers are per-raw C loops;
-here the consumers are vectorized, so the Sub layer would be pure
-overhead at production scale).
+batched: each cluster's transition/quality tallies are reduced on device
+from the kernel-emitted (nt, qual) tiles (backend.cluster_stats) and only
+the tiny per-cluster results are fetched — no per-raw Sub objects and no
+alignment-map transfer on the hot path (the reference's FinalSubsParallel
+materializes per-raw Subs because its consumers are per-raw C loops).
+Every accumulated statistic is integer-valued, so the device reductions
+are exact regardless of summation order (src/error.cpp:131-258).
 """
 from __future__ import annotations
 
@@ -17,7 +18,7 @@ import numpy as np
 import pandas as pd
 from scipy import special as _sp
 
-from ..encode import GAP_GLYPH, codes_to_seq
+from ..encode import codes_to_seq
 from ..options import DadaOptions
 from .engine import Engine
 from ..ops.subs import Sub
@@ -38,18 +39,38 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
     nclust = len(eng.clusters)
     has_quals = rs.quals is not None
 
-    # Final subs for every raw vs its cluster center, and birth subs
-    # (reference: src/Rmain.cpp:174-236). Clusters are independent, so the
-    # device sweeps are interleaved across threads (the reference's
-    # FinalSubsParallel TBB loop, here overlapping dispatch latency).
-    info = [None] * nclust           # (members, p1mat, nsubs) per cluster
+    # Final within-cluster p and the OMEGA_C correction gate
+    # (reference: src/Rmain.cpp:238-252; prior=TRUE there, so the pval is
+    # the bare Poisson tail with no presence conditioning). Runs BEFORE
+    # the stats pass: the tallies are weighted by the correct mask.
+    pvals = np.zeros(rs.n)
+    for i, bi in enumerate(eng.clusters):
+        mem = np.asarray(bi.slots, dtype=np.int64)
+        eng.p[bi.center] = 1.0
+        notc = mem[mem != bi.center]
+        if len(notc):
+            pv = _sp.pdtrc(rs.reads[notc] - 1,
+                           eng.comp_lam[notc] * bi.reads)
+            eng.p[notc] = pv
+            eng.correct[notc[pv < omegaC]] = False
+        pvals[mem] = eng.p[mem]
+
+    # Final subs statistics for every raw vs its cluster center, and
+    # birth subs (reference: src/Rmain.cpp:174-236 + src/error.cpp).
+    # One batched device tally per cluster (the reference's
+    # FinalSubsParallel TBB loop + per-raw Sub walks), interleaved across
+    # threads to overlap dispatch latency.
+    ncol_t = err_ncol if has_quals else 1
+    stats = [None] * nclust    # (members, trans, qacc, qcnt, nsubs)
     birth_subs: List[Optional[Sub]] = [None] * nclust
 
     def _one_cluster(i):
         bi = eng.clusters[i]
         members = np.asarray(bi.slots, dtype=np.int64)
-        p1mat, nsubs = eng.backend.subs_info(bi.center, members, opts)
-        info[i] = (members, p1mat, nsubs)
+        trans_i, qacc_i, qcnt_i, nsubs_i = eng.backend.cluster_stats(
+            bi.center, members, eng.correct[members], opts, ncol_t,
+            has_quals)
+        stats[i] = (members, trans_i, qacc_i, qcnt_i, nsubs_i)
         if i > 0:
             from_center = eng.clusters[bi.birth_comp_i].center
             birth_subs[i] = eng.backend.subs_pair(
@@ -63,24 +84,11 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
         for i in range(nclust):
             _one_cluster(i)
 
-    # Final within-cluster p and the OMEGA_C correction gate
-    # (reference: src/Rmain.cpp:238-252; prior=TRUE there, so the pval is
-    # the bare Poisson tail with no presence conditioning)
-    pvals = np.zeros(rs.n)
-    for i, bi in enumerate(eng.clusters):
-        mem = np.asarray(bi.slots, dtype=np.int64)
-        eng.p[bi.center] = 1.0
-        notc = mem[mem != bi.center]
-        if len(notc):
-            pv = _sp.pdtrc(rs.reads[notc] - 1,
-                           eng.comp_lam[notc] * bi.reads)
-            eng.p[notc] = pv
-            eng.correct[notc[pv < omegaC]] = False
-        pvals[mem] = eng.p[mem]
-
-    clustering = _clustering_df(eng, info, birth_subs, has_quals)
-    subqual = _transition_matrix(eng, info, has_quals, err_ncol)
-    clusterquals = _cluster_quality_matrix(eng, info, has_quals,
+    clustering = _clustering_df(eng, stats, birth_subs, has_quals)
+    subqual = np.zeros((16, ncol_t), dtype=np.int64)
+    for i in range(nclust):
+        subqual += stats[i][1]
+    clusterquals = _cluster_quality_matrix(eng, stats, has_quals,
                                            rs.max_len)
     birth_df = _birth_subs_df(eng, birth_subs, has_quals)
 
@@ -95,14 +103,14 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
                 clusterquals=clusterquals, map=map_, pval=pvals)
 
 
-def _clustering_df(eng: Engine, info, birth_subs, has_quals) -> pd.DataFrame:
+def _clustering_df(eng: Engine, stats, birth_subs, has_quals) -> pd.DataFrame:
     """reference: src/error.cpp:9-127."""
     rs = eng.rs
     nclust = len(eng.clusters)
     seqs, abund, n0, n1, nunq = [], [], [], [], []
     b_from, b_pval, b_fold, b_ham, b_qave = [], [], [], [], []
     for i, bi in enumerate(eng.clusters):
-        members, p1mat, nsubs = info[i]
+        members, _, _, _, nsubs = stats[i]
         reads = rs.reads[members]
         # representative sequence: most abundant member, first-slot ties
         best = int(members[np.argmax(reads)]) if len(members) else -1
@@ -169,65 +177,20 @@ def _sub_q1(eng: Engine, i: int, s: Sub) -> np.ndarray:
     return eng.rs.quals[raw1, pos1]
 
 
-def _transition_matrix(eng: Engine, info, has_quals, ncol: int) -> np.ndarray:
-    """16 x Q observed transition counts (reference: src/error.cpp:131-172).
-
-    Integer counts: one flat weighted bincount per cluster."""
-    rs = eng.rs
-    if not has_quals:
-        ncol = 1
-    out = np.zeros(16 * ncol, dtype=np.int64)
-    for i, bi in enumerate(eng.clusters):
-        members, p1mat, nsubs = info[i]
-        use = eng.correct[members] & (nsubs >= 0)
-        if not use.any():
-            continue
-        mem = members[use]
-        pm = p1mat[use]
-        clen = int(rs.lens[bi.center])
-        cseq = rs.seqs[bi.center, :clen].astype(np.int64)
-        ok = pm != GAP_GLYPH
-        p1 = np.where(ok, pm, 0)
-        nti1 = rs.seqs[mem[:, None], p1].astype(np.int64)
-        t = 4 * cseq[None, :] + nti1
-        if has_quals:
-            q = rs.quals[mem[:, None], p1].astype(np.int64)
-        else:
-            q = np.zeros_like(t)
-        w = np.broadcast_to(rs.reads[mem][:, None], t.shape)
-        flat = (t * ncol + q)[ok]
-        out += np.bincount(flat, weights=w[ok],
-                           minlength=16 * ncol).astype(np.int64)
-    return out.reshape(16, ncol)
-
-
-def _cluster_quality_matrix(eng: Engine, info, has_quals, maxlen) -> np.ndarray:
-    """Average positional quality per cluster (reference: src/error.cpp:225-258)."""
+def _cluster_quality_matrix(eng: Engine, stats, has_quals, maxlen) -> np.ndarray:
+    """Average positional quality per cluster (reference:
+    src/error.cpp:225-258 — integer-valued accumulations, so the exact
+    integer tallies divide to the reference's doubles exactly)."""
     rs = eng.rs
     nclust = len(eng.clusters)
     out = np.zeros((maxlen, nclust))
     if not has_quals:
         return out
     for i, bi in enumerate(eng.clusters):
-        members, p1mat, nsubs = info[i]
-        use = eng.correct[members] & (nsubs >= 0)
+        _, _, qacc, qcnt, _ = stats[i]
         seqlen = int(rs.lens[bi.center])
-        nreads = np.zeros(seqlen, dtype=np.int64)
-        acc = np.zeros(seqlen)
-        ok = p1mat != GAP_GLYPH
-        p1 = np.where(ok, p1mat, 0)
-        w = rs.reads[members]
-        qv = rs.quals[members[:, None], p1].astype(np.float64)
-        contrib = np.where(ok, qv * w[:, None], 0.0)
-        cnt = np.where(ok, w[:, None], 0)
-        for r in range(len(members)):
-            # slot order: float accumulation order matters
-            if not use[r]:
-                continue
-            nreads += cnt[r]
-            acc += contrib[r]
         with np.errstate(invalid="ignore", divide="ignore"):
-            out[:seqlen, i] = acc / nreads
+            out[:seqlen, i] = qacc.astype(np.float64) / qcnt
         out[seqlen:, i] = np.nan
     return out
 

@@ -48,8 +48,9 @@ LANES = 128
 def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
     endsfree = end_gap_p > gap_p
 
-    def kernel(scal_ref, par_ref, s1_ref, s2r_ref, kinds_ref, sub_ref,
-               map_ref, end_ref, slab_ref, p1_ref, p2_ref, acc_ref):
+    def kernel(scal_ref, par_ref, s1_ref, s2r_ref, q2r_ref, kinds_ref,
+               sub_ref, map_ref, ntq_ref, end_ref, slab_ref, p1_ref,
+               p2_ref, acc_ref):
         b = pl.program_id(0)
         len1 = scal_ref[b, 0]
         len2max = scal_ref[b, 1]
@@ -69,6 +70,11 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
         # center-coordinate alignment map: row i = query j consumed by the
         # diagonal step at center position i, -1 for an up step (gap)
         map_ref[...] = jnp.full((L1R, LANES), -2, jnp.int32)
+        # center-coordinate (query nt, query qual) at diagonal steps,
+        # packed (q << 3) | (nt + 1); 0 = gap/unconsumed — feeds the
+        # device-side transition/quality tallies (reference:
+        # src/error.cpp:131-258) without fetching alignment maps
+        ntq_ref[...] = jnp.zeros((L1R, LANES), jnp.int32)
         end_ref[...] = jnp.zeros((8, LANES), jnp.int32)
         acc_ref[...] = jnp.zeros((WP, LANES), jnp.int32)
 
@@ -219,6 +225,15 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
             map_ref[pl.ds(od, WP), :] = jnp.where(
                 onehot & jnp.broadcast_to(consume1, (WP, LANES)),
                 jnp.broadcast_to(mval, (WP, LANES)), mapw)
+            # (query nt, qual) at center row i_t for diagonal steps
+            q2w = q2r_ref[pl.ds(C - d + od, WP), :]
+            q2l = jnp.sum(jnp.where(onehot, q2w, 0), axis=0,
+                          keepdims=True)
+            nqval = jnp.where(diag, (q2l << 3) | (c2l + 1), 0)
+            ntqw = ntq_ref[pl.ds(od, WP), :]
+            ntq_ref[pl.ds(od, WP), :] = jnp.where(
+                onehot & jnp.broadcast_to(consume1, (WP, LANES)),
+                jnp.broadcast_to(nqval, (WP, LANES)), ntqw)
             takes1 = consume1.astype(jnp.int32)
             takes2 = ((kind == 1) | (kind == 2)).astype(jnp.int32)
             return (i_t - takes1, j_t - takes2)
@@ -235,13 +250,17 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
 @partial(jax.jit, static_argnames=("L1R", "L2R", "NDP", "WP", "match",
                                    "mismatch", "gap_p", "end_gap_p",
                                    "interpret"))
-def _pallas_call(scal, params, s1t, s2r, *, L1R, L2R, NDP, WP, match,
-                 mismatch, gap_p, end_gap_p, interpret=False):
+def _pallas_call(scal, params, s1t, s2r, q2r=None, *, L1R, L2R, NDP, WP,
+                 match, mismatch, gap_p, end_gap_p, interpret=False):
     """Returns (kinds [nb, NDP, LANES], sub [nb, L2R, LANES],
-    map [nb, L1R, LANES], end [nb, 8, LANES]); sub/map/end are emitted by
-    the in-kernel traceback so no XLA gather/scatter post-pass is needed
-    (TPU scatters serialize; the kernel's one-hot window writes do not)."""
+    map [nb, L1R, LANES], ntq [nb, L1R, LANES], end [nb, 8, LANES]);
+    sub/map/ntq/end are emitted by the in-kernel traceback so no XLA
+    gather/scatter post-pass is needed (TPU scatters serialize; the
+    kernel's one-hot window writes do not). q2r holds the candidates'
+    quals in the s2r storage layout (zeros disable the ntq payload)."""
     nblocks = s2r.shape[0]
+    if q2r is None:
+        q2r = jnp.zeros(s2r.shape, jnp.int32)
     kernel = _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p,
                           end_gap_p)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -251,10 +270,12 @@ def _pallas_call(scal, params, s1t, s2r, *, L1R, L2R, NDP, WP, match,
             pl.BlockSpec((None, 8, LANES), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((L1R, LANES), lambda b, *_: (0, 0)),
             pl.BlockSpec((None, L2R, LANES), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((None, L2R, LANES), lambda b, *_: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, NDP, LANES), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((None, L2R, LANES), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((None, L1R, LANES), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((None, L1R, LANES), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((None, 8, LANES), lambda b, *_: (b, 0, 0)),
         ],
@@ -270,10 +291,11 @@ def _pallas_call(scal, params, s1t, s2r, *, L1R, L2R, NDP, WP, match,
             jax.ShapeDtypeStruct((nblocks, NDP, LANES), jnp.int32),
             jax.ShapeDtypeStruct((nblocks, L2R, LANES), jnp.int32),
             jax.ShapeDtypeStruct((nblocks, L1R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, L1R, LANES), jnp.int32),
             jax.ShapeDtypeStruct((nblocks, 8, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(scal, params, s1t, s2r)
+    )(scal, params, s1t, s2r, q2r)
 
 
 @partial(jax.jit, static_argnames=("nd",))
