@@ -150,7 +150,7 @@ def _qlerr_table(quals, err32):
                                    "mismatch", "gap_p", "interpret",
                                    "mesh"))
 def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
-                     qlerr, s2r, q2r, inv, kmers, kords, *, spec, L1R,
+                     qlerr, s2q, inv, kmers, kords, *, spec, L1R,
                      L2R, NDP, match, mismatch, gap_p, interpret,
                      mesh=None):
     """One-dispatch compare sweep: k-mer screens, per-WP-bucket pallas
@@ -162,12 +162,10 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
     transition vectors and alignment maps stay device-resident and only
     shortlisted rows are ever fetched).
 
-    Returns (maps, ntq, tvec, small):
-      maps  [n, L1R] int16 — query position aligned to each center
-            position (1-based rows; -1 = gap, -2 = unconsumed);
-      ntq   [n, L1R] int16 — packed (qual << 3 | nt+1) of the query base
-            aligned to each center position, 0 at gaps (feeds the
-            device-side output tallies);
+    Returns (mapq, tvec, small):
+      mapq  [n, L1R] int32 — merged per-center-position record:
+            diag = (qual << 17) | (query j << 3) | (nt1 + 2);
+            1 = gap (up step); 0 = unconsumed;
       tvec  [n, L] int8 — per-query-position transition codes;
       small [n, 25] int8 — ham i16, ham_gapless i16, minsum i16,
             kmatch i16, loglam f32, abssum f32, loglam_gapless f32,
@@ -179,15 +177,14 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
     center_seq = seqs[center]
     len1 = lens[center]
     s1t = _build_s1t(center_seq, L1R)
-    outs = ([], [], [], [])
-    for (WP, nreal), sel in zip(spec, sels):
+    outs = ([], [], [])
+    for (WP, _nbg), sel in zip(spec, sels):
         g_scal = jnp.take(scal, sel, 0)
         g_params = jnp.take(params, sel, 0)
-        g_s2r = jnp.take(s2r, sel, 0)
-        g_q2r = jnp.take(q2r, sel, 0)
+        g_s2q = jnp.take(s2q, sel, 0)
         if mesh is None:
             out = nwp._pallas_call(
-                g_scal, g_params, s1t, g_s2r, g_q2r, L1R=L1R, L2R=L2R,
+                g_scal, g_params, s1t, g_s2q, L1R=L1R, L2R=L2R,
                 NDP=NDP, WP=WP, match=match, mismatch=mismatch,
                 gap_p=gap_p, end_gap_p=0, interpret=interpret)
         else:
@@ -196,21 +193,19 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
             from jax.sharding import PartitionSpec as P
 
             out = jax.shard_map(
-                lambda sc, pr, s1, s2, q2: tuple(nwp._pallas_call(
-                    sc, pr, s1, s2, q2, L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
+                lambda sc, pr, s1, s2: tuple(nwp._pallas_call(
+                    sc, pr, s1, s2, L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
                     match=match, mismatch=mismatch, gap_p=gap_p,
                     end_gap_p=0, interpret=interpret)),
                 mesh=mesh,
-                in_specs=(P("pairs"), P("pairs"), P(), P("pairs"),
-                          P("pairs")),
-                out_specs=(P("pairs"),) * 5, check_vma=False,
-            )(g_scal, g_params, s1t, g_s2r, g_q2r)
-        for k in range(4):
-            outs[k].append(out[k + 1][:nreal])
+                in_specs=(P("pairs"), P("pairs"), P(), P("pairs")),
+                out_specs=(P("pairs"),) * 3, check_vma=False,
+            )(g_scal, g_params, s1t, g_s2q)
+        for k in range(3):
+            outs[k].append(out[k])  # padded blocks dropped via perm
     sub_blocks = jnp.take(jnp.concatenate(outs[0], axis=0), perm, axis=0)
-    map_blocks = jnp.take(jnp.concatenate(outs[1], axis=0), perm, axis=0)
-    ntq_blocks = jnp.take(jnp.concatenate(outs[2], axis=0), perm, axis=0)
-    end_blocks = jnp.take(jnp.concatenate(outs[3], axis=0), perm, axis=0)
+    mapq_blocks = jnp.take(jnp.concatenate(outs[1], axis=0), perm, axis=0)
+    end_blocks = jnp.take(jnp.concatenate(outs[2], axis=0), perm, axis=0)
 
     # sub tiles are in reversed right-aligned storage (row l2max-1-p for
     # query position p, block-uniform); flip + per-block slice moves them
@@ -224,12 +219,9 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
         a, (o, 0), (L, nwp.LANES)))(flipped, offs)
     subover = jnp.take(jnp.swapaxes(subq, 1, 2).reshape(-1, L), inv,
                        axis=0)
-    maps = jnp.take(
-        jnp.swapaxes(map_blocks, 1, 2).reshape(-1, map_blocks.shape[1]),
-        inv, axis=0).astype(jnp.int16)
-    ntq = jnp.take(
-        jnp.swapaxes(ntq_blocks, 1, 2).reshape(-1, ntq_blocks.shape[1]),
-        inv, axis=0).astype(jnp.int16)
+    mapq = jnp.take(
+        jnp.swapaxes(mapq_blocks, 1, 2).reshape(-1, mapq_blocks.shape[1]),
+        inv, axis=0)
     endf = jnp.take(jnp.swapaxes(end_blocks, 1, 2).reshape(-1, 8), inv,
                     axis=0)
     ok = (endf[:, 0] == 0) & (endf[:, 1] == 0)
@@ -281,7 +273,7 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
         [i16col(ham), i16col(ham_gl), i16col(minsum), i16col(kmatch),
          f32col(loglam), f32col(abssum), f32col(loglam_gl),
          f32col(abssum_gl), ok.astype(jnp.int8)[:, None]], axis=1)
-    return maps, ntq, tvec.astype(jnp.int8), small
+    return mapq, tvec.astype(jnp.int8), small
 
 
 @jax.jit
@@ -318,9 +310,9 @@ def _cluster_stats_dev(ntq, cseq, members, w, *, CW, ncol):
     transition-by-quality counts, quality*reads accums, reads counts."""
     rows = jnp.take(ntq, members.astype(jnp.int32),
                     axis=0)[:, 1: CW + 1].astype(jnp.int32)   # [m, CW]
-    diag = rows > 0
-    nt1 = (rows & 7) - 1
-    q1 = rows >> 3
+    diag = (rows & 7) >= 2
+    nt1 = (rows & 7) - 2
+    q1 = rows >> 17
     csp = jnp.pad(cseq.astype(jnp.int32), (0, CW))[:CW]
     t = 4 * csp[None, :] + jnp.where(diag, nt1, 0)
     qq = jnp.where(diag, jnp.minimum(q1, ncol - 1), 0)
@@ -352,19 +344,21 @@ class _PallasBlocks:
         self.maxlen = int(self.lens.max())
         self.block_idx = nwp.assemble_blocks(rawset.seqs, self.lens)
         self.nblocks = self.block_idx.shape[0]
-        # coarse rounding: samples with nearby max lengths share compiles
-        self.L2R = nwp._round_up(self.maxlen + 128, 32)
+        # VERY coarse rounding: kernel compiles cost minutes on the
+        # remote-compile rig, so all samples within a 128-wide max-length
+        # bucket share one program (the fill/traceback loops are runtime-
+        # bounded by the true lengths; padding costs memory only)
+        self.L2R = nwp._round_up(self.maxlen + 128, 128)
         s2r = nwp.pack_s2_blocks(rawset.seqs, self.lens, self.block_idx,
                                  self.L2R)
-        self.d_s2r = put(s2r)
-        # candidate quals in the same reversed right-aligned layout (the
-        # kernel's ntq payload for device-side output tallies)
+        # merged (qual << 2 | nt) candidate tile: one kernel input carries
+        # chars and quals in the reversed right-aligned layout
         if rawset.quals is not None:
             q2r = nwp.pack_s2_blocks(rawset.quals, self.lens,
                                      self.block_idx, self.L2R)
         else:
             q2r = np.zeros_like(s2r)
-        self.d_q2r = put(q2r)
+        self.d_s2q = put((q2r << 2) | (s2r & 3))
         flat = self.block_idx.reshape(-1)
         inv = np.full(rawset.n, -1, np.int64)
         for r, j in enumerate(flat):
@@ -390,9 +384,10 @@ class _PallasBlocks:
 
     def geometry(self):
         # center-independent statics: one compiled program per WP bucket;
-        # coarse rounding shares compiles across similar-length samples
-        NDP = nwp._round_up(2 * self.maxlen + 1, 64)
-        L1R = nwp._round_up(self.maxlen + 1 + 128, 32)
+        # very coarse rounding shares compiles across all samples in a
+        # 128-wide max-length bucket (see L2R above)
+        NDP = nwp._round_up(2 * self.maxlen + 1, 256)
+        L1R = nwp._round_up(self.maxlen + 1 + 128, 128)
         return NDP, L1R
 
     def scal_params(self, len1: int, band: int):
@@ -556,9 +551,14 @@ class TpuBackend(CompareBackend):
             scal, params = pb.scal_params(len1, opts.BAND_SIZE)
             spec = []
             sels = []
-            orders = []
             ndev = (1 if self.mesh is None
                     else self.mesh.shape.get("pairs", 1))
+            # spec holds only power-of-two bucket sizes (no per-sample
+            # real counts), so samples sharing a length bucket and block
+            # count magnitude share ONE compiled program; padded blocks
+            # are never selected by perm
+            perm = np.empty(pb.nblocks, np.int64)
+            pos = 0
             for w in np.unique(wp):
                 bidx = np.nonzero(wp == w)[0]
                 nbg = 1 << (len(bidx) - 1).bit_length()
@@ -566,11 +566,9 @@ class TpuBackend(CompareBackend):
                 pad = np.full(nbg - len(bidx), bidx[0], np.int64)
                 sels.append(self._put(
                     np.concatenate([bidx, pad]).astype(np.int32)))
-                spec.append((int(w), len(bidx)))
-                orders.append(bidx)
-            order = np.concatenate(orders)
-            perm = np.empty_like(order)
-            perm[order] = np.arange(len(order))
+                spec.append((int(w), int(nbg)))
+                perm[bidx] = pos + np.arange(len(bidx))
+                pos += nbg
             prep = (self._put(scal), self._put(params), tuple(sels),
                     self._put(perm.astype(np.int32)), tuple(spec))
             with self._cache_lock:
@@ -583,8 +581,8 @@ class TpuBackend(CompareBackend):
         res = _fused_align_all(
             d_scal, d_params, sels, d_perm, pb.d_offs,
             self._put(np.int32(center)),
-            self.d_seqs, self.d_lens, self._get_qlerr(err), pb.d_s2r,
-            pb.d_q2r, pb.d_inv, self.d_kmers, self.d_kords,
+            self.d_seqs, self.d_lens, self._get_qlerr(err), pb.d_s2q,
+            pb.d_inv, self.d_kmers, self.d_kords,
             spec=spec, L1R=L1R, L2R=pb.L2R, NDP=NDP,
             match=opts.MATCH, mismatch=opts.MISMATCH,
             gap_p=opts.GAP_PENALTY, interpret=self._interpret,
@@ -755,7 +753,7 @@ class TpuBackend(CompareBackend):
             # fast path: ONE fused device call + ONE small host fetch
             res = self._align_all_pallas(center, opts, geom, err)
             (ham_all, ham_gl, minsum, kmatch, loglam, abssum, loglam_gl,
-             abssum_gl, ok) = self._unpack_small(np.asarray(res[3]))
+             abssum_gl, ok) = self._unpack_small(np.asarray(res[2]))
         else:
             res = None
             minsum = kmatch = None
@@ -795,7 +793,7 @@ class TpuBackend(CompareBackend):
                 lam[ng] = self._lambdas(ng, tvec, err)
             na = al_idx[need[al_idx]]
             if len(na):
-                tvec = self._fetch_tvec_rows(res[2], na)
+                tvec = self._fetch_tvec_rows(res[1], na)
                 lam[na] = self._lambdas(na, tvec, err)
             return lam, ham
 
@@ -841,18 +839,19 @@ class TpuBackend(CompareBackend):
 
     def _maprow_to_sub(self, maprow: np.ndarray, center: int,
                        j: int) -> Sub:
-        """Sub from the kernel-emitted alignment map (row i = 1-based
-        query position for the diagonal step at center position i, -1 for
-        an up-step gap). reference: al2subs,
-        src/nwalign_endsfree.cpp:570-639."""
+        """Sub from the kernel-emitted merged alignment record (row i =
+        (qual << 17) | (1-based query j << 3) | (nt1+2) for the diagonal
+        step at center position i; 1 for an up-step gap). reference:
+        al2subs, src/nwalign_endsfree.cpp:570-639."""
         rs = self.rs
         len0 = int(self.lens[center])
-        m = maprow[1: len0 + 1].astype(np.int32)
-        diag = m >= 1
-        map_ = np.where(diag, m - 1, GAP_GLYPH).astype(np.int32)
+        m = maprow[1: len0 + 1].astype(np.int64)
+        diag = (m & 7) >= 2
+        jq = (m >> 3) & 0x3FFF                      # 1-based query pos
+        map_ = np.where(diag, jq - 1, GAP_GLYPH).astype(np.int32)
         q0 = np.nonzero(diag)[0]
         nt0 = rs.seqs[center, q0]
-        nt1 = rs.seqs[j, m[diag] - 1]
+        nt1 = ((m[diag] & 7) - 2).astype(np.uint8)
         mism = nt0 != nt1
         return Sub(nsubs=int(mism.sum()), len0=len0, map=map_,
                    pos=q0[mism].astype(np.int32),
@@ -886,7 +885,7 @@ class TpuBackend(CompareBackend):
             res = self._align_all_pallas(center, opts, geom, None)
         sm = None
         if res is not None:
-            sm = self._unpack_small(np.asarray(res[3]))
+            sm = self._unpack_small(np.asarray(res[2]))
         if use_kmers:
             if sm is not None:
                 minsum, kmatch = sm[2], sm[3]
@@ -952,7 +951,7 @@ class TpuBackend(CompareBackend):
             return super().subs_info(center, members, opts)
         rs = self.rs
         res = self._align_all_pallas(center, opts, geom, None)
-        sm = self._unpack_small(np.asarray(res[3]))
+        sm = self._unpack_small(np.asarray(res[2]))
         if not sm[8][members].all():
             raise RuntimeError("N-W Align out of range.")
         nb = _bucket(m)
@@ -961,11 +960,11 @@ class TpuBackend(CompareBackend):
         W = _round_up(len0 + 2, 64)
         mrows = np.asarray(_gather_rows_slice(res[0], dfull, W))[:m]
         mr = mrows[:, 1: len0 + 1].astype(np.int64)   # row i = 1..len0
-        diag = mr >= 1
-        p1mat = np.where(diag, mr - 1, GAP_GLYPH)
-        p1c = np.where(diag, mr - 1, 0)
+        diag = (mr & 7) >= 2
+        jq = (mr >> 3) & 0x3FFF
+        p1mat = np.where(diag, jq - 1, GAP_GLYPH)
         nti0 = rs.seqs[center, :len0].astype(np.int64)[None, :]
-        nti1 = rs.seqs[members[:, None], p1c].astype(np.int64)
+        nti1 = (mr & 7) - 2
         nsubs = (diag & (nti0 != nti1)).sum(axis=1).astype(np.int64)
         return p1mat, nsubs
 
@@ -988,7 +987,7 @@ class TpuBackend(CompareBackend):
             return super().cluster_stats(center, members, correct, opts,
                                          ncol, use_quals)
         res = self._align_all_pallas(center, opts, geom, None)
-        sm = self._unpack_small(np.asarray(res[3]))
+        sm = self._unpack_small(np.asarray(res[2]))
         if not sm[8][members].all():
             raise RuntimeError("N-W Align out of range.")
         nsubs = sm[0][members]
@@ -1000,7 +999,7 @@ class TpuBackend(CompareBackend):
         w_pad[:m] = np.where(correct, self.rs.reads[members], 0)
         CW = _round_up(len0 + 2, 64)
         packed = np.asarray(_cluster_stats_dev(
-            res[1], self.d_seqs[center],
+            res[0], self.d_seqs[center],
             self._put(mem_pad.astype(np.int32)), self._put(w_pad),
             CW=CW, ncol=ncol))
         trans = packed[: 16 * ncol].astype(np.int64).reshape(16, ncol)

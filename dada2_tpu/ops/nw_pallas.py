@@ -45,12 +45,18 @@ NEG = -(2**29)
 LANES = 128
 
 
-def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
+def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p,
+                 emit_kinds):
     endsfree = end_gap_p > gap_p
 
-    def kernel(scal_ref, par_ref, s1_ref, s2r_ref, q2r_ref, kinds_ref,
-               sub_ref, map_ref, ntq_ref, end_ref, slab_ref, p1_ref,
-               p2_ref, acc_ref):
+    def kernel(scal_ref, par_ref, s1_ref, s2q_ref, *rest):
+        if emit_kinds:
+            (kinds_ref, sub_ref, mapq_ref, end_ref, slab_ref, p1_ref,
+             p2_ref, acc_ref) = rest
+        else:
+            (sub_ref, mapq_ref, end_ref, slab_ref, p1_ref, p2_ref,
+             acc_ref) = rest
+            kinds_ref = None
         b = pl.program_id(0)
         len1 = scal_ref[b, 0]
         len2max = scal_ref[b, 1]
@@ -63,18 +69,19 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
         lb_l = jnp.broadcast_to(par_ref[pl.ds(1, 1), :], (WP, LANES))
         rb_l = jnp.broadcast_to(par_ref[pl.ds(2, 1), :], (WP, LANES))
 
-        kinds_ref[...] = jnp.zeros((NDP, LANES), jnp.int32)
-        # substitution overrides in s2r storage layout (row l2max-1-p for
+        if emit_kinds:
+            kinds_ref[...] = jnp.zeros((NDP, LANES), jnp.int32)
+        # substitution overrides in s2q storage layout (row l2max-1-p for
         # query position p): 0 = none, 1+nt0 at mismatched diagonals
         sub_ref[...] = jnp.zeros((L2R, LANES), jnp.int32)
-        # center-coordinate alignment map: row i = query j consumed by the
-        # diagonal step at center position i, -1 for an up step (gap)
-        map_ref[...] = jnp.full((L1R, LANES), -2, jnp.int32)
-        # center-coordinate (query nt, query qual) at diagonal steps,
-        # packed (q << 3) | (nt + 1); 0 = gap/unconsumed — feeds the
-        # device-side transition/quality tallies (reference:
-        # src/error.cpp:131-258) without fetching alignment maps
-        ntq_ref[...] = jnp.zeros((L1R, LANES), jnp.int32)
+        # center-coordinate merged alignment record: row i holds, for the
+        # step consuming center position i,
+        #   diag: (qual << 17) | (j << 3) | (nt1 + 2)
+        #   up (gap): 1;  unconsumed: 0
+        # — one tile carries the map AND the (nt, qual) tally payload
+        # (reference: al2subs src/nwalign_endsfree.cpp:570-639 for the
+        # map; src/error.cpp:131-258 for the tallies)
+        mapq_ref[...] = jnp.zeros((L1R, LANES), jnp.int32)
         end_ref[...] = jnp.zeros((8, LANES), jnp.int32)
         acc_ref[...] = jnp.zeros((WP, LANES), jnp.int32)
 
@@ -115,7 +122,7 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
                            jnp.where(s2w == 1, _shift_up(p2win),
                                      _shift_dn(p2win)))
             c1 = s1_ref[pl.ds(od, WP), :]           # s1[i-1], i = od + r
-            c2 = s2r_ref[pl.ds(C - d + od, WP), :]  # s2[j-1], j = d - i
+            c2 = s2q_ref[pl.ds(C - d + od, WP), :] & 3  # s2[j-1], j = d-i
             D = Dp + jnp.where(c1 == c2, match, mismatch)
 
             # tie precedence: up >= left > diag
@@ -203,13 +210,16 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
                                axis=0, keepdims=True)
             active = ((i_t + j_t) == d) & ((i_t > 0) | (j_t > 0))
             kind = jnp.where(active, ptr_lane, 0)
-            kinds_ref[pl.ds(d, 1)] = kind
+            if emit_kinds:
+                kinds_ref[pl.ds(d, 1)] = kind
             # chars consumed by this step, via the same one-hot row select
             # (window rows r hold s1[od+r-1] / s2[d-od-r-1], as in fill)
             c1w = s1_ref[pl.ds(od, WP), :]
-            c2w = s2r_ref[pl.ds(C - d + od, WP), :]
+            sqw = s2q_ref[pl.ds(C - d + od, WP), :]
             c1l = jnp.sum(jnp.where(onehot, c1w, 0), axis=0, keepdims=True)
-            c2l = jnp.sum(jnp.where(onehot, c2w, 0), axis=0, keepdims=True)
+            sql = jnp.sum(jnp.where(onehot, sqw, 0), axis=0, keepdims=True)
+            c2l = sql & 3
+            q2l = sql >> 2
             diag = kind == 1
             consume1 = diag | (kind == 3)
             # mismatched diagonal -> substitution override 1+nt0 at the
@@ -219,21 +229,12 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
             sub_ref[pl.ds(C - d + od, WP), :] = jnp.where(
                 onehot & jnp.broadcast_to(issub, (WP, LANES)),
                 jnp.broadcast_to(c1l + 1, (WP, LANES)), subw)
-            # alignment map at center row i_t: j for diag, -1 for up
-            mapw = map_ref[pl.ds(od, WP), :]
-            mval = jnp.where(diag, j_t, -1)
-            map_ref[pl.ds(od, WP), :] = jnp.where(
+            # merged map/(nt,qual) record at center row i_t
+            mqv = jnp.where(diag, (q2l << 17) | (j_t << 3) | (c2l + 2), 1)
+            mapqw = mapq_ref[pl.ds(od, WP), :]
+            mapq_ref[pl.ds(od, WP), :] = jnp.where(
                 onehot & jnp.broadcast_to(consume1, (WP, LANES)),
-                jnp.broadcast_to(mval, (WP, LANES)), mapw)
-            # (query nt, qual) at center row i_t for diagonal steps
-            q2w = q2r_ref[pl.ds(C - d + od, WP), :]
-            q2l = jnp.sum(jnp.where(onehot, q2w, 0), axis=0,
-                          keepdims=True)
-            nqval = jnp.where(diag, (q2l << 3) | (c2l + 1), 0)
-            ntqw = ntq_ref[pl.ds(od, WP), :]
-            ntq_ref[pl.ds(od, WP), :] = jnp.where(
-                onehot & jnp.broadcast_to(consume1, (WP, LANES)),
-                jnp.broadcast_to(nqval, (WP, LANES)), ntqw)
+                jnp.broadcast_to(mqv, (WP, LANES)), mapqw)
             takes1 = consume1.astype(jnp.int32)
             takes2 = ((kind == 1) | (kind == 2)).astype(jnp.int32)
             return (i_t - takes1, j_t - takes2)
@@ -249,20 +250,36 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p):
 
 @partial(jax.jit, static_argnames=("L1R", "L2R", "NDP", "WP", "match",
                                    "mismatch", "gap_p", "end_gap_p",
-                                   "interpret"))
-def _pallas_call(scal, params, s1t, s2r, q2r=None, *, L1R, L2R, NDP, WP,
-                 match, mismatch, gap_p, end_gap_p, interpret=False):
-    """Returns (kinds [nb, NDP, LANES], sub [nb, L2R, LANES],
-    map [nb, L1R, LANES], ntq [nb, L1R, LANES], end [nb, 8, LANES]);
-    sub/map/ntq/end are emitted by the in-kernel traceback so no XLA
+                                   "interpret", "emit_kinds"))
+def _pallas_call(scal, params, s1t, s2q, *, L1R, L2R, NDP, WP,
+                 match, mismatch, gap_p, end_gap_p, interpret=False,
+                 emit_kinds=False):
+    """Returns ([kinds [nb, NDP, LANES] if emit_kinds,]
+    sub [nb, L2R, LANES], mapq [nb, L1R, LANES], end [nb, 8, LANES]);
+    sub/mapq/end are emitted by the in-kernel traceback so no XLA
     gather/scatter post-pass is needed (TPU scatters serialize; the
-    kernel's one-hot window writes do not). q2r holds the candidates'
-    quals in the s2r storage layout (zeros disable the ntq payload)."""
-    nblocks = s2r.shape[0]
-    if q2r is None:
-        q2r = jnp.zeros(s2r.shape, jnp.int32)
+    kernel's one-hot window writes do not). s2q packs each candidate
+    position as (qual << 2) | nt_code in the reversed right-aligned
+    storage layout. Keeping the traceback's dynamic VMEM accesses to a
+    minimum matters: Mosaic compile time grows superlinearly with them."""
+    nblocks = s2q.shape[0]
     kernel = _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p,
-                          end_gap_p)
+                          end_gap_p, emit_kinds)
+    out_specs = [
+        pl.BlockSpec((None, L2R, LANES), lambda b, *_: (b, 0, 0)),
+        pl.BlockSpec((None, L1R, LANES), lambda b, *_: (b, 0, 0)),
+        pl.BlockSpec((None, 8, LANES), lambda b, *_: (b, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nblocks, L2R, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((nblocks, L1R, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((nblocks, 8, LANES), jnp.int32),
+    ]
+    if emit_kinds:
+        out_specs.insert(
+            0, pl.BlockSpec((None, NDP, LANES), lambda b, *_: (b, 0, 0)))
+        out_shape.insert(
+            0, jax.ShapeDtypeStruct((nblocks, NDP, LANES), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nblocks,),
@@ -270,15 +287,8 @@ def _pallas_call(scal, params, s1t, s2r, q2r=None, *, L1R, L2R, NDP, WP,
             pl.BlockSpec((None, 8, LANES), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((L1R, LANES), lambda b, *_: (0, 0)),
             pl.BlockSpec((None, L2R, LANES), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((None, L2R, LANES), lambda b, *_: (b, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((None, NDP, LANES), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((None, L2R, LANES), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((None, L1R, LANES), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((None, L1R, LANES), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((None, 8, LANES), lambda b, *_: (b, 0, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM(((NDP + 3) // 4, WP, LANES), jnp.int8),
                         pltpu.VMEM((WP, LANES), jnp.int32),
                         pltpu.VMEM((WP, LANES), jnp.int32),
@@ -287,15 +297,9 @@ def _pallas_call(scal, params, s1t, s2r, q2r=None, *, L1R, L2R, NDP, WP,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nblocks, NDP, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks, L2R, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks, L1R, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks, L1R, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((nblocks, 8, LANES), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(scal, params, s1t, s2r, q2r)
+    )(scal, params, s1t, s2q)
 
 
 @partial(jax.jit, static_argnames=("nd",))
@@ -432,7 +436,8 @@ def nw_pallas_grouped(s1: np.ndarray, len1: int, s2b, len2b, *, match,
         jnp.asarray(scal), jnp.asarray(params), jnp.asarray(s1t),
         jnp.asarray(s2r), L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
         match=int(match), mismatch=int(mismatch), gap_p=int(gap_p),
-        end_gap_p=int(end_gap_p), interpret=interpret)[0]
+        end_gap_p=int(end_gap_p), interpret=interpret,
+        emit_kinds=True)[0]
 
     # un-block: rows for the first occurrence of each original index
     flat_idx = block_idx.reshape(-1)
