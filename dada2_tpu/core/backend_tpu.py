@@ -141,7 +141,11 @@ def _qlerr_table(quals, err32):
     Q = err32.shape[1]
     onehot = (quals[:, :, None] ==
               jnp.arange(Q, dtype=jnp.int32)[None, None, :])
-    ql = jnp.einsum("nlq,tq->tnl", onehot.astype(jnp.float32), lerr)
+    # HIGHEST precision: the default TPU matmul precision truncates the
+    # f32 operands to bfloat16, which would blow the log-lambda screen's
+    # error margin (~2^-9 per factor instead of ~2^-23)
+    ql = jnp.einsum("nlq,tq->tnl", onehot.astype(jnp.float32), lerr,
+                    precision=jax.lax.Precision.HIGHEST)
     return jnp.concatenate(
         [ql, jnp.zeros((1,) + quals.shape, jnp.float32)], axis=0)
 
@@ -467,12 +471,21 @@ class TpuBackend(CompareBackend):
         import threading
         self._cache_lock = threading.Lock()
 
-    def _get_qlerr(self, err: np.ndarray):
+    def _get_qlerr(self, err: Optional[np.ndarray]):
         """Device [17, n, L] log-error-factor table for the current error
         matrix (cached; recomputed only when err changes, i.e. once per
-        selfConsist round)."""
-        key = (hash(err.tobytes()), err.shape)
+        selfConsist round). err=None means the caller never reads the
+        log-lambda outputs (the finalize subs path): any cached table is
+        reused instead of building a pointless dummy.
+
+        NOTE: the table is ~17*n*L*4 bytes (1.7GB at 100k uniques x
+        250bp); one entry is kept per backend."""
         with self._cache_lock:
+            if err is None:
+                if self._qlerr_cache:
+                    return next(reversed(self._qlerr_cache.values()))
+                err = np.ones((16, 41))
+            key = (hash(err.tobytes()), err.shape)
             hit = self._qlerr_cache.get(key)
             if hit is not None:
                 return hit
@@ -480,7 +493,7 @@ class TpuBackend(CompareBackend):
                           self._put(err.astype(np.float32)))
         with self._cache_lock:
             self._qlerr_cache[key] = ql
-            while len(self._qlerr_cache) > 2:
+            while len(self._qlerr_cache) > 1:
                 self._qlerr_cache.pop(next(iter(self._qlerr_cache)), None)
         return ql
 
@@ -538,8 +551,7 @@ class TpuBackend(CompareBackend):
                     self._align_cache[k] = hit  # refresh LRU order
                     return hit
         if err is None:
-            err = np.ones((16, 41))
-            err_key = hash(err.tobytes())
+            err_key = ("any",)
         # block geometry/selection device arrays depend only on
         # (len1, band), NOT the center, so steady-state compares reuse
         # them with zero host->device uploads (each upload costs a tunnel
@@ -980,10 +992,11 @@ class TpuBackend(CompareBackend):
         len0 = int(self.lens[center])
         geom = (self._pallas_ok(len0, opts)
                 if opts.BAND_SIZE != 0 else None)
-        maxq = 250
-        total_w = int(self.rs.reads[members].sum())
-        if (geom is None or not use_quals
-                or total_w * maxq >= 2**31 - 1):
+        # int32 device accumulators: qacc is bounded by total_w * maxq,
+        # the histogram by total_w * (center columns sharing one bin,
+        # at most len0+2)
+        bound = int(self.rs.reads[members].sum()) * max(250, len0 + 2)
+        if geom is None or not use_quals or bound >= 2**31 - 1:
             return super().cluster_stats(center, members, correct, opts,
                                          ncol, use_quals)
         res = self._align_all_pallas(center, opts, geom, None)

@@ -52,10 +52,15 @@ def matrix_ee(quals: List[np.ndarray]) -> np.ndarray:
     n = len(quals)
     lens = np.fromiter((len(q) for q in quals), np.int64, count=n)
     L = int(lens.max()) if n else 0
-    qm = np.zeros((n, L), np.int64)
+    qm = np.zeros((n, L), np.float64)
     for k, q in enumerate(quals):
-        qm[k, : lens[k]] = np.asarray(q, np.float64).astype(np.int64)
-    fac = _EE_TABLE[qm]
+        qm[k, : lens[k]] = np.asarray(q, np.float64)
+    qi = qm.astype(np.int64)
+    tabled = (qm == qi) & (qi >= 0) & (qi < len(_EE_TABLE))
+    fac = _EE_TABLE[np.where(tabled, qi, 0)]
+    if not tabled.all():
+        # negative or non-integer scores: the exact formula, as before
+        fac[~tabled] = 10.0 ** (-qm[~tabled] / 10.0)
     fac[np.arange(L)[None, :] >= lens[:, None]] = 0.0
     out = np.zeros(n)
     for pos in range(L):  # sequential in position, vector across reads
@@ -97,8 +102,12 @@ def match_ref(seqs: Sequence[str], ref: str, word_size: int = 16,
     refc = ref + ref[:word_size]
     rw = _word_codes(refc, word_size)[: len(ref)]
     words = np.unique(rw[rw >= 0])
+    # reference words containing non-ACGT characters match literally
+    # (the reference hashes raw strings, src/filter.cpp:21-24)
+    odd_words = {refc[i: i + word_size]
+                 for i in np.nonzero(rw < 0)[0]}
     out = np.zeros(len(seqs), dtype=np.int64)
-    if len(words) == 0:
+    if len(words) == 0 and not odd_words:
         return out
     for k, s in enumerate(seqs):
         sw = _word_codes(s, word_size)
@@ -106,8 +115,12 @@ def match_ref(seqs: Sequence[str], ref: str, word_size: int = 16,
             continue
         hit = np.zeros(len(sw), bool)
         ok = sw >= 0
-        hit[ok] = words[np.searchsorted(words, sw[ok]).clip(
-            0, len(words) - 1)] == sw[ok]
+        if len(words):
+            hit[ok] = words[np.searchsorted(words, sw[ok]).clip(
+                0, len(words) - 1)] == sw[ok]
+        if odd_words:
+            for j in np.nonzero(~ok)[0]:
+                hit[j] = s[j: j + word_size] in odd_words
         nh = int(hit.sum())
         if nh == 0:
             continue

@@ -187,13 +187,24 @@ def accumulate_trans_mesh(mesh: Mesh, tallies):
     for k, t in enumerate(tallies):
         stack[k, :, : t.shape[1]] = t
 
-    def _sum(local):
-        return jax.lax.psum(jnp.sum(local, axis=0), "samples")
+    # Without jax x64, int64 operands silently truncate to int32 on
+    # device, so the counts travel as two base-2^20 int32 limbs — exact
+    # for per-sample counts < 2^51 and shard counts < 2^11.
+    lo = (stack & ((1 << 20) - 1)).astype(np.int32)
+    hi = (stack >> 20).astype(np.int32)
+    if (stack.sum(axis=0) >> 50).any() or Sp >= (1 << 11):
+        raise OverflowError("transition tallies exceed the two-limb "
+                            "collective's exact range")
 
-    out = jax.jit(jax.shard_map(
-        _sum, mesh=mesh, in_specs=P("samples"), out_specs=P(),
-        check_vma=False))(stack)
-    return np.asarray(out).astype(np.int64)
+    def _sum(lo_l, hi_l):
+        return (jax.lax.psum(jnp.sum(lo_l, axis=0), "samples"),
+                jax.lax.psum(jnp.sum(hi_l, axis=0), "samples"))
+
+    lo_s, hi_s = jax.jit(jax.shard_map(
+        _sum, mesh=mesh, in_specs=(P("samples"), P("samples")),
+        out_specs=(P(), P()), check_vma=False))(lo, hi)
+    return (np.asarray(lo_s).astype(np.int64)
+            + (np.asarray(hi_s).astype(np.int64) << 20))
 
 
 def sample_devices(mesh: Optional[Mesh]):

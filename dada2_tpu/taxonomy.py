@@ -350,9 +350,18 @@ def _containment_hits(queries: List[str], refs: List[str],
     hits: List[set] = [set() for _ in range(nq)]
     if nq == 0 or len(refs) == 0:
         return hits
-    short = [qi for qi, q in enumerate(queries) if len(q) < anchor]
-    long_q = [qi for qi in range(nq) if len(queries[qi]) >= anchor]
-    if short:  # queries shorter than the anchor: direct scan (rare)
+
+    def anchorable(q):
+        from .encode import seq_to_codes
+
+        return (len(q) >= anchor
+                and not (seq_to_codes(q[:anchor]) > 3).any())
+
+    # queries shorter than the anchor or with non-ACGT characters in the
+    # anchor window fall back to a direct scan (rare)
+    short = [qi for qi, q in enumerate(queries) if not anchorable(q)]
+    long_q = [qi for qi in range(nq) if qi not in set(short)]
+    if short:
         for ri, r in enumerate(refs):
             for qi in short:
                 if queries[qi] in r:

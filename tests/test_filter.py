@@ -120,3 +120,29 @@ def test_remove_primers_pacbio(extdata, tmp_path):
     assert not any(s.startswith("AGAGTTTGAT") or s.startswith("AGGGTTTGAT")
                    for s in seqs)
     assert all(1000 < len(s) < 1600 for s in seqs)  # full-length 16S
+
+
+def test_matrix_ee_out_of_range_quals():
+    """Negative / non-integer scores must use the exact formula, not the
+    wrapped table (e.g. phred64 data mis-read as phred33)."""
+    from dada2_tpu.filter import matrix_ee
+
+    quals = [np.array([-31.0, 2.5, 40.0]), np.array([0.0])]
+    out = matrix_ee(quals)
+    exp0 = 10.0 ** (31 / 10.0) + 10.0 ** (-2.5 / 10.0) + 10.0 ** (-4.0)
+    assert out[0] == exp0
+    assert out[1] == 1.0
+
+
+def test_match_ref_non_acgt_words():
+    """Words containing N match literally, as the reference's raw-string
+    hashing does (src/filter.cpp:7-32)."""
+    from dada2_tpu.filter import match_ref
+
+    ref = "ACGTACGTNNACGTACGTAAACCCGGGTTT"
+    s_hit = ref[4:24]          # contains the NN window
+    s_miss = s_hit.replace("NN", "NT")
+    out = match_ref([s_hit, s_miss, "N" * 20], ref, word_size=16,
+                    non_overlapping=True)
+    assert out[0] >= 1
+    assert out[2] == 0

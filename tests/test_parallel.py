@@ -142,3 +142,17 @@ def test_dada_mesh_invariance(extdata):
         assert b.denoised == s.denoised
         pd.testing.assert_frame_equal(b.clustering, s.clustering)
         np.testing.assert_array_equal(b.map, s.map)
+
+
+def test_accumulate_trans_mesh_large_counts():
+    """The two-limb collective must stay exact beyond int32."""
+    from dada2_tpu.parallel.dist import (accumulate_trans_mesh,
+                                         cpu_devices, make_mesh)
+    from dada2_tpu.errors import accumulate_trans
+
+    mesh = make_mesh(devices=cpu_devices(8), samples=8)
+    rng = np.random.default_rng(2)
+    tallies = [rng.integers(0, 3_000_000_000, (16, 41)).astype(np.int64)
+               for _ in range(10)]
+    got = accumulate_trans_mesh(mesh, tallies)
+    np.testing.assert_array_equal(got, accumulate_trans(tallies))

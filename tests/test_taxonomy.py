@@ -89,3 +89,14 @@ def test_score_batch_chunked_equivalence():
     chunked = _score_batch(karrays, lgk, key, G, mem_cap=12 * 130 * 20)
     for a, b in zip(full, chunked):
         np.testing.assert_array_equal(a, b)
+
+
+def test_containment_non_acgt_query_anchor():
+    """Queries with non-ACGT bases in the anchor window must still match
+    literally (direct-scan fallback)."""
+    from dada2_tpu.taxonomy import _containment_hits
+
+    refs = ["AAACGTNCGTACGTACGTACGTCCC", "AAACGTACGTACGTACGTACGTCCC"]
+    q = "ACGTNCGTACGTACGTACGT"      # N within the first 16 chars
+    hits = _containment_hits([q], refs)
+    assert hits[0] == {0}
