@@ -59,6 +59,38 @@ def _screen_kernel(kmers, kords, lens, center):
     return minsum, kmatch
 
 
+@jax.jit
+def _kmer_tables(seqs, lens):
+    """Device-side k-mer tables from the packed sequence matrix: the
+    [n, L] ordered k-mer indices (-1 pad) and [n, 4^k] exact count
+    vectors (reference: src/kmers.cpp:207-279, assign_kmer /
+    assign_kmer_order). Deriving these on device from the already-
+    uploaded seqs replaces ~2s of host numpy and ~110MB of uploads per
+    production-scale sample; counts accumulate via a positionwise
+    one-hot scan (TPU scatters serialize on the scalar core)."""
+    from ..encode import N_KMERS
+
+    n, L = seqs.shape
+    k = KMER_SIZE
+    c = jnp.maximum(seqs.astype(jnp.int32), 0)      # PAD (-1) -> 0
+    npos = max(L - k + 1, 0)
+    kord = jnp.zeros((n, npos), jnp.int32)
+    for j in range(k):
+        kord = kord * 4 + c[:, j: j + npos]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    nk = jnp.maximum(lens.astype(jnp.int32) - (k - 1), 0)
+    kords = jnp.full((n, L), -1, jnp.int32).at[:, :npos].set(kord)
+    kords = jnp.where(pos < nk[:, None], kords, -1)
+    iota = jnp.arange(N_KMERS, dtype=jnp.int32)[None, :]
+
+    def body(cnt, kcol):
+        return cnt + (kcol[:, None] == iota).astype(jnp.int32), None
+
+    counts, _ = jax.lax.scan(
+        body, jnp.zeros((n, N_KMERS), jnp.int32), kords.T)
+    return counts, kords
+
+
 @partial(jax.jit, static_argnames=("nd", "W", "match", "mismatch", "gap_p",
                                    "end_gap_p", "band", "mode",
                                    "homo_gap_p"))
@@ -365,9 +397,9 @@ class _PallasBlocks:
         self.d_s2q = put((q2r << 2) | (s2r & 3))
         flat = self.block_idx.reshape(-1)
         inv = np.full(rawset.n, -1, np.int64)
-        for r, j in enumerate(flat):
-            if inv[j] < 0:
-                inv[j] = r
+        # reverse-order assignment keeps the FIRST occurrence (pad lanes
+        # repeat a real row that always appears earlier)
+        inv[flat[::-1]] = np.arange(len(flat))[::-1]
         self.d_inv = put(inv.astype(np.int32))
         self.l2_blocks = self.lens[self.block_idx]      # [nb, LANES]
         self.l2max = self.l2_blocks.max(axis=1)
@@ -441,8 +473,8 @@ class TpuBackend(CompareBackend):
         self._put = put
         self.d_seqs = put(np.asarray(rawset.seqs, np.int8))
         self.d_lens = put(np.asarray(rawset.lens, np.int32))
-        self.d_kmers = put(np.asarray(rawset.kmers, np.int32))
-        self.d_kords = put(np.asarray(rawset.kords, np.int32))
+        self.d_kmers, self.d_kords = _kmer_tables(self.d_seqs,
+                                                  self.d_lens)
         self._use_quals_dev = use_quals and rawset.quals is not None
         if self._use_quals_dev:
             self.d_quals = put(np.asarray(rawset.quals, np.int32))

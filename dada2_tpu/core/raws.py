@@ -6,7 +6,7 @@ batching.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
@@ -21,8 +21,29 @@ class RawSet:
     reads: np.ndarray     # [n] int64
     priors: np.ndarray    # [n] bool
     quals: Optional[np.ndarray]  # [n, L] uint8 rounded avg quals, or None
-    kmers: np.ndarray     # [n, 4^k] int32 k-mer count vectors
-    kords: np.ndarray     # [n, L] int32 ordered k-mer indices (-1 pad)
+    # host k-mer tables are LAZY: the TPU backend derives its device
+    # copies from seqs directly (host tables cost ~2s + ~110MB of
+    # uploads per production-scale sample), so only host-path consumers
+    # (OracleBackend, tests) ever pay for these
+    _kmers: Optional[np.ndarray] = field(default=None, repr=False)
+    _kords: Optional[np.ndarray] = field(default=None, repr=False)
+
+    @property
+    def kords(self) -> np.ndarray:
+        """[n, L] int32 ordered k-mer indices (-1 pad), computed on
+        first host access."""
+        if self._kords is None:
+            self._kords = kmer_ords(self.seqs, self.lens)
+        return self._kords
+
+    @property
+    def kmers(self) -> np.ndarray:
+        """[n, 4^k] int32 k-mer count vectors, computed on first host
+        access."""
+        if self._kmers is None:
+            self._kmers = kmer_counts(self.seqs, self.lens,
+                                      kord=self.kords)
+        return self._kmers
 
     @property
     def n(self) -> int:
@@ -56,7 +77,5 @@ def make_rawset(sequences, abundances, priors=None, quals=None) -> RawSet:
         q8 = np.where(np.isnan(q8), 0, q8).astype(np.uint8)
         pad = np.arange(seqs.shape[1])[None, :] >= lens[:, None]
         q8[pad] = 0
-    kmers = kmer_counts(seqs, lens)
-    kords = kmer_ords(seqs, lens)
     return RawSet(seqs=seqs, lens=lens, reads=reads, priors=priors,
-                  quals=q8, kmers=kmers, kords=kords)
+                  quals=q8)

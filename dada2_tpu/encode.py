@@ -98,7 +98,8 @@ def kmer_ords(codes: np.ndarray, lens: np.ndarray, k: int = KMER_SIZE) -> np.nda
 
 
 def kmer_counts(
-    codes: np.ndarray, lens: np.ndarray, k: int = KMER_SIZE, dtype=np.int32
+    codes: np.ndarray, lens: np.ndarray, k: int = KMER_SIZE, dtype=np.int32,
+    kord: np.ndarray | None = None,
 ) -> np.ndarray:
     """k-mer count vectors: [n, 4^k].
 
@@ -108,7 +109,7 @@ def kmer_counts(
     (src/kmers.cpp:58-93 + src/nwalign_endsfree.cpp:23-26).
     """
     n, L = codes.shape
-    kord = kmer_ords(codes, lens, k)
+    kord = kord if kord is not None else kmer_ords(codes, lens, k)
     nk = 4**k
     rows = np.repeat(np.arange(n, dtype=np.int64), L)
     flat = kord.ravel().astype(np.int64)

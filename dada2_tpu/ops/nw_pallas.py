@@ -381,15 +381,22 @@ def pack_s2_blocks(s2b: np.ndarray, len2b: np.ndarray,
     plus the per-lane parameter rows (len2 only; bands are center-
     dependent and belong to the per-call scalar/params assembly)."""
     nblocks = block_idx.shape[0]
-    s2r = np.zeros((nblocks, L2R, LANES), np.int32)
-    for bi in range(nblocks):
-        idx = block_idx[bi]
-        l2m = int(len2b[idx].max())
-        for lane, j in enumerate(idx):
-            l2 = int(len2b[j])
-            # storage row C - jj holds s2[jj-1], C = len2max(block)
-            s2r[bi, l2m - l2: l2m, lane] = s2b[j, :l2][::-1]
-    return s2r
+    if nblocks == 0:
+        return np.zeros((0, L2R, LANES), np.int32)
+    flat = block_idx.reshape(-1)
+    lens = np.asarray(len2b, np.int64)[flat]            # [N]
+    l2m = np.repeat(lens.reshape(nblocks, LANES).max(axis=1), LANES)
+    L = s2b.shape[1]
+    # storage row C - jj holds s2[jj-1], C = len2max(block):
+    # row r, char p  ->  storage row l2m[r] - 1 - p  (p < len2[r])
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    valid = pos < lens[:, None]
+    tgt = l2m[:, None] - 1 - pos
+    rows = np.broadcast_to(np.arange(len(flat))[:, None], tgt.shape)
+    s2rows = np.zeros((len(flat), L2R), np.int32)
+    s2rows[rows[valid], tgt[valid]] = s2b[flat][valid]
+    return np.ascontiguousarray(
+        s2rows.reshape(nblocks, LANES, L2R).transpose(0, 2, 1))
 
 
 def nw_pallas_grouped(s1: np.ndarray, len1: int, s2b, len2b, *, match,
