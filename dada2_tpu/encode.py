@@ -41,15 +41,30 @@ def codes_to_seq(codes: np.ndarray) -> str:
     return _CODE2NT[codes].tobytes().decode("ascii")
 
 
+def _bulk_codes(seqs):
+    """Encode a whole list of strings in one pass: (flat uint8 codes,
+    [n] int64 lens). One join + one LUT instead of a per-string Python
+    loop — the loop serialized multi-sample dada() behind the GIL."""
+    n = len(seqs)
+    lens = np.fromiter((len(s) for s in seqs), np.int64, count=n)
+    if n and isinstance(seqs[0], (bytes, bytearray)):
+        joined = b"".join(seqs)
+    else:
+        joined = "".join(seqs).encode("ascii")
+    return _NT2CODE[np.frombuffer(joined, dtype=np.uint8)], lens
+
+
 def is_acgt(seqs) -> np.ndarray:
     """Vector of bools: whether each sequence is A/C/G/T-only.
 
     reference: src/evaluate.cpp:184-203 (C_isACGT).
     """
-    out = np.empty(len(seqs), dtype=bool)
-    for i, s in enumerate(seqs):
-        out[i] = bool(len(s)) and not (seq_to_codes(s) == PAD).any()
-    return out
+    n = len(seqs)
+    flat, lens = _bulk_codes(seqs)
+    bad = np.zeros(n + 1, np.int64)
+    np.add.at(bad, np.searchsorted(np.cumsum(lens), np.nonzero(
+        flat == PAD)[0], side="right"), 1)
+    return (lens > 0) & (bad[:n] == 0)
 
 
 def rc(seq: str) -> str:
@@ -67,11 +82,15 @@ def rc(seq: str) -> str:
 def pack_sequences(seqs, max_len: int | None = None):
     """Pack a list of DNA strings into ([n, L] uint8 codes, [n] int32 lens)."""
     n = len(seqs)
-    lens = np.array([len(s) for s in seqs], dtype=np.int32)
+    flat, lens64 = _bulk_codes(seqs)
+    lens = lens64.astype(np.int32)
     L = int(max_len if max_len is not None else (lens.max() if n else 0))
+    if n and lens64.max() > L:
+        raise ValueError("sequence longer than max_len")
     mat = np.full((n, L), PAD, dtype=np.uint8)
-    for i, s in enumerate(seqs):
-        mat[i, : lens[i]] = seq_to_codes(s)
+    # row-major boolean assignment consumes flat in exactly
+    # concatenated-row order
+    mat[np.arange(L, dtype=np.int64)[None, :] < lens64[:, None]] = flat
     return mat, lens
 
 
