@@ -156,7 +156,7 @@ def _build_s1t(seq, L1R):
     return jnp.broadcast_to(row[:, None], (L1R, nwp.LANES))
 
 
-SMALL_PACK_BYTES = 25
+SMALL_PACK_BYTES = 13
 
 
 @jax.jit
@@ -184,28 +184,38 @@ def _qlerr_table(quals, err32):
 
 @partial(jax.jit, static_argnames=("spec", "L1R", "L2R", "NDP", "match",
                                    "mismatch", "gap_p", "interpret",
-                                   "mesh"))
+                                   "mesh", "gapless_on", "sse_lt1"))
 def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
-                     qlerr, s2q, inv, kmers, kords, *, spec, L1R,
+                     qlerr, s2q, inv, kmers, kords, thr, *, spec, L1R,
                      L2R, NDP, match, mismatch, gap_p, interpret,
-                     mesh=None):
+                     mesh=None, gapless_on=True, sse_lt1=False):
     """One-dispatch compare sweep: k-mer screens, per-WP-bucket pallas
     calls (whose in-kernel traceback emits substitution and alignment-map
     tiles), elementwise reassembly, an f32 log-lambda screen, and a SMALL
     packed int8 result — all one compiled program, so a steady-state
-    compare costs ONE dispatch and ONE 25-byte-per-row host fetch (the
+    compare costs ONE dispatch and ONE 13-byte-per-row host fetch (the
     device<->host tunnel round-trips dominate on remote-attached chips;
     transition vectors and alignment maps stay device-resident and only
     shortlisted rows are ever fetched).
+
+    The shroud (k-mer distance > cutoff) and gapless decisions are made
+    ON DEVICE and travel as flag bits: thr[d] is a host-built integer
+    threshold table reproducing the f64 comparison
+    ``1.0 - minsum/denom > cutoff`` exactly (minsum and denom are
+    integers, so the decision is a pure integer compare against the
+    per-denominator boundary; reference: src/cluster.cpp:90-130).
+    gapless_on/sse_lt1 bake the GAPLESS/SSE option semantics
+    (reference: src/kmers.cpp:102-116).
 
     Returns (mapq, tvec, small):
       mapq  [n, L1R] int32 — merged per-center-position record:
             diag = (qual << 17) | (query j << 3) | (nt1 + 2);
             1 = gap (up step); 0 = unconsumed;
       tvec  [n, L] int8 — per-query-position transition codes;
-      small [n, 25] int8 — ham i16, ham_gapless i16, minsum i16,
-            kmatch i16, loglam f32, abssum f32, loglam_gapless f32,
-            abssum_gapless f32, ok.
+      small [n, 13] int8 — ham i16, ham_gapless i16, loglam f32,
+            abssum f32, flags u8 (1 = traceback ok, 2 = gapless,
+            4 = shrouded). loglam/abssum are pre-selected by the device
+            gapless rule.
     loglam is the f32 natural-log lambda under the error matrix baked
     into qlerr (the screen for the exact host float64 product, reference:
     src/pval.cpp:144-197); abssum is the sum of |log factors|, from which
@@ -297,6 +307,17 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
     ham_gl = subg.sum(axis=1)
     loglam_gl, abssum_gl = loglam_of(t_gl)
 
+    # device shroud/gapless decisions (exact-integer; see docstring)
+    denom = jnp.minimum(lens, len1) - (KMER_SIZE - 1)
+    shroud = minsum < jnp.take(thr, jnp.clip(denom, 0, thr.shape[0] - 1))
+    glr = kmatch == minsum
+    if sse_lt1:
+        glr = glr & (lens == len1)
+    if not gapless_on:
+        glr = jnp.zeros_like(glr)
+    loglam_sel = jnp.where(glr, loglam_gl, loglam)
+    abssum_sel = jnp.where(glr, abssum_gl, abssum)
+
     def i16col(x):
         return jax.lax.bitcast_convert_type(
             x.astype(jnp.int16)[:, None], jnp.int8).reshape(-1, 2)
@@ -305,10 +326,11 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
         return jax.lax.bitcast_convert_type(
             x.astype(jnp.float32)[:, None], jnp.int8).reshape(-1, 4)
 
+    flags = (ok.astype(jnp.int8) + 2 * glr.astype(jnp.int8)
+             + 4 * shroud.astype(jnp.int8))
     small = jnp.concatenate(
-        [i16col(ham), i16col(ham_gl), i16col(minsum), i16col(kmatch),
-         f32col(loglam), f32col(abssum), f32col(loglam_gl),
-         f32col(abssum_gl), ok.astype(jnp.int8)[:, None]], axis=1)
+        [i16col(ham), i16col(ham_gl), f32col(loglam_sel),
+         f32col(abssum_sel), flags[:, None]], axis=1)
     return mapq, tvec.astype(jnp.int8), small
 
 
@@ -500,6 +522,7 @@ class TpuBackend(CompareBackend):
         self._align_cache: dict = {}
         self._qlerr_cache: dict = {}
         self._prep_cache: dict = {}
+        self._thr_cache: dict = {}
         import threading
         self._cache_lock = threading.Lock()
 
@@ -573,7 +596,8 @@ class TpuBackend(CompareBackend):
         pb = self._pb
         len1 = int(self.lens[center])
         base_key = (center, opts.BAND_SIZE, opts.MATCH, opts.MISMATCH,
-                    opts.GAP_PENALTY)
+                    opts.GAP_PENALTY, bool(opts.GAPLESS), opts.SSE < 1,
+                    float(opts.KDIST_CUTOFF))
         err_key = None if err is None else hash(err.tobytes())
         with self._cache_lock:
             for k in list(self._align_cache):
@@ -627,10 +651,12 @@ class TpuBackend(CompareBackend):
             self._put(np.int32(center)),
             self.d_seqs, self.d_lens, self._get_qlerr(err), pb.d_s2q,
             pb.d_inv, self.d_kmers, self.d_kords,
+            self._shroud_thr(opts.KDIST_CUTOFF),
             spec=spec, L1R=L1R, L2R=pb.L2R, NDP=NDP,
             match=opts.MATCH, mismatch=opts.MISMATCH,
             gap_p=opts.GAP_PENALTY, interpret=self._interpret,
-            mesh=self.mesh)
+            mesh=self.mesh, gapless_on=bool(opts.GAPLESS),
+            sse_lt1=opts.SSE < 1)
         with self._cache_lock:
             self._align_cache[base_key + (err_key,)] = res
             while len(self._align_cache) > 4:
@@ -639,13 +665,36 @@ class TpuBackend(CompareBackend):
 
     def _unpack_small(self, packed: np.ndarray):
         """Host-side unpack of the fused compare's small result rows:
-        (ham, ham_gapless, minsum, kmatch, loglam, abssum,
-        loglam_gapless, abssum_gapless, ok)."""
-        ints = packed[:, :8].copy().view(np.int16).astype(np.int64)
-        f32 = packed[:, 8:24].copy().view(np.float32).astype(np.float64)
-        ok = packed[:, 24] != 0
-        return (ints[:, 0], ints[:, 1], ints[:, 2], ints[:, 3],
-                f32[:, 0], f32[:, 1], f32[:, 2], f32[:, 3], ok)
+        (ham, ham_gapless, loglam_sel, abssum_sel, ok, gapless,
+        shrouded) — loglam/abssum pre-selected by the device gapless
+        rule, decisions as flag bits."""
+        ints = packed[:, :4].copy().view(np.int16).astype(np.int64)
+        f32 = packed[:, 4:12].copy().view(np.float32).astype(np.float64)
+        flags = packed[:, 12]
+        return (ints[:, 0], ints[:, 1], f32[:, 0], f32[:, 1],
+                (flags & 1) != 0, (flags & 2) != 0, (flags & 4) != 0)
+
+    def _shroud_thr(self, kdist_cutoff: float):
+        """[maxlen+1] int32 table: row d holds the smallest integer
+        minsum NOT shrouded at denominator d, reproducing the host's f64
+        comparison ``1.0 - minsum/denom > cutoff`` exactly (minsum and
+        denom are integers; the decision is monotone in minsum)."""
+        key = float(kdist_cutoff)
+        with self._cache_lock:
+            hit = self._thr_cache.get(key)
+        if hit is not None:
+            return hit
+        D = self.maxlen + 1
+        thr = np.zeros(D, np.int64)
+        for d in range(1, D):
+            m = np.arange(d + 1, dtype=np.float64)
+            keepable = (1.0 - m / float(d)) <= key
+            thr[d] = (int(np.nonzero(keepable)[0][0]) if keepable.any()
+                      else d + 1)
+        d_thr = self._put(thr.astype(np.int32))
+        with self._cache_lock:
+            self._thr_cache[key] = d_thr
+        return d_thr
 
     def _fetch_tvec_rows(self, d_tvec, rows: np.ndarray) -> np.ndarray:
         """Fetch the transition-vector rows of a shortlist (bucketed to a
@@ -661,6 +710,23 @@ class TpuBackend(CompareBackend):
         out[:, 0::2] = packed & 15
         out[:, 1::2] = packed >> 4
         return out[:, :L]
+
+    def _shrouded(self, center: int, kdist_cutoff: float,
+                  opts: DadaOptions, sh_bit: np.ndarray) -> np.ndarray:
+        """Per-row shroud decision honoring the CALLER's cutoff: the
+        device bit bakes opts.KDIST_CUTOFF (what the engine's budded
+        compares pass); the init compare and birth subs pass 1.0 — and
+        kdist = 1 - minsum/denom can never exceed 1.0, so nothing
+        shrouds there (reference: src/cluster.cpp:40, src/Rmain.cpp:206).
+        Any other cutoff recomputes the f64 rule from host screens."""
+        if kdist_cutoff >= 1.0:
+            return np.zeros(self.rs.n, dtype=bool)
+        if float(kdist_cutoff) == float(opts.KDIST_CUTOFF):
+            return sh_bit
+        minsum, _ = self._screens(center)
+        denom = (np.minimum(self.lens, int(self.lens[center]))
+                 - (KMER_SIZE - 1.0))
+        return (1.0 - minsum / denom) > kdist_cutoff
 
     @staticmethod
     def _screen_need(loglam: np.ndarray, abssum: np.ndarray, L: int,
@@ -794,15 +860,48 @@ class TpuBackend(CompareBackend):
         geom = self._pallas_ok(l1, opts) if opts.BAND_SIZE != 0 else None
 
         if geom is not None:
-            # fast path: ONE fused device call + ONE small host fetch
+            # fast path: ONE fused device call + ONE small host fetch;
+            # the shroud/gapless decisions arrive as device-computed
+            # flag bits (the thr table bakes opts.KDIST_CUTOFF, which is
+            # what the engine always passes as kdist_cutoff)
             res = self._align_all_pallas(center, opts, geom, err)
-            (ham_all, ham_gl, minsum, kmatch, loglam, abssum, loglam_gl,
-             abssum_gl, ok) = self._unpack_small(np.asarray(res[2]))
-        else:
-            res = None
-            minsum = kmatch = None
+            (ham_all, ham_gl, loglam_sel, abssum_sel, ok, gl_bit,
+             sh_bit) = self._unpack_small(np.asarray(res[2]))
+            gapless = np.zeros(n, dtype=bool)
             if use_kmers:
-                minsum, kmatch = self._screens(center)
+                cand &= ~self._shrouded(center, kdist_cutoff, opts,
+                                        sh_bit)
+                gapless = gl_bit
+            gl_idx = np.nonzero(cand & gapless)[0]
+            al_idx = np.nonzero(cand & ~gapless)[0]
+            if len(al_idx) and not ok[al_idx].all():
+                raise RuntimeError("N-W Align out of range.")
+            ham[gl_idx] = ham_gl[gl_idx]
+            ham[al_idx] = ham_all[al_idx]
+            if use_kmers:
+                # device loglam/abssum are pre-selected by the same
+                # gapless rule the host applied above
+                need = self._screen_need(loglam_sel, abssum_sel,
+                                         self.maxlen, e_thresh)
+            else:
+                # non-default config: the device selection does not
+                # apply; compute every candidate's lambda exactly
+                need = np.ones(n, dtype=bool)
+            from ..trace import COUNTERS
+            COUNTERS.gapless += len(gl_idx)
+            ng = gl_idx[need[gl_idx]]
+            if len(ng):
+                tvec, _ = self._gapless_tvec_ham(center, ng)
+                lam[ng] = self._lambdas(ng, tvec, err)
+            na = al_idx[need[al_idx]]
+            if len(na):
+                tvec = self._fetch_tvec_rows(res[1], na)
+                lam[na] = self._lambdas(na, tvec, err)
+            return lam, ham
+
+        minsum = kmatch = None
+        if use_kmers:
+            minsum, kmatch = self._screens(center)
 
         gapless = np.zeros(n, dtype=bool)
         if use_kmers:
@@ -820,26 +919,6 @@ class TpuBackend(CompareBackend):
 
         gl_idx = np.nonzero(cand & gapless)[0]
         al_idx = np.nonzero(cand & ~gapless)[0]
-
-        if res is not None:
-            if len(al_idx) and not ok[al_idx].all():
-                raise RuntimeError("N-W Align out of range.")
-            ham[gl_idx] = ham_gl[gl_idx]
-            ham[al_idx] = ham_all[al_idx]
-            ll = np.where(gapless, loglam_gl, loglam)
-            ab = np.where(gapless, abssum_gl, abssum)
-            need = self._screen_need(ll, ab, self.maxlen, e_thresh)
-            from ..trace import COUNTERS
-            COUNTERS.gapless += len(gl_idx)
-            ng = gl_idx[need[gl_idx]]
-            if len(ng):
-                tvec, _ = self._gapless_tvec_ham(center, ng)
-                lam[ng] = self._lambdas(ng, tvec, err)
-            na = al_idx[need[al_idx]]
-            if len(na):
-                tvec = self._fetch_tvec_rows(res[1], na)
-                lam[na] = self._lambdas(na, tvec, err)
-            return lam, ham
 
         # XLA fallback path (CPU tests / unbucketable geometries):
         # exact lambda for every candidate row
@@ -932,17 +1011,22 @@ class TpuBackend(CompareBackend):
             sm = self._unpack_small(np.asarray(res[2]))
         if use_kmers:
             if sm is not None:
-                minsum, kmatch = sm[2], sm[3]
+                # device-computed decision bits; _shrouded honors the
+                # caller's cutoff (finalize birth subs pass 1.0)
+                keep = ~self._shrouded(center, kdist_cutoff, opts,
+                                       sm[6])[members]
+                gapless = sm[5][members]
             else:
                 minsum, kmatch = self._screens(center)
-            minsum, kmatch = minsum[members], kmatch[members]
-            denom = np.minimum(self.lens[members], l1) - (KMER_SIZE - 1.0)
-            kdist = 1.0 - minsum / denom
-            keep = ~(kdist > kdist_cutoff)
-            if opts.GAPLESS:
-                gapless = kmatch == minsum
-                if opts.SSE < 1:
-                    gapless &= self.lens[members] == l1
+                minsum, kmatch = minsum[members], kmatch[members]
+                denom = (np.minimum(self.lens[members], l1)
+                         - (KMER_SIZE - 1.0))
+                kdist = 1.0 - minsum / denom
+                keep = ~(kdist > kdist_cutoff)
+                if opts.GAPLESS:
+                    gapless = kmatch == minsum
+                    if opts.SSE < 1:
+                        gapless &= self.lens[members] == l1
         if opts.BAND_SIZE == 0:
             gapless[:] = True
         for k in np.nonzero(keep & gapless)[0]:
@@ -956,7 +1040,7 @@ class TpuBackend(CompareBackend):
                 rows = self._put(
                     np.concatenate([idx, pad]).astype(np.int32))
                 mrows = np.asarray(_gather_rows(res[0], rows))[: len(al)]
-                if not sm[8][idx].all():
+                if not sm[4][idx].all():
                     raise RuntimeError("N-W Align out of range.")
                 for r, k in enumerate(al):
                     out[k] = self._maprow_to_sub(mrows[r], center,
@@ -996,7 +1080,7 @@ class TpuBackend(CompareBackend):
         rs = self.rs
         res = self._align_all_pallas(center, opts, geom, None)
         sm = self._unpack_small(np.asarray(res[2]))
-        if not sm[8][members].all():
+        if not sm[4][members].all():
             raise RuntimeError("N-W Align out of range.")
         nb = _bucket(m)
         pad = np.full(nb - m, members[0], np.int64)
@@ -1033,7 +1117,7 @@ class TpuBackend(CompareBackend):
                                          ncol, use_quals)
         res = self._align_all_pallas(center, opts, geom, None)
         sm = self._unpack_small(np.asarray(res[2]))
-        if not sm[8][members].all():
+        if not sm[4][members].all():
             raise RuntimeError("N-W Align out of range.")
         nsubs = sm[0][members]
         m = len(members)
