@@ -407,16 +407,14 @@ class _PallasBlocks:
         # bucket share one program (the fill/traceback loops are runtime-
         # bounded by the true lengths; padding costs memory only)
         self.L2R = nwp._round_up(self.maxlen + 128, 128)
-        s2r = nwp.pack_s2_blocks(rawset.seqs, self.lens, self.block_idx,
-                                 self.L2R)
-        # merged (qual << 2 | nt) candidate tile: one kernel input carries
-        # chars and quals in the reversed right-aligned layout
+        # merged (qual << 2 | nt) candidate tile: one kernel input
+        # carries chars and quals in the reversed right-aligned layout;
+        # merging BEFORE packing halves the packing pass
+        merged = (rawset.seqs & 3).astype(np.int32)
         if rawset.quals is not None:
-            q2r = nwp.pack_s2_blocks(rawset.quals, self.lens,
-                                     self.block_idx, self.L2R)
-        else:
-            q2r = np.zeros_like(s2r)
-        self.d_s2q = put((q2r << 2) | (s2r & 3))
+            merged |= rawset.quals.astype(np.int32) << 2
+        self.d_s2q = put(nwp.pack_s2_blocks(merged, self.lens,
+                                            self.block_idx, self.L2R))
         flat = self.block_idx.reshape(-1)
         inv = np.full(rawset.n, -1, np.int64)
         # reverse-order assignment keeps the FIRST occurrence (pad lanes
@@ -710,6 +708,21 @@ class TpuBackend(CompareBackend):
         out[:, 0::2] = packed & 15
         out[:, 1::2] = packed >> 4
         return out[:, :L]
+
+    def _small_rows(self, res, rows: np.ndarray):
+        """Fetch + unpack only the given rows of the small pack (the
+        finalize paths touch a handful of member rows; fetching the full
+        [n, 13] slab there would repay the whole compare fetch per
+        cluster). Bucketed so gather programs are reused."""
+        rows = np.asarray(rows, np.int64)
+        if len(rows) == 0:
+            return self._unpack_small(np.zeros((0, SMALL_PACK_BYTES),
+                                               np.int8))
+        nb = _bucket(len(rows))
+        pad = np.full(nb - len(rows), rows[0], np.int64)
+        full = self._put(np.concatenate([rows, pad]).astype(np.int32))
+        packed = np.asarray(_gather_rows(res[2], full))[: len(rows)]
+        return self._unpack_small(packed)
 
     def _shrouded(self, center: int, kdist_cutoff: float,
                   opts: DadaOptions, sh_bit: np.ndarray) -> np.ndarray:
@@ -1008,14 +1021,24 @@ class TpuBackend(CompareBackend):
             res = self._align_all_pallas(center, opts, geom, None)
         sm = None
         if res is not None:
-            sm = self._unpack_small(np.asarray(res[2]))
+            # member rows only — the full slab is never fetched here
+            sm = self._small_rows(res, members)
         if use_kmers:
             if sm is not None:
-                # device-computed decision bits; _shrouded honors the
-                # caller's cutoff (finalize birth subs pass 1.0)
-                keep = ~self._shrouded(center, kdist_cutoff, opts,
-                                       sm[6])[members]
-                gapless = sm[5][members]
+                # device-computed decision bits; honor the caller's
+                # cutoff (finalize birth subs pass 1.0, where kdist
+                # can never exceed the cutoff)
+                if kdist_cutoff >= 1.0:
+                    keep = np.ones(n, dtype=bool)
+                elif float(kdist_cutoff) == float(opts.KDIST_CUTOFF):
+                    keep = ~sm[6]
+                else:
+                    minsum, _ = self._screens(center)
+                    denom = (np.minimum(self.lens[members], l1)
+                             - (KMER_SIZE - 1.0))
+                    keep = ~((1.0 - minsum[members] / denom)
+                             > kdist_cutoff)
+                gapless = sm[5]
             else:
                 minsum, kmatch = self._screens(center)
                 minsum, kmatch = minsum[members], kmatch[members]
@@ -1040,7 +1063,7 @@ class TpuBackend(CompareBackend):
                 rows = self._put(
                     np.concatenate([idx, pad]).astype(np.int32))
                 mrows = np.asarray(_gather_rows(res[0], rows))[: len(al)]
-                if not sm[4][idx].all():
+                if not sm[4][al].all():
                     raise RuntimeError("N-W Align out of range.")
                 for r, k in enumerate(al):
                     out[k] = self._maprow_to_sub(mrows[r], center,
@@ -1079,8 +1102,8 @@ class TpuBackend(CompareBackend):
             return super().subs_info(center, members, opts)
         rs = self.rs
         res = self._align_all_pallas(center, opts, geom, None)
-        sm = self._unpack_small(np.asarray(res[2]))
-        if not sm[4][members].all():
+        sm = self._small_rows(res, members)
+        if not sm[4].all():
             raise RuntimeError("N-W Align out of range.")
         nb = _bucket(m)
         pad = np.full(nb - m, members[0], np.int64)
@@ -1116,10 +1139,10 @@ class TpuBackend(CompareBackend):
             return super().cluster_stats(center, members, correct, opts,
                                          ncol, use_quals)
         res = self._align_all_pallas(center, opts, geom, None)
-        sm = self._unpack_small(np.asarray(res[2]))
-        if not sm[4][members].all():
+        sm = self._small_rows(res, members)
+        if not sm[4].all():
             raise RuntimeError("N-W Align out of range.")
-        nsubs = sm[0][members]
+        nsubs = sm[0]
         m = len(members)
         nb = _bucket(m)
         mem_pad = np.concatenate([members,
