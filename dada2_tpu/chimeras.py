@@ -231,6 +231,29 @@ def is_bimera_denovo_table(seqtab: pd.DataFrame,
     if len(set(sqs)) != len(sqs):
         raise ValueError("Duplicate sequences detected in input.")
     mat = seqtab.values.astype(np.int64)
+    nflag, nsam = _table_bimera_stats(
+        mat, sqs, minFoldParentOverAbundance, minParentAbundance,
+        allowOneOff, minOneOffParentDistance, maxShift, opts)
+
+    is_bim = (nflag >= nsam) | ((nflag > 0) &
+                                (nflag >= (nsam - ignoreNNegatives) *
+                                 minSampleFraction))
+    out = pd.Series(is_bim, index=sqs)
+    if verbose:
+        print(f"Identified {int(out.sum())} bimeras out of {len(out)} "
+              f"input sequences.")
+    return out
+
+
+def _table_bimera_stats(mat: np.ndarray, sqs: List[str],
+                        minFoldParentOverAbundance: float,
+                        minParentAbundance: int, allowOneOff: bool,
+                        minOneOffParentDistance: int, maxShift: int,
+                        opts) -> tuple:
+    """(nflag, nsam) per sequence column: in how many samples the
+    sequence is present, and in how many it is flagged as a bimera of
+    sample-local parents (reference: C_table_bimera2,
+    src/chimera.cpp:60-192)."""
     nsam_tot, ncol = mat.shape
     nflag = np.zeros(ncol, dtype=np.int64)
     nsam = np.zeros(ncol, dtype=np.int64)
@@ -296,15 +319,7 @@ def is_bimera_denovo_table(seqtab: pd.DataFrame,
                             lefts_oo[pa].max(initial=0) +
                             rights[pa].max(initial=0) >= sqlen):
                         nflag[j] += 1
-
-    is_bim = (nflag >= nsam) | ((nflag > 0) &
-                                (nflag >= (nsam - ignoreNNegatives) *
-                                 minSampleFraction))
-    out = pd.Series(is_bim, index=sqs)
-    if verbose:
-        print(f"Identified {int(out.sum())} bimeras out of {len(out)} "
-              f"input sequences.")
-    return out
+    return nflag, nsam
 
 
 def remove_bimera_denovo(unqs, method: str = "consensus",
