@@ -4,17 +4,27 @@ reference: R/errorModels.R. The self-consistency loop lives in dada.py;
 here are the error-estimation functions applied to pooled 16xQ transition
 counts, plus helpers (getErrors, inflateErr, accumulateTrans).
 
-The loess fit computes R's loess(rlogp ~ q, weights=tot) with
-span=0.75/degree=2/family=gaussian EXACTLY at every prediction point — the
-mathematically exact local regression (R's surface="direct"). R's default
-surface="interpolate" approximates that same fit through kd-tree vertex
-evaluation + cubic blending; its deviation from the exact fit is typically
-<1e-10 in log10-rate units. Because the selfConsist stop rule is exact
-matrix repetition (R/dada.R:391-395), such a deviation can shift the round
-count by one on some datasets; the converged rates agree to ~1e-10. R (and
-its Fortran loess) is not available in this environment, so
-interpolate-surface goldens cannot be generated here — the exact fit is
-the deliberate choice, documented as the one known R-side deviation.
+The loess fit implements R's loess(rlogp ~ q, weights=tot) with
+span=0.75/degree=2/family=gaussian, with BOTH evaluation surfaces:
+
+- surface="interpolate" (the default, as in R): a kd-tree is grown over
+  the fitted q values until every cell holds <= floor(n*span*cell)
+  points (cell=0.2), splitting at the lower-median data value with R's
+  tie-adjustment (alternating outward search for a splittable position,
+  loessf.f ehg124 incl. the 2006 btyner fix); the local regression value
+  AND first derivative are evaluated exactly at every cell vertex, and
+  predictions between vertices are cubic Hermite blends (Cleveland &
+  Grosse, "Computational methods for local regression", 1991). Points
+  outside the fitted range predict NA, exactly like R's predict.loess.
+- surface="direct": the mathematically exact local regression at every
+  prediction point.
+
+R and its Fortran loess are not installable in this environment, so
+interpolate-surface goldens cannot be generated; the kd-tree build rules
+above are derived from the published algorithm and the R sources' known
+behavior, and the two surfaces are cross-checked against each other in
+tests (they agree exactly at vertices and to ~1e-3 log10 units between
+them, far below the clamping granularity that feeds selfConsist).
 Everything downstream of the error matrix is covered by the compiled-
 reference engine parity harness (tests/test_reference_parity.py).
 """
@@ -32,42 +42,134 @@ MAX_ERROR_RATE = 0.25  # reference: R/errorModels.R:54
 MIN_ERROR_RATE = 1e-7  # reference: R/errorModels.R:55
 
 
-def loess_fit(x: np.ndarray, y: np.ndarray, w: np.ndarray, xpred: np.ndarray,
-              span: float = 0.75, degree: int = 2) -> np.ndarray:
-    """Weighted local polynomial regression (loess), direct surface.
+def _local_poly(x: np.ndarray, y: np.ndarray, w: np.ndarray, x0: float,
+                q: int, degree: int) -> np.ndarray:
+    """Local weighted polynomial fit at x0: the floor(n*span) nearest x's,
+    weighted by tricube(distance/dmax) * w. Returns the coefficient vector
+    of the polynomial in (x - x0); [0] is the fit value, [1] its first
+    derivative at x0."""
+    d = np.abs(x - x0)
+    idx = np.argsort(d, kind="stable")[:q]
+    dmax = d[idx].max()
+    if dmax <= 0:
+        dmax = 1.0
+    tri = (1 - np.minimum(d[idx] / dmax, 1.0) ** 3) ** 3
+    ww = tri * w[idx]
+    X = np.vander(x[idx] - x0, degree + 1, increasing=True)
+    sw = np.sqrt(ww)
+    beta, *_ = np.linalg.lstsq(X * sw[:, None], y[idx] * sw, rcond=None)
+    return beta
 
-    At each prediction point: take the floor(n*span) nearest x's, weight them
-    by tricube(distance/dmax) * w, and fit a degree-2 polynomial by weighted
-    least squares.
-    """
-    n = len(x)
+
+def _loess_q(n: int, span: float, degree: int) -> int:
     q = int(math.floor(n * span))
     q = max(q, degree + 1)
-    q = min(q, n)
+    return min(q, n)
+
+
+def loess_fit(x: np.ndarray, y: np.ndarray, w: np.ndarray, xpred: np.ndarray,
+              span: float = 0.75, degree: int = 2) -> np.ndarray:
+    """Weighted local polynomial regression (loess), direct surface: the
+    exact local regression evaluated at every prediction point."""
+    q = _loess_q(len(x), span, degree)
     out = np.empty(len(xpred))
     for k, x0 in enumerate(xpred):
-        d = np.abs(x - x0)
-        idx = np.argsort(d, kind="stable")[:q]
-        dmax = d[idx].max()
-        if dmax <= 0:
-            dmax = 1.0
-        tri = (1 - np.minimum(d[idx] / dmax, 1.0) ** 3) ** 3
-        ww = tri * w[idx]
-        X = np.vander(x[idx] - x0, degree + 1, increasing=True)
-        sw = np.sqrt(ww)
-        beta, *_ = np.linalg.lstsq(X * sw[:, None], y[idx] * sw, rcond=None)
-        out[k] = beta[0]
+        out[k] = _local_poly(x, y, w, x0, q, degree)[0]
     return out
 
 
-def loess_errfun(trans: np.ndarray) -> np.ndarray:
+def _kdtree_vertices(xs: np.ndarray, fc: int) -> np.ndarray:
+    """1-D loess kd-tree vertex coordinates over the sorted fitted x's.
+
+    A cell (an index range of the sorted points) is split while it holds
+    more than fc points; the split value is the lower-median point, with
+    R's tie adjustment: if the median equals the next point, alternately
+    try one position left, one right, two left, ... and give up (leaf) as
+    soon as a trial position falls outside the cell (loessf.f ehg124,
+    incl. the 2006-07-20 tie fix). Vertices are the cell bounds: the data
+    range endpoints plus every split value."""
+    verts = [xs[0], xs[-1]]
+    stack = [(0, len(xs) - 1)]  # inclusive index ranges
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo + 1 <= fc:
+            continue
+        m = (lo + hi) // 2
+        if xs[m] == xs[m + 1]:
+            for k in range(1, hi - lo + 1):
+                o = -((k + 1) // 2) if k % 2 else k // 2
+                # mirror the Fortran: first out-of-bounds trial => leaf
+                if not (lo <= m + o < hi):
+                    m = -1
+                    break
+                if xs[m + o] != xs[m + o + 1]:
+                    m = m + o
+                    break
+            else:
+                m = -1
+        if m < 0:
+            continue
+        verts.append(xs[m])
+        stack.append((lo, m))
+        stack.append((m + 1, hi))
+    return np.unique(np.array(verts, dtype=np.float64))
+
+
+def loess_interp_fit(x: np.ndarray, y: np.ndarray, w: np.ndarray,
+                     xpred: np.ndarray, span: float = 0.75,
+                     degree: int = 2, cell: float = 0.2) -> np.ndarray:
+    """Loess with R's default surface="interpolate": the local regression
+    (value and first derivative) is evaluated exactly at the kd-tree cell
+    vertices only, and predictions in between are the cubic Hermite blend
+    of the two enclosing vertices. Prediction points outside the fitted
+    range return NaN (R's predict.loess does not extrapolate)."""
+    x = np.asarray(x, dtype=np.float64)
+    order = np.argsort(x, kind="stable")
+    xs = x[order]
+    n = len(xs)
+    q = _loess_q(n, span, degree)
+    fc = max(int(math.floor(n * span * cell)), 1)
+    verts = _kdtree_vertices(xs, fc)
+
+    val = np.empty(len(verts))
+    der = np.empty(len(verts))
+    for i, v in enumerate(verts):
+        beta = _local_poly(x, y, w, v, q, degree)
+        val[i] = beta[0]
+        der[i] = beta[1] if degree >= 1 else 0.0
+
+    out = np.full(len(xpred), np.nan)
+    inside = (xpred >= verts[0]) & (xpred <= verts[-1])
+    ci = np.clip(np.searchsorted(verts, xpred, side="right") - 1, 0,
+                 len(verts) - 2)
+    for k in np.nonzero(inside)[0]:
+        i = ci[k]
+        v0, v1 = verts[i], verts[i + 1]
+        h = v1 - v0
+        s = (xpred[k] - v0) / h
+        h00 = (1 + 2 * s) * (1 - s) ** 2
+        h10 = s * (1 - s) ** 2
+        h01 = s * s * (3 - 2 * s)
+        h11 = s * s * (s - 1)
+        out[k] = (h00 * val[i] + h * h10 * der[i] +
+                  h01 * val[i + 1] + h * h11 * der[i + 1])
+    return out
+
+
+def loess_errfun(trans: np.ndarray, surface: str = "interpolate"
+                 ) -> np.ndarray:
     """Estimate the 16xQ error matrix from transition counts.
 
     reference: loessErrfun, R/errorModels.R:28-67. For each of the 12
     off-diagonal transitions, fit log10((errs+1)/tot) ~ q by loess weighted
-    by tot, extend flat outside the observed range, clamp to
-    [1e-7, 0.25], and set self-transitions to the leftover probability.
+    by tot (surface: "interpolate" = R's default kd-tree vertex + cubic
+    Hermite scheme, "direct" = exact local regression), extend flat
+    outside the observed range, clamp to [1e-7, 0.25], and set
+    self-transitions to the leftover probability.
     """
+    if surface not in ("interpolate", "direct"):
+        raise ValueError(f"Unknown loess surface: {surface!r}")
+    fit = loess_interp_fit if surface == "interpolate" else loess_fit
     trans = np.asarray(trans, dtype=np.float64)
     ncol = trans.shape[1]
     qq = np.arange(ncol, dtype=np.float64)
@@ -91,7 +193,7 @@ def loess_errfun(trans: np.ndarray) -> np.ndarray:
             # loess predictions cover the whole observed q range (interior
             # unobserved columns are interpolated, like R's predict.loess)
             inner = np.arange(oki[0], oki[-1] + 1)
-            pred[inner] = loess_fit(qq[ok], rlogp[ok], tot[ok], qq[inner])
+            pred[inner] = fit(qq[ok], rlogp[ok], tot[ok], qq[inner])
             # extend flat beyond the fitted range (R/errorModels.R:47-50)
             pred[: oki[0]] = pred[oki[0]]
             pred[oki[-1] + 1 :] = pred[oki[-1]]
