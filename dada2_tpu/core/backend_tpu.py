@@ -340,6 +340,56 @@ def _gather_rows(arr, idx):
     return jnp.take(arr, idx.astype(jnp.int32), axis=0)
 
 
+@partial(jax.jit, static_argnames=("L",))
+def _shortlist_order(small, skip, e_thresh, *, L):
+    """Device store-screen + compaction for a budded compare.
+
+    The engine stores a comparison iff lambda * total_reads > E_minmax
+    (reference: src/cluster.cpp:179-201), i.e. iff log(lambda) >
+    log(e_thresh). Rows provably below that threshold (by a sound f32
+    error margin, see TpuBackend._screen_need) never influence the
+    engine, so only the surviving shortlist needs to reach the host at
+    all: this returns a [3] header (shortlist size, naligned, nshroud)
+    and a stable order putting shortlisted rows first, both staying on
+    device until fetched.
+
+    Margin soundness (all-f32 version of the host rule): device loglam
+    differs from the exact log lambda by at most eps*(5L + (L+5)*S)
+    with S = sum |log factors|; log(e_thresh) computed here in f32 is
+    off by at most ~4*eps*|logthr| (f32 cast of e_thresh + log impl
+    ulps); 1e-3 covers the f32 adds/compares themselves."""
+    n = small.shape[0]
+    loglam = jax.lax.bitcast_convert_type(
+        small[:, 4:8].reshape(n, 1, 4), jnp.float32).reshape(n)
+    abssum = jax.lax.bitcast_convert_type(
+        small[:, 8:12].reshape(n, 1, 4), jnp.float32).reshape(n)
+    flags = small[:, 12]
+    shroud = (flags & 4) != 0
+    nskip = skip != 0
+    cand = (~nskip) & (~shroud)
+    eps = jnp.float32(2.0 ** -23)
+    pos = e_thresh > 0
+    logthr = jnp.where(pos, jnp.log(jnp.where(pos, e_thresh, 1.0)),
+                       -jnp.inf)
+    margin = (jnp.float32(1e-3)
+              + eps * (jnp.float32(5.0 * L) + (L + 5.0) * abssum)
+              + 4.0 * eps * jnp.where(pos, jnp.abs(logthr),
+                                      jnp.float32(0.0)))
+    need = cand & ((loglam + margin >= logthr) | ~jnp.isfinite(loglam))
+    header = jnp.stack([need.sum(), cand.sum(),
+                        (shroud & ~nskip).sum()]).astype(jnp.int32)
+    order = jnp.argsort(~need, stable=True).astype(jnp.int32)
+    return header, order
+
+
+@partial(jax.jit, static_argnames=("M",))
+def _shortlist_take(small, order, M):
+    """Gather the first M rows of the compacted order (indices + their
+    small-pack rows travel together; M is bucketed so programs reuse)."""
+    idx = jax.lax.dynamic_slice_in_dim(order, 0, M)
+    return idx, jnp.take(small, idx, axis=0)
+
+
 @jax.jit
 def _gather_tvec_packed(tvec, idx):
     """Row gather + 4-bit packing (two transition codes per byte)."""
@@ -866,11 +916,25 @@ class TpuBackend(CompareBackend):
         computes the exact lambda for every candidate row."""
         rs = self.rs
         n = rs.n
+        self.last_stats = None
         lam = np.zeros(n)
         ham = np.full(n, -1, dtype=np.int64)
         cand = ~np.asarray(skip, bool)
         l1 = int(self.lens[center])
         geom = self._pallas_ok(l1, opts) if opts.BAND_SIZE != 0 else None
+
+        if (geom is not None and use_kmers and e_thresh is not None
+                and float(kdist_cutoff) == float(opts.KDIST_CUTOFF)
+                and np.any(e_thresh > 0)):
+            # budded compare: the store screen runs ON DEVICE and only
+            # the surviving shortlist is ever fetched (two small fetches
+            # instead of the full [n, 13] slab; the E_minmax prune makes
+            # the shortlist a tiny fraction of n in steady state)
+            res = self._align_all_pallas(center, opts, geom, err)
+            out = self._compare_shortlisted(center, skip, opts, err,
+                                            e_thresh, res)
+            if out is not None:
+                return out
 
         if geom is not None:
             # fast path: ONE fused device call + ONE small host fetch;
@@ -915,6 +979,59 @@ class TpuBackend(CompareBackend):
         minsum = kmatch = None
         if use_kmers:
             minsum, kmatch = self._screens(center)
+        return self._compare_slow(center, lam, ham, cand, opts, err,
+                                  use_kmers, kdist_cutoff, minsum, kmatch,
+                                  l1)
+
+    def _compare_shortlisted(self, center: int, skip: np.ndarray,
+                             opts: DadaOptions, err: np.ndarray,
+                             e_thresh: np.ndarray, res):
+        """Shortlist variant of the fused compare: device store-screen +
+        compacted fetch. Returns (lam, ham) with ham == -2 marking rows
+        that were aligned on device but provably never stored by the
+        engine (their exact lambda is irrelevant and never computed);
+        sets self.last_stats = (naligned, nshrouded) from the device
+        scalars so the engine's counters stay exact. Returns None when
+        the shortlist is so large that the full-slab fetch is cheaper."""
+        n = self.rs.n
+        d_skip = self._put(np.asarray(skip, np.uint8))
+        d_eth = self._put(np.asarray(e_thresh, np.float32))
+        header_d, order = _shortlist_order(res[2], d_skip, d_eth,
+                                           L=self.maxlen)
+        m, naligned, nshroud = (int(x) for x in np.asarray(header_d))
+        if m * (SMALL_PACK_BYTES + 4) > n * SMALL_PACK_BYTES:
+            return None
+        lam = np.zeros(n)
+        ham = np.full(n, -2, dtype=np.int64)
+        ham[np.asarray(skip, bool)] = -1
+        self.last_stats = (naligned, nshroud)
+        if m == 0:
+            return lam, ham
+        M = min(_bucket(m), n)
+        idx_d, rows_d = _shortlist_take(res[2], order, M)
+        rows_idx = np.asarray(idx_d)[:m].astype(np.int64)
+        (ham_all, ham_gl, _loglam, _abssum, ok, gl_bit,
+         _sh) = self._unpack_small(np.asarray(rows_d)[:m])
+        gl_rows = rows_idx[gl_bit]
+        al_rows = rows_idx[~gl_bit]
+        if len(al_rows) and not ok[~gl_bit].all():
+            raise RuntimeError("N-W Align out of range.")
+        ham[gl_rows] = ham_gl[gl_bit]
+        ham[al_rows] = ham_all[~gl_bit]
+        from ..trace import COUNTERS
+
+        COUNTERS.gapless += len(gl_rows)
+        if len(gl_rows):
+            tvec, _ = self._gapless_tvec_ham(center, gl_rows)
+            lam[gl_rows] = self._lambdas(gl_rows, tvec, err)
+        if len(al_rows):
+            tvec = self._fetch_tvec_rows(res[1], al_rows)
+            lam[al_rows] = self._lambdas(al_rows, tvec, err)
+        return lam, ham
+
+    def _compare_slow(self, center, lam, ham, cand, opts, err, use_kmers,
+                      kdist_cutoff, minsum, kmatch, l1):
+        n = self.rs.n
 
         gapless = np.zeros(n, dtype=bool)
         if use_kmers:

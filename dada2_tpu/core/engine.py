@@ -66,7 +66,15 @@ class CompareBackend:
     src/cluster.cpp:179-201) — the engine discards such rows identically,
     so results are unchanged while the backend skips their exact-lambda
     work. Backends may ignore it.
+
+    A backend that screens may return ham == -2 for rows it aligned but
+    never fetched (exact ham/lam unknown and provably irrelevant); it
+    must then set self.last_stats = (naligned, nshrouded) so the
+    engine's counters stay exact. last_stats is consumed and cleared by
+    the engine after every compare.
     """
+
+    last_stats = None
 
     def compare(self, center: int, skip: np.ndarray, opts: DadaOptions,
                 err: np.ndarray, use_kmers: bool, kdist_cutoff: float,
@@ -237,17 +245,27 @@ class Engine:
                                         self.E_minmax / self.total_reads)
         if np.any((lam < 0) | (lam > 1)):
             raise ValueError("Lambda out-of-range error.")
-        naligned = int((ham >= 0).sum())
+        stats = getattr(self.backend, "last_stats", None)
+        if stats is not None:
+            naligned, nshrouded = stats
+            self.backend.last_stats = None
+        else:
+            naligned = int((ham >= 0).sum())
+            nshrouded = int(((ham < 0) & ~skip).sum())
         self.nalign += naligned
-        self.nshroud += int(((ham < 0) & ~skip).sum())
+        self.nshroud += nshrouded
         COUNTERS.compares += 1
         COUNTERS.alignments += naligned
-        COUNTERS.shrouded += int(((ham < 0) & ~skip).sum())
+        COUNTERS.shrouded += nshrouded
         COUNTERS.compare_seconds += _time.time() - t0
 
         # Selective store (reference: src/cluster.cpp:179-201): keep the
         # comparison only if this cluster could attract the raw.
         store = lam * self.total_reads > self.E_minmax
+        if np.any(ham[store] == -2):
+            # a backend store-screen dropped a row the engine stores:
+            # the screen's soundness contract is broken
+            raise RuntimeError("compare screen dropped a stored row")
         better = store & (lam * center_reads > self.E_minmax)
         self.E_minmax[better] = lam[better] * center_reads
         idx = np.nonzero(store)[0]

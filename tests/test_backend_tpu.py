@@ -150,3 +150,46 @@ def test_full_run_parity_scalar_novec(sample):
     eng_o, res_o = _run(OracleBackend, small, err, **kw)
     eng_t, res_t = _run(TpuBackend, small, err, **kw)
     _assert_same(res_o, res_t)
+
+
+def test_compare_shortlist_path(sample, monkeypatch):
+    """The budded-compare shortlist path (device store-screen + compacted
+    fetch): rows it reports must match the full fetch exactly; rows it
+    screens out (ham == -2) must be provably un-storable; the device
+    naligned/nshroud scalars must match the full path's counts."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    seqs, ab, quals = sample
+    err = tperr1()
+    opts = DEFAULT_OPTIONS.normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+    be = TpuBackend(rs, use_quals=True)
+    skip = np.zeros(rs.n, bool)
+    cutoff = opts.KDIST_CUTOFF
+    lam_full, ham_full = be.compare(0, skip, opts, err, True, cutoff)
+    assert be.last_stats is None          # full path sets no stats
+    total = int(rs.reads.sum())
+    pos = lam_full[lam_full > 0]
+    e_minmax = np.full(rs.n, np.median(pos) * total / 2)
+    lam_s, ham_s = be.compare(0, skip, opts, err, True, cutoff,
+                              e_minmax / total)
+    assert be.last_stats is not None
+    naligned, nshroud = be.last_stats
+    assert naligned == int((ham_full >= 0).sum())
+    assert nshroud == int(((ham_full < 0) & ~skip).sum())
+    fetched = ham_s != -2
+    assert fetched.sum() < rs.n           # the screen actually screened
+    np.testing.assert_array_equal(ham_s[fetched], ham_full[fetched])
+    np.testing.assert_array_equal(lam_s[fetched], lam_full[fetched])
+    # screened rows would never be stored by the engine
+    store = lam_full * total > e_minmax
+    assert fetched[store].all()
+    assert (lam_full[~fetched] * total <= e_minmax[~fetched]).all()
+    # greedy-skip rows keep the -1 sentinel and are excluded from stats
+    skip2 = np.zeros(rs.n, bool)
+    skip2[1::3] = True
+    lam_k, ham_k = be.compare(0, skip2, opts, err, True, cutoff,
+                              e_minmax / total)
+    naligned2, _ = be.last_stats
+    assert (ham_k[skip2] == -1).all()
+    assert (lam_k[skip2] == 0).all()
+    assert naligned2 == int((ham_full >= 0) .sum() - (ham_full[skip2] >= 0).sum())

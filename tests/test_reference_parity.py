@@ -249,13 +249,16 @@ def refengine(tmp_path_factory):
     return lib
 
 
-@pytest.mark.parametrize("overrides", [
-    {},                                          # production defaults
-    {"GAPLESS": False, "GREEDY": False},         # no screens/locks
-    {"DETECT_SINGLETONS": True, "BAND_SIZE": 32},
-    {"OMEGA_A": 1e-10, "MIN_HAMMING": 2},        # more budding
+@pytest.mark.parametrize("overrides,pallas", [
+    ({}, False),                                 # production defaults
+    ({}, True),    # pallas route incl. the shortlisted compare fetch
+    ({"GAPLESS": False, "GREEDY": False}, False),  # no screens/locks
+    ({"DETECT_SINGLETONS": True, "BAND_SIZE": 32}, False),
+    ({"OMEGA_A": 1e-10, "MIN_HAMMING": 2}, False),   # more budding
 ])
-def test_engine_parity_sam1F(refengine, overrides):
+def test_engine_parity_sam1F(refengine, overrides, pallas, monkeypatch):
+    if pallas:
+        monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
     """Full clustering run on sam1F + tperr1: cluster assignments,
     comparison lambdas/hammings, p-values, E_minmax, centers and birth
     records must match the reference engine exactly."""
