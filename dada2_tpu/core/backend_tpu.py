@@ -340,18 +340,22 @@ def _gather_rows(arr, idx):
     return jnp.take(arr, idx.astype(jnp.int32), axis=0)
 
 
-@partial(jax.jit, static_argnames=("L",))
-def _shortlist_order(small, skip, e_thresh, *, L):
-    """Device store-screen + compaction for a budded compare.
+@partial(jax.jit, static_argnames=("L", "M0"))
+def _shortlist_fused(small, eth2, *, L, M0):
+    """Device store-screen + compaction for a budded compare, packed for
+    ONE host fetch.
 
     The engine stores a comparison iff lambda * total_reads > E_minmax
     (reference: src/cluster.cpp:179-201), i.e. iff log(lambda) >
     log(e_thresh). Rows provably below that threshold (by a sound f32
     error margin, see TpuBackend._screen_need) never influence the
     engine, so only the surviving shortlist needs to reach the host at
-    all: this returns a [3] header (shortlist size, naligned, nshroud)
-    and a stable order putting shortlisted rows first, both staying on
-    device until fetched.
+    all. eth2 is one [2, n] f32 upload: row 0 = e_thresh, row 1 = the
+    greedy-skip bits. Returns (buf, order): buf is a single int8 buffer
+    [16B header: m, naligned, nshroud, 0 | M0 x i32 indices | M0 x 13B
+    small rows] holding the first M0 shortlisted rows (one fetch covers
+    the common case); order is the full device-side compaction for a
+    follow-up _shortlist_take when m > M0.
 
     Margin soundness (all-f32 version of the host rule): device loglam
     differs from the exact log lambda by at most eps*(5L + (L+5)*S)
@@ -359,13 +363,14 @@ def _shortlist_order(small, skip, e_thresh, *, L):
     off by at most ~4*eps*|logthr| (f32 cast of e_thresh + log impl
     ulps); 1e-3 covers the f32 adds/compares themselves."""
     n = small.shape[0]
+    e_thresh = eth2[0]
+    nskip = eth2[1] != 0
     loglam = jax.lax.bitcast_convert_type(
         small[:, 4:8].reshape(n, 1, 4), jnp.float32).reshape(n)
     abssum = jax.lax.bitcast_convert_type(
         small[:, 8:12].reshape(n, 1, 4), jnp.float32).reshape(n)
     flags = small[:, 12]
     shroud = (flags & 4) != 0
-    nskip = skip != 0
     cand = (~nskip) & (~shroud)
     eps = jnp.float32(2.0 ** -23)
     pos = e_thresh > 0
@@ -377,9 +382,26 @@ def _shortlist_order(small, skip, e_thresh, *, L):
                                       jnp.float32(0.0)))
     need = cand & ((loglam + margin >= logthr) | ~jnp.isfinite(loglam))
     header = jnp.stack([need.sum(), cand.sum(),
-                        (shroud & ~nskip).sum()]).astype(jnp.int32)
+                        (shroud & ~nskip).sum(),
+                        jnp.zeros((), jnp.int32)]).astype(jnp.int32)
     order = jnp.argsort(~need, stable=True).astype(jnp.int32)
-    return header, order
+    idx = order[:M0]
+    rows = jnp.take(small, idx, axis=0)
+    buf = jnp.concatenate([
+        jax.lax.bitcast_convert_type(header, jnp.int8).reshape(-1),
+        jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
+        rows.reshape(-1)])
+    return buf, order
+
+
+@jax.jit
+def _small_cols5(small):
+    """ham, ham_gapless and flags columns of the small pack (5 bytes per
+    row): the full-slab fetch variant for compares where the log-lambda
+    screen cannot apply (the init compare and non-kmer configs compute
+    every candidate's exact lambda anyway, so the loglam/abssum bytes
+    are dead weight on the wire)."""
+    return jnp.concatenate([small[:, :4], small[:, 12:13]], axis=1)
 
 
 @partial(jax.jit, static_argnames=("M",))
@@ -520,6 +542,12 @@ class TpuBackend(CompareBackend):
     # pallas path engaged when the default backend is a real TPU; the XLA
     # scan path remains the fallback (and the CPU-test path)
     VMEM_SLAB_CAP = 12 * 1024 * 1024
+    # below this unique count the full small-pack slab is RTT-scale and
+    # the shortlisted fetch's extra round-trips cost more than they save
+    SHORTLIST_MIN_N = 8192
+    # shortlist rows piggybacked on the header fetch; > this takes a
+    # second (bucketed) gather fetch
+    SHORTLIST_M0 = 1024
 
     def __init__(self, rawset: RawSet, use_quals: bool = True, mesh=None,
                  device=None):
@@ -554,13 +582,22 @@ class TpuBackend(CompareBackend):
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = rawset.max_len
         import os
+        # the platform this backend actually computes on: the pinned
+        # device / mesh devices if given (a CPU-mesh dry run can coexist
+        # with a TPU default backend), else the default backend
+        if device is not None:
+            plat = device.platform
+        elif mesh is not None and getattr(mesh, "devices", None) is not None:
+            plat = np.asarray(mesh.devices).ravel()[0].platform
+        else:
+            plat = jax.default_backend()
         pall = os.environ.get("DADA2_TPU_PALLAS", "auto")
         if pall == "auto":
-            self.use_pallas = jax.default_backend() in ("tpu", "axon")
+            self.use_pallas = plat in ("tpu", "axon")
         else:
             self.use_pallas = pall == "1"
         # on CPU the kernel runs in interpret mode (test path only)
-        self._interpret = jax.default_backend() == "cpu"
+        self._interpret = plat == "cpu"
         self._pb: Optional[_PallasBlocks] = None
         if self.use_pallas:
             self._pb = _PallasBlocks(rawset, put)
@@ -942,8 +979,22 @@ class TpuBackend(CompareBackend):
             # flag bits (the thr table bakes opts.KDIST_CUTOFF, which is
             # what the engine always passes as kdist_cutoff)
             res = self._align_all_pallas(center, opts, geom, err)
-            (ham_all, ham_gl, loglam_sel, abssum_sel, ok, gl_bit,
-             sh_bit) = self._unpack_small(np.asarray(res[2]))
+            screen_applies = (use_kmers and e_thresh is not None
+                              and bool(np.any(e_thresh > 0)))
+            if screen_applies:
+                (ham_all, ham_gl, loglam_sel, abssum_sel, ok, gl_bit,
+                 sh_bit) = self._unpack_small(np.asarray(res[2]))
+            else:
+                # the screen can't exclude anything (init compare /
+                # non-kmer configs): the loglam/abssum bytes are dead
+                # weight, fetch 5 bytes per row instead of 13
+                p5 = np.asarray(_small_cols5(res[2]))
+                ints = p5[:, :4].copy().view(np.int16).astype(np.int64)
+                ham_all, ham_gl = ints[:, 0], ints[:, 1]
+                flags = p5[:, 4]
+                ok = (flags & 1) != 0
+                gl_bit = (flags & 2) != 0
+                sh_bit = (flags & 4) != 0
             gapless = np.zeros(n, dtype=bool)
             if use_kmers:
                 cand &= ~self._shrouded(center, kdist_cutoff, opts,
@@ -955,14 +1006,12 @@ class TpuBackend(CompareBackend):
                 raise RuntimeError("N-W Align out of range.")
             ham[gl_idx] = ham_gl[gl_idx]
             ham[al_idx] = ham_all[al_idx]
-            if use_kmers:
+            if screen_applies:
                 # device loglam/abssum are pre-selected by the same
                 # gapless rule the host applied above
                 need = self._screen_need(loglam_sel, abssum_sel,
                                          self.maxlen, e_thresh)
             else:
-                # non-default config: the device selection does not
-                # apply; compute every candidate's lambda exactly
                 need = np.ones(n, dtype=bool)
             from ..trace import COUNTERS
             COUNTERS.gapless += len(gl_idx)
@@ -992,13 +1041,22 @@ class TpuBackend(CompareBackend):
         engine (their exact lambda is irrelevant and never computed);
         sets self.last_stats = (naligned, nshrouded) from the device
         scalars so the engine's counters stay exact. Returns None when
-        the shortlist is so large that the full-slab fetch is cheaper."""
+        the shortlist is so large that the full-slab fetch is cheaper,
+        and for small samples where the whole slab is RTT-scale anyway
+        (the shortlist's extra upload+fetch would cost more than it
+        saves)."""
         n = self.rs.n
-        d_skip = self._put(np.asarray(skip, np.uint8))
-        d_eth = self._put(np.asarray(e_thresh, np.float32))
-        header_d, order = _shortlist_order(res[2], d_skip, d_eth,
-                                           L=self.maxlen)
-        m, naligned, nshroud = (int(x) for x in np.asarray(header_d))
+        if n < self.SHORTLIST_MIN_N:
+            return None
+        eth2 = np.zeros((2, n), np.float32)
+        eth2[0] = e_thresh
+        eth2[1] = skip
+        M0 = min(self.SHORTLIST_M0, n)
+        buf_d, order = _shortlist_fused(res[2], self._put(eth2),
+                                        L=self.maxlen, M0=M0)
+        buf = np.asarray(buf_d)
+        m, naligned, nshroud = buf[:16].copy().view(np.int32)[:3]
+        m, naligned, nshroud = int(m), int(naligned), int(nshroud)
         if m * (SMALL_PACK_BYTES + 4) > n * SMALL_PACK_BYTES:
             return None
         lam = np.zeros(n)
@@ -1007,11 +1065,18 @@ class TpuBackend(CompareBackend):
         self.last_stats = (naligned, nshroud)
         if m == 0:
             return lam, ham
-        M = min(_bucket(m), n)
-        idx_d, rows_d = _shortlist_take(res[2], order, M)
-        rows_idx = np.asarray(idx_d)[:m].astype(np.int64)
+        if m <= M0:
+            rows_idx = buf[16: 16 + 4 * M0].copy().view(
+                np.int32)[:m].astype(np.int64)
+            packed = buf[16 + 4 * M0:].reshape(M0,
+                                               SMALL_PACK_BYTES)[:m]
+        else:
+            M = min(_bucket(m), n)
+            idx_d, rows_d = _shortlist_take(res[2], order, M)
+            rows_idx = np.asarray(idx_d)[:m].astype(np.int64)
+            packed = np.asarray(rows_d)[:m]
         (ham_all, ham_gl, _loglam, _abssum, ok, gl_bit,
-         _sh) = self._unpack_small(np.asarray(rows_d)[:m])
+         _sh) = self._unpack_small(packed)
         gl_rows = rows_idx[gl_bit]
         al_rows = rows_idx[~gl_bit]
         if len(al_rows) and not ok[~gl_bit].all():

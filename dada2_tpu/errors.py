@@ -139,6 +139,12 @@ def loess_interp_fit(x: np.ndarray, y: np.ndarray, w: np.ndarray,
         der[i] = beta[1] if degree >= 1 else 0.0
 
     out = np.full(len(xpred), np.nan)
+    if len(verts) == 1:
+        # degenerate fit range (a single distinct x): the blend
+        # collapses to the vertex value; R's loess rejects such input
+        # outright, so any in-range behavior is an extension
+        out[xpred == verts[0]] = val[0]
+        return out
     inside = (xpred >= verts[0]) & (xpred <= verts[-1])
     ci = np.clip(np.searchsorted(verts, xpred, side="right") - 1, 0,
                  len(verts) - 2)

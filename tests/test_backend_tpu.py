@@ -163,6 +163,8 @@ def test_compare_shortlist_path(sample, monkeypatch):
     opts = DEFAULT_OPTIONS.normalized()
     rs = make_rawset(seqs, ab, None, quals)
     be = TpuBackend(rs, use_quals=True)
+    be.SHORTLIST_MIN_N = 0    # the size gate would skip this tiny sample
+    be.SHORTLIST_M0 = 16      # force the second-fetch (m > M0) branch
     skip = np.zeros(rs.n, bool)
     cutoff = opts.KDIST_CUTOFF
     lam_full, ham_full = be.compare(0, skip, opts, err, True, cutoff)

@@ -70,3 +70,19 @@ def test_errfun_surfaces_close():
     for base in range(4):
         np.testing.assert_allclose(
             e_i[4 * base: 4 * base + 4].sum(axis=0), 1.0, atol=1e-12)
+
+
+def test_interp_degenerate_single_x():
+    """A single distinct x (e.g. constant-quality data) must not NaN out:
+    the Hermite blend collapses to the lone vertex value (R's loess
+    rejects such input outright, so this is a defined extension)."""
+    import numpy as np
+
+    from dada2_tpu.errors import loess_interp_fit
+
+    x = np.full(8, 35.0)
+    y = np.linspace(-3, -2, 8)
+    w = np.full(8, 10.0)
+    out = loess_interp_fit(x, y, w, np.array([34.0, 35.0, 36.0]))
+    assert np.isnan(out[0]) and np.isnan(out[2])
+    assert np.isfinite(out[1])

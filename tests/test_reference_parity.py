@@ -326,8 +326,10 @@ def test_engine_parity_sam1F(refengine, overrides, pallas, monkeypatch):
 
     # --- our engine ---
     rs = make_rawset(seqs, ab, None, quals)
-    eng = Engine(rs, err, opts, TpuBackend(rs, use_quals=True),
-                 use_quals=True)
+    be = TpuBackend(rs, use_quals=True)
+    be.SHORTLIST_MIN_N = 0    # exercise the shortlisted compare fetch
+    be.SHORTLIST_M0 = 32      # ... incl. its second-fetch branch
+    eng = Engine(rs, err, opts, be, use_quals=True)
     eng.run(max_clust=0)
 
     assert len(eng.clusters) == nclust
