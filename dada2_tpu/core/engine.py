@@ -379,36 +379,61 @@ class Engine:
             opts.MIN_FOLD, opts.MIN_HAMMING, opts.MIN_ABUNDANCE)
         # Sentinel = cluster 0's center (reference init, cluster.cpp:280-281)
         c0 = self.clusters[0].center
-        best = (self.p[c0], -int(self.rs.reads[c0]))
-        best_at = None          # (cluster, slot, raw)
-        bestP = (self.p[c0], -int(self.rs.reads[c0]))
-        bestP_at = None
-        for i, bi in enumerate(self.clusters):
-            for r in range(1, len(bi.slots)):  # slot 0 is the center
-                raw = bi.slots[r]
-                reads = int(self.rs.reads[raw])
-                if reads < min_abund:
-                    continue
-                ham = self.comp_ham[raw]
-                lam = self.comp_lam[raw]
-                if ham < min_hamming:
-                    continue
-                if not (min_fold <= 1 or reads >= min_fold * lam * bi.reads):
-                    continue
-                key = (self.p[raw], -reads)
-                if key < best:
-                    best = key
-                    best_at = (i, r, raw)
-                if self.rs.priors[raw] and key < bestP:
-                    bestP = key
-                    bestP_at = (i, r, raw)
+        sentinel = (self.p[c0], -int(self.rs.reads[c0]))
 
-        pA = best[0] * self.n  # Bonferroni (reference: cluster.cpp:313)
-        pP = bestP[0]
-        if pA < opts.OMEGA_A and best_at is not None:
-            return self._do_bud(best_at, "A", pA)
-        elif pP < opts.OMEGA_P and bestP_at is not None:
-            return self._do_bud(bestP_at, "P", pP)
+        # Vectorized scan over all non-center slots in (cluster, slot)
+        # iteration order; ties pick the earliest position, exactly like
+        # the reference's strict-< running minimum (cluster.cpp:283-311).
+        parts, ridx, rcl, rslot = [], [], [], []
+        for i, bi in enumerate(self.clusters):
+            ns = len(bi.slots) - 1
+            if ns <= 0:
+                continue
+            ridx.append(np.asarray(bi.slots[1:], dtype=np.int64))
+            parts.append(np.full(ns, float(bi.reads)))
+            rcl.append(np.full(ns, i, dtype=np.int64))
+            rslot.append(np.arange(1, ns + 1, dtype=np.int64))
+        if not parts:
+            return 0
+        raws = np.concatenate(ridx)
+        bireads = np.concatenate(parts)
+        reads = self.rs.reads[raws]
+        elig = reads >= min_abund
+        elig &= self.comp_ham[raws] >= min_hamming
+        if min_fold > 1:
+            # same float op order as the scalar form:
+            # (min_fold * lam) * bi.reads
+            elig &= reads >= (min_fold * self.comp_lam[raws]) * bireads
+
+        def _argbest(mask):
+            """Index of the lexicographic min (p, -reads) over mask;
+            earliest position wins ties. None if empty/not < sentinel."""
+            if not mask.any():
+                return None
+            pm = self.p[raws]
+            best_p = pm[mask].min()
+            m2 = mask & (pm == best_p)
+            best_reads = reads[m2].max()
+            m3 = m2 & (reads == best_reads)
+            if (best_p, -int(best_reads)) >= sentinel:
+                return None
+            return int(np.nonzero(m3)[0][0])
+
+        jA = _argbest(elig)
+        jP = _argbest(elig & self.rs.priors[raws])
+        cl = np.concatenate(rcl)
+        sl = np.concatenate(rslot)
+
+        def _at(j):
+            return (int(cl[j]), int(sl[j]), int(raws[j]))
+
+        pA = (self.p[raws[jA]] if jA is not None else sentinel[0]) * self.n
+        pP = self.p[raws[jP]] if jP is not None else sentinel[0]
+        # Bonferroni x nraw (reference: cluster.cpp:313)
+        if pA < opts.OMEGA_A and jA is not None:
+            return self._do_bud(_at(jA), "A", pA)
+        elif pP < opts.OMEGA_P and jP is not None:
+            return self._do_bud(_at(jP), "P", pP)
         return 0
 
     def _do_bud(self, at, btype: str, pval: float) -> int:
