@@ -17,6 +17,7 @@ small, cached set of compiled programs.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Optional
 
@@ -548,6 +549,11 @@ class TpuBackend(CompareBackend):
     # shortlist rows piggybacked on the header fetch; > this takes a
     # second (bucketed) gather fetch
     SHORTLIST_M0 = 1024
+    # align-cache byte budget: must hold every final center's sweep or
+    # finalize re-dispatches them (HBM is 16GB/chip; the multi-sample
+    # driver shares it across ~6 concurrent backends)
+    ALIGN_CACHE_BYTES = int(os.environ.get(
+        "DADA2_TPU_ALIGN_CACHE_BYTES", 1536 * 1024 * 1024))
 
     def __init__(self, rawset: RawSet, use_quals: bool = True, mesh=None,
                  device=None):
@@ -601,10 +607,13 @@ class TpuBackend(CompareBackend):
         self._pb: Optional[_PallasBlocks] = None
         if self.use_pallas:
             self._pb = _PallasBlocks(rawset, put)
-        # small LRU of per-center alignments; the finalize pass hits one
-        # shared backend from a thread pool (core/output.py), so all
-        # cache access goes through the lock
+        # byte-budgeted LRU of per-center alignments; the finalize pass
+        # re-reads every final center's sweep (subs_info/cluster_stats/
+        # birth subs), so the budget must hold ~nclusters entries or
+        # finalize re-dispatches full sweeps. Shared across a thread pool
+        # (core/output.py): all cache access goes through the lock.
         self._align_cache: dict = {}
+        self._align_cache_bytes = 0
         self._qlerr_cache: dict = {}
         self._prep_cache: dict = {}
         self._thr_cache: dict = {}
@@ -742,10 +751,17 @@ class TpuBackend(CompareBackend):
             gap_p=opts.GAP_PENALTY, interpret=self._interpret,
             mesh=self.mesh, gapless_on=bool(opts.GAPLESS),
             sse_lt1=opts.SSE < 1)
+        nbytes = sum(int(getattr(x, "nbytes", 0)) for x in res)
         with self._cache_lock:
             self._align_cache[base_key + (err_key,)] = res
-            while len(self._align_cache) > 4:
-                self._align_cache.pop(next(iter(self._align_cache)), None)
+            self._align_cache_bytes += nbytes
+            while (len(self._align_cache) > 1
+                   and self._align_cache_bytes > self.ALIGN_CACHE_BYTES):
+                old = self._align_cache.pop(
+                    next(iter(self._align_cache)), None)
+                if old is not None:
+                    self._align_cache_bytes -= sum(
+                        int(getattr(x, "nbytes", 0)) for x in old)
         return res
 
     def _unpack_small(self, packed: np.ndarray):

@@ -203,12 +203,14 @@ class Engine:
 
         reference: src/cluster.cpp:371-386. Unlocks all members.
         """
-        best, max_reads = -1, 0
-        for r in bi.slots:
-            self.lock[r] = False
-            if self.rs.reads[r] > max_reads:
-                best = r
-                max_reads = int(self.rs.reads[r])
+        best = -1
+        if bi.slots:
+            arr = np.asarray(bi.slots, dtype=np.int64)
+            self.lock[arr] = False
+            reads = self.rs.reads[arr]
+            if reads.max() > 0:
+                # strict > running max: earliest slot wins ties
+                best = int(arr[int(np.argmax(reads))])
         bi.center = best
         bi.check_locks = True
 
@@ -306,26 +308,48 @@ class Engine:
             best_lam[uidx] = lam[upd]
             best_ham[uidx] = np.asarray(bi.comp_ham, dtype=np.int64)[upd]
 
+        # Surgery only at mover positions. Reading movers off the
+        # pre-loop slot arrays is exact: the reference's descending
+        # visit order means position r still holds its original raw
+        # when visited (pops only rewrite the visited position and the
+        # tail, both already visited), and tail elements swapped into
+        # holes are never revisited.
         shuffled = False
+        mv_raws, mv_tgts = [], []
         for i in range(len(self.clusters)):
             bi = self.clusters[i]
             slots = bi.slots
-            # fast path: nobody wants to leave
-            if not slots or not np.any(best_i[np.asarray(slots)] != i):
+            if not slots:
                 continue
-            for r in range(len(slots) - 1, -1, -1):
-                raw = slots[r]
-                ti = best_i[raw]
-                if ti != i:
-                    if raw == bi.center:
-                        continue  # the center cannot leave
-                    self._pop_raw(bi, r)
-                    self._add_raw(self.clusters[ti], raw)
-                    self.cluster_of[raw] = ti
-                    self.comp_i[raw] = ti
-                    self.comp_lam[raw] = best_lam[raw]
-                    self.comp_ham[raw] = best_ham[raw]
-                    shuffled = True
+            arr = np.asarray(slots, dtype=np.int64)
+            pos = np.nonzero((best_i[arr] != i)
+                             & (arr != bi.center))[0]
+            if not len(pos):
+                continue
+            raws = arr[pos]
+            for r in pos[::-1]:           # descending, movers only
+                slots[r] = slots[-1]
+                slots.pop()
+            bi.reads -= int(self.rs.reads[raws].sum())
+            bi.update_e = True
+            # append order = clusters ascending, slot position descending
+            mv_raws.append(raws[::-1])
+            mv_tgts.append(best_i[raws[::-1]])
+            shuffled = True
+        if not shuffled:
+            return False
+        raws = np.concatenate(mv_raws)
+        tgts = np.concatenate(mv_tgts)
+        self.cluster_of[raws] = tgts
+        self.comp_i[raws] = tgts
+        self.comp_lam[raws] = best_lam[raws]
+        self.comp_ham[raws] = best_ham[raws]
+        for t in np.unique(tgts):
+            ti = self.clusters[t]
+            tr = raws[tgts == t]
+            ti.slots.extend(tr.tolist())
+            ti.reads += int(self.rs.reads[tr].sum())
+            ti.update_e = True
         return shuffled
 
     # ----- p-value update (reference: src/pval.cpp:14-40) -----
