@@ -383,20 +383,22 @@ def pack_s2_blocks(s2b: np.ndarray, len2b: np.ndarray,
     nblocks = block_idx.shape[0]
     if nblocks == 0:
         return np.zeros((0, L2R, LANES), np.int32)
-    flat = block_idx.reshape(-1)
-    lens = np.asarray(len2b, np.int64)[flat]            # [N]
-    l2m = np.repeat(lens.reshape(nblocks, LANES).max(axis=1), LANES)
-    L = s2b.shape[1]
-    # storage row C - jj holds s2[jj-1], C = len2max(block):
-    # row r, char p  ->  storage row l2m[r] - 1 - p  (p < len2[r])
-    pos = np.arange(L, dtype=np.int64)[None, :]
-    valid = pos < lens[:, None]
-    tgt = l2m[:, None] - 1 - pos
-    rows = np.broadcast_to(np.arange(len(flat))[:, None], tgt.shape)
-    s2rows = np.zeros((len(flat), L2R), np.int32)
-    s2rows[rows[valid], tgt[valid]] = s2b[flat][valid]
-    return np.ascontiguousarray(
-        s2rows.reshape(nblocks, LANES, L2R).transpose(0, 2, 1))
+    lens_all = np.asarray(len2b, np.int64)
+    out = np.zeros((nblocks, L2R, LANES), np.int32)
+    t_idx = np.arange(L2R, dtype=np.int64)[:, None]
+    # storage row C - jj holds s2[jj-1], C = len2max(block): within one
+    # block that is a plain reversal of the first l2max chars (contiguous
+    # strided copy — an element scatter here costs ~10x more on slow-
+    # page-fault hosts), masked where the reversal reaches past a lane's
+    # own length
+    for bi in range(nblocks):
+        rows = block_idx[bi]
+        lb = lens_all[rows]
+        l2m = int(lb.max())
+        seg = s2b[rows][:, l2m - 1::-1].T.astype(np.int32)  # [l2m, LANES]
+        out[bi, :l2m] = np.where(t_idx[:l2m] >= (l2m - lb)[None, :],
+                                 seg, 0)
+    return out
 
 
 def nw_pallas_grouped(s1: np.ndarray, len1: int, s2b, len2b, *, match,
