@@ -148,13 +148,13 @@ def _align_center_jit(s1, len1, s2b, len2b, h1=None, h2b=None, *, nd, W,
     return kinds, p0, p1, ham, tvec, ok
 
 
-@partial(jax.jit, static_argnames=("L1R",))
-def _build_s1t(seq, L1R):
-    """[L1R, 128] center-char tile (row m = s1[m-1]) built on device."""
+@partial(jax.jit, static_argnames=("L1R", "lanes"))
+def _build_s1t(seq, L1R, lanes=nwp.LANES):
+    """[L1R, lanes] center-char tile (row m = s1[m-1]) built on device."""
     L = min(seq.shape[0], L1R - 1)
     row = jnp.zeros(L1R, jnp.int32).at[1: 1 + L].set(
         seq.astype(jnp.int32)[:L])
-    return jnp.broadcast_to(row[:, None], (L1R, nwp.LANES))
+    return jnp.broadcast_to(row[:, None], (L1R, lanes))
 
 
 SMALL_PACK_BYTES = 13
@@ -185,11 +185,13 @@ def _qlerr_table(quals, err32):
 
 @partial(jax.jit, static_argnames=("spec", "L1R", "L2R", "NDP", "match",
                                    "mismatch", "gap_p", "interpret",
-                                   "mesh", "gapless_on", "sse_lt1"))
+                                   "mesh", "gapless_on", "sse_lt1",
+                                   "halves"))
 def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
                      qlerr, s2q, inv, kmers, kords, thr, *, spec, L1R,
                      L2R, NDP, match, mismatch, gap_p, interpret,
-                     mesh=None, gapless_on=True, sse_lt1=False):
+                     mesh=None, gapless_on=True, sse_lt1=False,
+                     halves=1):
     """One-dispatch compare sweep: k-mer screens, per-WP-bucket pallas
     calls (whose in-kernel traceback emits substitution and alignment-map
     tiles), elementwise reassembly, an f32 log-lambda screen, and a SMALL
@@ -233,7 +235,8 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
             out = nwp._pallas_call(
                 g_scal, g_params, s1t, g_s2q, L1R=L1R, L2R=L2R,
                 NDP=NDP, WP=WP, match=match, mismatch=mismatch,
-                gap_p=gap_p, end_gap_p=0, interpret=interpret)
+                gap_p=gap_p, end_gap_p=0, interpret=interpret,
+                halves=halves)
         else:
             # shard the block grid over the mesh's "pairs" axis; each
             # device sweeps its local blocks with the same kernel
@@ -243,7 +246,8 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
                 lambda sc, pr, s1, s2: tuple(nwp._pallas_call(
                     sc, pr, s1, s2, L1R=L1R, L2R=L2R, NDP=NDP, WP=WP,
                     match=match, mismatch=mismatch, gap_p=gap_p,
-                    end_gap_p=0, interpret=interpret)),
+                    end_gap_p=0, interpret=interpret,
+                    halves=halves)),
                 mesh=mesh,
                 in_specs=(P("pairs"), P("pairs"), P(), P("pairs")),
                 out_specs=(P("pairs"),) * 3, check_vma=False,
@@ -470,9 +474,18 @@ class _PallasBlocks:
     """Device-resident length-sorted candidate blocks for the wavefront
     kernel; packed once per RawSet, reused by every compare."""
 
+    # blocks fused per kernel invocation: the wavefront loop is
+    # latency-bound per diagonal step (scalar bookkeeping + VMEM
+    # dependency chains, ~240ns regardless of body size), so
+    # interleaving several blocks' diagonals in one loop runs them in
+    # roughly the time of one
+    BLOCK_FUSE = int(os.environ.get("DADA2_TPU_BLOCK_FUSE", "2"))
+
     def __init__(self, rawset: RawSet, put=jnp.asarray):
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = int(self.lens.max())
+        self.lanes = nwp.LANES
+        self.halves = self.BLOCK_FUSE
         self.block_idx = nwp.assemble_blocks(rawset.seqs, self.lens)
         self.nblocks = self.block_idx.shape[0]
         # VERY coarse rounding: kernel compiles cost minutes on the
@@ -521,16 +534,16 @@ class _PallasBlocks:
 
     def scal_params(self, len1: int, band: int):
         scal = np.zeros((self.nblocks, 4), np.int32)
-        params = np.zeros((self.nblocks, 8, nwp.LANES), np.int32)
+        params = np.zeros((self.nblocks, 8, self.lanes), np.int32)
         for bi in range(self.nblocks):
             l2 = self.l2_blocks[bi]
             if band < 0:
-                lb = np.full(nwp.LANES, len1)
+                lb = np.full(self.lanes, len1)
                 rb = l2
             else:
                 lb = band + np.maximum(0, len1 - l2)
                 rb = band + np.maximum(0, l2 - len1)
-            scal[bi] = (len1, int(l2.max()), int(rb.max()), 0)
+            scal[bi] = (len1, int(l2.max()), int(rb.max()), int(l2.min()))
             params[bi, 0] = l2
             params[bi, 1] = lb
             params[bi, 2] = rb
@@ -667,8 +680,9 @@ class TpuBackend(CompareBackend):
         NDP, L1R = self._pb.geometry()
         # pointer slab + the kernel's fixed per-block tiles (kinds, sub,
         # map, end outputs and the s1/s2 char inputs)
-        fixed = 4 * (NDP + 2 * L1R + 2 * self._pb.L2R + 8) * nwp.LANES
-        slab_bytes = ((NDP + 3) // 4) * int(wp.max()) * nwp.LANES + fixed
+        lanes = self._pb.lanes * self._pb.halves
+        fixed = 4 * (NDP + 2 * L1R + 2 * self._pb.L2R + 8) * lanes
+        slab_bytes = ((NDP + 3) // 4) * int(wp.max()) * lanes + fixed
         if wp.max() > 128 or slab_bytes > self.VMEM_SLAB_CAP:
             return None
         return wp, NDP, L1R
@@ -750,7 +764,7 @@ class TpuBackend(CompareBackend):
             match=opts.MATCH, mismatch=opts.MISMATCH,
             gap_p=opts.GAP_PENALTY, interpret=self._interpret,
             mesh=self.mesh, gapless_on=bool(opts.GAPLESS),
-            sse_lt1=opts.SSE < 1)
+            sse_lt1=opts.SSE < 1, halves=self._pb.halves)
         nbytes = sum(int(getattr(x, "nbytes", 0)) for x in res)
         with self._cache_lock:
             self._align_cache[base_key + (err_key,)] = res
