@@ -345,8 +345,9 @@ def _gather_rows(arr, idx):
     return jnp.take(arr, idx.astype(jnp.int32), axis=0)
 
 
-@partial(jax.jit, static_argnames=("L", "M0"))
-def _shortlist_fused(small, eth2, *, L, M0):
+@partial(jax.jit, static_argnames=("L", "M0", "M1"))
+def _shortlist_fused(small, tvec, seqs, lens, center, eth2, *, L, M0,
+                     M1):
     """Device store-screen + compaction for a budded compare, packed for
     ONE host fetch.
 
@@ -358,8 +359,12 @@ def _shortlist_fused(small, eth2, *, L, M0):
     all. eth2 is one [2, n] f32 upload: row 0 = e_thresh, row 1 = the
     greedy-skip bits. Returns (buf, order): buf is a single int8 buffer
     [16B header: m, naligned, nshroud, 0 | M0 x i32 indices | M0 x 13B
-    small rows] holding the first M0 shortlisted rows (one fetch covers
-    the common case); order is the full device-side compaction for a
+    small rows | M1 x ceil(W/2)B 4-bit tvec rows] holding the first M0
+    shortlisted rows and, for the first M1, their final transition
+    vectors (gapless rows get the device-built pad-to-length tvec,
+    reference: src/nwalign_endsfree.cpp:539-555) — in steady state the
+    shortlist is tiny and this ONE fetch replaces the two follow-up
+    tvec round-trips; order is the full device-side compaction for a
     follow-up _shortlist_take when m > M0.
 
     Margin soundness (all-f32 version of the host rule): device loglam
@@ -392,10 +397,31 @@ def _shortlist_fused(small, eth2, *, L, M0):
     order = jnp.argsort(~need, stable=True).astype(jnp.int32)
     idx = order[:M0]
     rows = jnp.take(small, idx, axis=0)
+    # final per-row tvec for the first M1 shortlisted rows: the device
+    # gapless flag selects between the aligned traceback tvec and the
+    # pad-to-length construction (host masks pad positions by length,
+    # so the 4-bit pack's loss of code 16 is harmless)
+    idx1 = order[:M1]
+    gl1 = (jnp.take(flags, idx1) & 2) != 0
+    s0 = seqs[center].astype(jnp.int32)
+    s1 = jnp.take(seqs, idx1, axis=0).astype(jnp.int32)
+    l2 = jnp.take(lens, idx1)
+    l1 = lens[center]
+    pos = jnp.arange(seqs.shape[1], dtype=jnp.int32)[None, :]
+    validp = pos < l2[:, None]
+    gtv = jnp.where(validp, 5 * s1, 16)
+    gtv = jnp.where((pos < jnp.minimum(l2, l1)[:, None])
+                    & (s0[None, :] != s1), 4 * s0[None, :] + s1, gtv)
+    tv = jnp.where(gl1[:, None], gtv,
+                   jnp.take(tvec, idx1, axis=0).astype(jnp.int32))
+    tv = tv.astype(jnp.uint8) & 15
+    if tv.shape[1] % 2:
+        tv = jnp.pad(tv, ((0, 0), (0, 1)))
+    tv4 = (tv[:, 0::2] | (tv[:, 1::2] << 4)).astype(jnp.int8)
     buf = jnp.concatenate([
         jax.lax.bitcast_convert_type(header, jnp.int8).reshape(-1),
         jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
-        rows.reshape(-1)])
+        rows.reshape(-1), tv4.reshape(-1)])
     return buf, order
 
 
@@ -562,6 +588,10 @@ class TpuBackend(CompareBackend):
     # shortlist rows piggybacked on the header fetch; > this takes a
     # second (bucketed) gather fetch
     SHORTLIST_M0 = 1024
+    # shortlist rows whose final tvec ALSO rides the header fetch
+    # (~L/2 bytes each); covers the steady-state shortlist so a budded
+    # compare costs exactly one round-trip
+    SHORTLIST_TVEC = 128
     # align-cache byte budget: must hold every final center's sweep or
     # finalize re-dispatches them (HBM is 16GB/chip; the multi-sample
     # driver shares it across ~6 concurrent backends)
@@ -1082,8 +1112,12 @@ class TpuBackend(CompareBackend):
         eth2[0] = e_thresh
         eth2[1] = skip
         M0 = min(self.SHORTLIST_M0, n)
-        buf_d, order = _shortlist_fused(res[2], self._put(eth2),
-                                        L=self.maxlen, M0=M0)
+        M1 = min(self.SHORTLIST_TVEC, M0)
+        buf_d, order = _shortlist_fused(res[2], res[1], self.d_seqs,
+                                        self.d_lens,
+                                        self._put(np.int32(center)),
+                                        self._put(eth2),
+                                        L=self.maxlen, M0=M0, M1=M1)
         buf = np.asarray(buf_d)
         m, naligned, nshroud = buf[:16].copy().view(np.int32)[:3]
         m, naligned, nshroud = int(m), int(naligned), int(nshroud)
@@ -1095,11 +1129,12 @@ class TpuBackend(CompareBackend):
         self.last_stats = (naligned, nshroud)
         if m == 0:
             return lam, ham
+        off_tv = 16 + 4 * M0 + M0 * SMALL_PACK_BYTES
         if m <= M0:
             rows_idx = buf[16: 16 + 4 * M0].copy().view(
                 np.int32)[:m].astype(np.int64)
-            packed = buf[16 + 4 * M0:].reshape(M0,
-                                               SMALL_PACK_BYTES)[:m]
+            packed = buf[16 + 4 * M0: off_tv].reshape(
+                M0, SMALL_PACK_BYTES)[:m]
         else:
             M = min(_bucket(m), n)
             idx_d, rows_d = _shortlist_take(res[2], order, M)
@@ -1116,6 +1151,17 @@ class TpuBackend(CompareBackend):
         from ..trace import COUNTERS
 
         COUNTERS.gapless += len(gl_rows)
+        if m <= M1:
+            # tvec rows rode along in the single fetch (4-bit packed;
+            # pad positions are masked by length in _lambdas)
+            W = self.rs.seqs.shape[1]
+            nb2 = (W + 1) // 2
+            tv4 = buf[off_tv:].reshape(M1, nb2)[:m].view(np.uint8)
+            tvals = np.empty((m, nb2 * 2), np.uint8)
+            tvals[:, 0::2] = tv4 & 15
+            tvals[:, 1::2] = tv4 >> 4
+            lam[rows_idx] = self._lambdas(rows_idx, tvals[:, :W], err)
+            return lam, ham
         if len(gl_rows):
             tvec, _ = self._gapless_tvec_ham(center, gl_rows)
             lam[gl_rows] = self._lambdas(gl_rows, tvec, err)
