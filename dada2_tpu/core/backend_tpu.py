@@ -462,13 +462,14 @@ def _gather_rows_slice(arr, idx, W):
 
 
 @partial(jax.jit, static_argnames=("CW", "ncol"))
-def _cluster_stats_dev(ntq, cseq, members, w, *, CW, ncol):
+def _cluster_stats_dev(ntq, cseq, members, w, small, *, CW, ncol):
     """Device per-cluster output tallies from the kernel's ntq tiles
     (reference semantics: src/error.cpp:131-258; every accumulated term
     is integer-valued, so any summation order is exact).
 
-    Returns one packed int32 vector [16*ncol + 2*CW]:
-    transition-by-quality counts, quality*reads accums, reads counts."""
+    Returns one packed int32 vector [16*ncol + 2*CW + nb]:
+    transition-by-quality counts, quality*reads accums, reads counts,
+    per-member nsubs (-1 = failed traceback)."""
     rows = jnp.take(ntq, members.astype(jnp.int32),
                     axis=0)[:, 1: CW + 1].astype(jnp.int32)   # [m, CW]
     diag = (rows & 7) >= 2
@@ -493,7 +494,14 @@ def _cluster_stats_dev(ntq, cseq, members, w, *, CW, ncol):
     _, hs = jax.lax.scan(hist_chunk, 0,
                          jnp.arange(nb, dtype=jnp.int32))
     trans = hs.reshape(-1)[: 16 * ncol]
-    return jnp.concatenate([trans, qacc, qcnt])
+    # per-member nsubs and traceback-ok ride along (-1 encodes a failed
+    # traceback), saving the separate member small-pack fetch
+    mrows = jnp.take(small, members.astype(jnp.int32), axis=0)
+    ham = jax.lax.bitcast_convert_type(
+        mrows[:, 0:2].reshape(-1, 1, 2), jnp.int16).reshape(-1)
+    okm = (mrows[:, 12] & 1) != 0
+    nsubs = jnp.where(okm, ham.astype(jnp.int32), -1)
+    return jnp.concatenate([trans, qacc, qcnt, nsubs])
 
 
 class _PallasBlocks:
@@ -1397,10 +1405,6 @@ class TpuBackend(CompareBackend):
             return super().cluster_stats(center, members, correct, opts,
                                          ncol, use_quals)
         res = self._align_all_pallas(center, opts, geom, None)
-        sm = self._small_rows(res, members)
-        if not sm[4].all():
-            raise RuntimeError("N-W Align out of range.")
-        nsubs = sm[0]
         m = len(members)
         nb = _bucket(m)
         mem_pad = np.concatenate([members,
@@ -1411,11 +1415,14 @@ class TpuBackend(CompareBackend):
         packed = np.asarray(_cluster_stats_dev(
             res[0], self.d_seqs[center],
             self._put(mem_pad.astype(np.int32)), self._put(w_pad),
-            CW=CW, ncol=ncol))
+            res[2], CW=CW, ncol=ncol))
         trans = packed[: 16 * ncol].astype(np.int64).reshape(16, ncol)
         qacc = packed[16 * ncol: 16 * ncol + len0].astype(np.int64)
         qcnt = packed[16 * ncol + CW: 16 * ncol + CW + len0].astype(
             np.int64)
+        nsubs = packed[16 * ncol + 2 * CW:][:m].astype(np.int64)
+        if (nsubs < 0).any():
+            raise RuntimeError("N-W Align out of range.")
         return trans, qacc, qcnt, nsubs
 
     def subs_to_center(self, center: int, members: np.ndarray,

@@ -78,7 +78,7 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
 
     if nclust > 2:
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=min(16, nclust)) as ex:
             list(ex.map(_one_cluster, range(nclust)))
     else:
         for i in range(nclust):
