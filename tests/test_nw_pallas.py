@@ -87,3 +87,29 @@ def test_pallas_multi_block():
         c[int(rng.integers(0, 24))] = int(rng.integers(0, 4))
         cands.append(c)
     _check(s1, cands, 8)
+
+
+def test_pack_s2_blocks_matches_scatter_formula():
+    """The per-block contiguous-flip packing must equal the original
+    storage rule s2rows[row, l2max-1-p] = s2b[row, p] (p < len2)."""
+    import dada2_tpu.ops.nw_pallas as nwp
+
+    rng = np.random.default_rng(7)
+    n, L, L2R = 333, 96, 128
+    lens = rng.integers(40, 97, n)
+    s2b = rng.integers(0, 200, (n, L)).astype(np.int32)
+    bidx = nwp.assemble_blocks(
+        (lens[:, None] > np.arange(L)).astype(np.int8), lens)
+    got = nwp.pack_s2_blocks(s2b, lens, bidx, L2R)
+    flat = bidx.reshape(-1)
+    lf = lens[flat]
+    l2m = np.repeat(lf.reshape(-1, nwp.LANES).max(axis=1), nwp.LANES)
+    pos = np.arange(L)[None, :]
+    valid = pos < lf[:, None]
+    tgt = l2m[:, None] - 1 - pos
+    rows = np.broadcast_to(np.arange(len(flat))[:, None], tgt.shape)
+    s2rows = np.zeros((len(flat), L2R), np.int32)
+    s2rows[rows[valid], tgt[valid]] = s2b[flat][valid]
+    want = np.ascontiguousarray(
+        s2rows.reshape(-1, nwp.LANES, L2R).transpose(0, 2, 1))
+    np.testing.assert_array_equal(got, want)
