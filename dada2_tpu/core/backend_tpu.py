@@ -187,19 +187,18 @@ def _qlerr_table(quals, err32):
                                    "mismatch", "gap_p", "interpret",
                                    "mesh", "gapless_on", "sse_lt1",
                                    "halves"))
-def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
-                     qlerr, s2q, inv, kmers, kords, thr, *, spec, L1R,
-                     L2R, NDP, match, mismatch, gap_p, interpret,
-                     mesh=None, gapless_on=True, sse_lt1=False,
-                     halves=1):
-    """One-dispatch compare sweep: k-mer screens, per-WP-bucket pallas
-    calls (whose in-kernel traceback emits substitution and alignment-map
-    tiles), elementwise reassembly, an f32 log-lambda screen, and a SMALL
-    packed int8 result — all one compiled program, so a steady-state
-    compare costs ONE dispatch and ONE 13-byte-per-row host fetch (the
-    device<->host tunnel round-trips dominate on remote-attached chips;
-    transition vectors and alignment maps stay device-resident and only
-    shortlisted rows are ever fetched).
+def _fused_align_base(scal, params, sels, perm, offs, center, seqs, lens,
+                      s2q, inv, kmers, kords, thr, *, spec, L1R,
+                      L2R, NDP, match, mismatch, gap_p, interpret,
+                      mesh=None, gapless_on=True, sse_lt1=False,
+                      halves=1):
+    """ERROR-MATRIX-INDEPENDENT half of the compare sweep: k-mer
+    screens, per-WP-bucket pallas calls (whose in-kernel traceback emits
+    substitution and alignment-map tiles) and elementwise reassembly —
+    one compiled program per geometry, cached per center across every
+    selfConsist round (alignments do not depend on the error matrix, so
+    later rounds skip the kernel entirely; _fused_small adds the
+    err-dependent log-lambda bytes).
 
     The shroud (k-mer distance > cutoff) and gapless decisions are made
     ON DEVICE and travel as flag bits: thr[d] is a host-built integer
@@ -210,19 +209,13 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
     gapless_on/sse_lt1 bake the GAPLESS/SSE option semantics
     (reference: src/kmers.cpp:102-116).
 
-    Returns (mapq, tvec, small):
-      mapq  [n, L1R] int32 — merged per-center-position record:
-            diag = (qual << 17) | (query j << 3) | (nt1 + 2);
-            1 = gap (up step); 0 = unconsumed;
-      tvec  [n, L] int8 — per-query-position transition codes;
-      small [n, 13] int8 — ham i16, ham_gapless i16, loglam f32,
-            abssum f32, flags u8 (1 = traceback ok, 2 = gapless,
-            4 = shrouded). loglam/abssum are pre-selected by the device
-            gapless rule.
-    loglam is the f32 natural-log lambda under the error matrix baked
-    into qlerr (the screen for the exact host float64 product, reference:
-    src/pval.cpp:144-197); abssum is the sum of |log factors|, from which
-    the host derives a sound per-row error bound on loglam."""
+    Returns (mapq, tvec, small5):
+      mapq   [n, L1R] int32 — merged per-center-position record:
+             diag = (qual << 17) | (query j << 3) | (nt1 + 2);
+             1 = gap (up step); 0 = unconsumed;
+      tvec   [n, L] int8 — per-query-position transition codes;
+      small5 [n, 5] int8 — ham i16, ham_gapless i16, flags u8
+             (1 = traceback ok, 2 = gapless, 4 = shrouded)."""
     center_seq = seqs[center]
     len1 = lens[center]
     s1t = _build_s1t(center_seq, L1R)
@@ -294,23 +287,11 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
                       (posk < minklen[:, None])).astype(jnp.int32),
                      axis=-1)
 
-    def loglam_of(t):
-        lf = jnp.zeros(jnp.broadcast_shapes(t.shape, qlerr.shape[1:]),
-                       jnp.float32)
-        for t0 in range(17):
-            lf = lf + jnp.where(t == t0, qlerr[t0], jnp.float32(0.0))
-        lf = jnp.where(valid, lf, jnp.float32(0.0))
-        return lf.sum(axis=1), jnp.abs(lf).sum(axis=1)
-
-    loglam, abssum = loglam_of(tvec)
-    # gapless (pad-to-length) variant, straight from the sequences
+    # gapless (pad-to-length) hamming, straight from the sequences
     # (reference: src/nwalign_endsfree.cpp:539-555)
     s0 = center_seq.astype(jnp.int32)[None, :]
-    both = valid & (posL < len1)
-    subg = both & (s0 != s2)
-    t_gl = jnp.where(valid, jnp.where(subg, 4 * s0 + s2, 5 * s2), 16)
+    subg = valid & (posL < len1) & (s0 != s2)
     ham_gl = subg.sum(axis=1)
-    loglam_gl, abssum_gl = loglam_of(t_gl)
 
     # device shroud/gapless decisions (exact-integer; see docstring)
     denom = jnp.minimum(lens, len1) - (KMER_SIZE - 1)
@@ -320,23 +301,60 @@ def _fused_align_all(scal, params, sels, perm, offs, center, seqs, lens,
         glr = glr & (lens == len1)
     if not gapless_on:
         glr = jnp.zeros_like(glr)
+
+    flags = (ok.astype(jnp.int8) + 2 * glr.astype(jnp.int8)
+             + 4 * shroud.astype(jnp.int8))
+    small5 = jnp.concatenate(
+        [_i16col(ham), _i16col(ham_gl), flags[:, None]], axis=1)
+    return mapq, tvec.astype(jnp.int8), small5
+
+
+def _i16col(x):
+    return jax.lax.bitcast_convert_type(
+        x.astype(jnp.int16)[:, None], jnp.int8).reshape(-1, 2)
+
+
+@jax.jit
+def _fused_small(tvec, seqs, lens, center, qlerr, small5):
+    """ERROR-MATRIX-DEPENDENT half of the compare sweep: f32 log-lambda
+    and |log-factor| sums under the error matrix baked into qlerr (the
+    screen for the exact host float64 product, reference:
+    src/pval.cpp:144-197), pre-selected by the device gapless flag.
+
+    Returns small [n, 13] int8 — ham i16, ham_gapless i16, loglam f32,
+    abssum f32, flags u8 — the layout every fetch path consumes."""
+    L = seqs.shape[1]
+    posL = jnp.arange(L, dtype=jnp.int32)[None, :]
+    valid = posL < lens[:, None]
+    s2 = seqs.astype(jnp.int32)
+
+    def loglam_of(t):
+        lf = jnp.zeros(jnp.broadcast_shapes(t.shape, qlerr.shape[1:]),
+                       jnp.float32)
+        for t0 in range(17):
+            lf = lf + jnp.where(t == t0, qlerr[t0], jnp.float32(0.0))
+        lf = jnp.where(valid, lf, jnp.float32(0.0))
+        return lf.sum(axis=1), jnp.abs(lf).sum(axis=1)
+
+    loglam, abssum = loglam_of(tvec.astype(jnp.int32))
+    # gapless (pad-to-length) variant, straight from the sequences
+    s0 = seqs[center].astype(jnp.int32)[None, :]
+    len1 = lens[center]
+    subg = valid & (posL < len1) & (s0 != s2)
+    t_gl = jnp.where(valid, jnp.where(subg, 4 * s0 + s2, 5 * s2), 16)
+    loglam_gl, abssum_gl = loglam_of(t_gl)
+
+    glr = (small5[:, 4] & 2) != 0
     loglam_sel = jnp.where(glr, loglam_gl, loglam)
     abssum_sel = jnp.where(glr, abssum_gl, abssum)
-
-    def i16col(x):
-        return jax.lax.bitcast_convert_type(
-            x.astype(jnp.int16)[:, None], jnp.int8).reshape(-1, 2)
 
     def f32col(x):
         return jax.lax.bitcast_convert_type(
             x.astype(jnp.float32)[:, None], jnp.int8).reshape(-1, 4)
 
-    flags = (ok.astype(jnp.int8) + 2 * glr.astype(jnp.int8)
-             + 4 * shroud.astype(jnp.int8))
-    small = jnp.concatenate(
-        [i16col(ham), i16col(ham_gl), f32col(loglam_sel),
-         f32col(abssum_sel), flags[:, None]], axis=1)
-    return mapq, tvec.astype(jnp.int8), small
+    return jnp.concatenate(
+        [small5[:, :4], f32col(loglam_sel), f32col(abssum_sel),
+         small5[:, 4:5]], axis=1)
 
 
 @jax.jit
@@ -735,8 +753,10 @@ class TpuBackend(CompareBackend):
         pay the widest block's compute; each bucket's block count is
         padded to a power of two to bound compile diversity.
 
-        err feeds the in-program f32 log-lambda screen; the cache keys on
-        it, but err=None accepts a hit computed under ANY err (for
+        err feeds the err-dependent log-lambda half (_fused_small); the
+        alignment half is cached per center INDEPENDENT of err, so
+        selfConsist rounds after the first never re-run the kernel.
+        err=None accepts a small pack computed under ANY err (for
         lambda-free consumers: the finalize subs path)."""
         wp, NDP, L1R = geom
         pb = self._pb
@@ -744,77 +764,99 @@ class TpuBackend(CompareBackend):
         base_key = (center, opts.BAND_SIZE, opts.MATCH, opts.MISMATCH,
                     opts.GAP_PENALTY, bool(opts.GAPLESS), opts.SSE < 1,
                     float(opts.KDIST_CUTOFF))
-        err_key = None if err is None else hash(err.tobytes())
         with self._cache_lock:
-            for k in list(self._align_cache):
-                if k[:-1] == base_key and (err_key is None
-                                           or k[-1] == err_key):
-                    hit = self._align_cache.pop(k)
-                    self._align_cache[k] = hit  # refresh LRU order
-                    return hit
-        if err is None:
-            err_key = ("any",)
-        # block geometry/selection device arrays depend only on
-        # (len1, band), NOT the center, so steady-state compares reuse
-        # them with zero host->device uploads (each upload costs a tunnel
-        # round-trip on remote-attached chips)
-        pkey = (len1, opts.BAND_SIZE)
-        with self._cache_lock:
-            prep = self._prep_cache.get(pkey)
-        if prep is None:
-            scal, params = pb.scal_params(len1, opts.BAND_SIZE)
-            spec = []
-            sels = []
-            ndev = (1 if self.mesh is None
-                    else self.mesh.shape.get("pairs", 1))
-            # spec holds only power-of-two bucket sizes (no per-sample
-            # real counts), so samples sharing a length bucket and block
-            # count magnitude share ONE compiled program; padded blocks
-            # are never selected by perm
-            perm = np.empty(pb.nblocks, np.int64)
-            pos = 0
-            for w in np.unique(wp):
-                bidx = np.nonzero(wp == w)[0]
-                nbg = 1 << (len(bidx) - 1).bit_length()
-                nbg = max(nbg, ndev)  # both powers of two -> divisible
-                pad = np.full(nbg - len(bidx), bidx[0], np.int64)
-                sels.append(self._put(
-                    np.concatenate([bidx, pad]).astype(np.int32)))
-                spec.append((int(w), int(nbg)))
-                perm[bidx] = pos + np.arange(len(bidx))
-                pos += nbg
-            prep = (self._put(scal), self._put(params), tuple(sels),
-                    self._put(perm.astype(np.int32)), tuple(spec))
+            ent = self._align_cache.get(base_key)
+            if ent is not None:
+                self._align_cache.pop(base_key)
+                self._align_cache[base_key] = ent  # refresh LRU order
+        if ent is None:
+            # block geometry/selection device arrays depend only on
+            # (len1, band), NOT the center, so steady-state compares
+            # reuse them with zero host->device uploads (each upload
+            # costs a tunnel round-trip on remote-attached chips)
+            pkey = (len1, opts.BAND_SIZE)
             with self._cache_lock:
-                self._prep_cache[pkey] = prep
-                while len(self._prep_cache) > 64:
-                    self._prep_cache.pop(next(iter(self._prep_cache)),
-                                         None)
-        d_scal, d_params, sels, d_perm, spec = prep
+                prep = self._prep_cache.get(pkey)
+            if prep is None:
+                scal, params = pb.scal_params(len1, opts.BAND_SIZE)
+                spec = []
+                sels = []
+                ndev = (1 if self.mesh is None
+                        else self.mesh.shape.get("pairs", 1))
+                # spec holds only power-of-two bucket sizes (no
+                # per-sample real counts), so samples sharing a length
+                # bucket and block count magnitude share ONE compiled
+                # program; padded blocks are never selected by perm
+                perm = np.empty(pb.nblocks, np.int64)
+                pos = 0
+                for w in np.unique(wp):
+                    bidx = np.nonzero(wp == w)[0]
+                    nbg = 1 << (len(bidx) - 1).bit_length()
+                    nbg = max(nbg, ndev)  # powers of two -> divisible
+                    pad = np.full(nbg - len(bidx), bidx[0], np.int64)
+                    sels.append(self._put(
+                        np.concatenate([bidx, pad]).astype(np.int32)))
+                    spec.append((int(w), int(nbg)))
+                    perm[bidx] = pos + np.arange(len(bidx))
+                    pos += nbg
+                prep = (self._put(scal), self._put(params), tuple(sels),
+                        self._put(perm.astype(np.int32)), tuple(spec))
+                with self._cache_lock:
+                    self._prep_cache[pkey] = prep
+                    while len(self._prep_cache) > 64:
+                        self._prep_cache.pop(
+                            next(iter(self._prep_cache)), None)
+            d_scal, d_params, sels, d_perm, spec = prep
 
-        res = _fused_align_all(
-            d_scal, d_params, sels, d_perm, pb.d_offs,
-            self._put(np.int32(center)),
-            self.d_seqs, self.d_lens, self._get_qlerr(err), pb.d_s2q,
-            pb.d_inv, self.d_kmers, self.d_kords,
-            self._shroud_thr(opts.KDIST_CUTOFF),
-            spec=spec, L1R=L1R, L2R=pb.L2R, NDP=NDP,
-            match=opts.MATCH, mismatch=opts.MISMATCH,
-            gap_p=opts.GAP_PENALTY, interpret=self._interpret,
-            mesh=self.mesh, gapless_on=bool(opts.GAPLESS),
-            sse_lt1=opts.SSE < 1, halves=self._pb.halves)
-        nbytes = sum(int(getattr(x, "nbytes", 0)) for x in res)
+            mapq, tvec, small5 = _fused_align_base(
+                d_scal, d_params, sels, d_perm, pb.d_offs,
+                self._put(np.int32(center)),
+                self.d_seqs, self.d_lens, pb.d_s2q,
+                pb.d_inv, self.d_kmers, self.d_kords,
+                self._shroud_thr(opts.KDIST_CUTOFF),
+                spec=spec, L1R=L1R, L2R=pb.L2R, NDP=NDP,
+                match=opts.MATCH, mismatch=opts.MISMATCH,
+                gap_p=opts.GAP_PENALTY, interpret=self._interpret,
+                mesh=self.mesh, gapless_on=bool(opts.GAPLESS),
+                sse_lt1=opts.SSE < 1, halves=self._pb.halves)
+            ent = [mapq, tvec, small5, {}]
+            nbytes = sum(int(x.nbytes) for x in ent[:3])
+            with self._cache_lock:
+                prior = self._align_cache.get(base_key)
+                if prior is not None:
+                    ent = prior  # another thread won the race
+                else:
+                    self._align_cache[base_key] = ent
+                    self._align_cache_bytes += nbytes
+                    while (len(self._align_cache) > 1
+                           and (self._align_cache_bytes
+                                > self.ALIGN_CACHE_BYTES)):
+                        old = self._align_cache.pop(
+                            next(iter(self._align_cache)), None)
+                        if old is not None:
+                            self._align_cache_bytes -= (
+                                sum(int(x.nbytes) for x in old[:3])
+                                + sum(int(s.nbytes)
+                                      for s in old[3].values()))
+
+        err_key = ("any",) if err is None else hash(err.tobytes())
         with self._cache_lock:
-            self._align_cache[base_key + (err_key,)] = res
-            self._align_cache_bytes += nbytes
-            while (len(self._align_cache) > 1
-                   and self._align_cache_bytes > self.ALIGN_CACHE_BYTES):
-                old = self._align_cache.pop(
-                    next(iter(self._align_cache)), None)
-                if old is not None:
-                    self._align_cache_bytes -= sum(
-                        int(getattr(x, "nbytes", 0)) for x in old)
-        return res
+            smalls = ent[3]
+            if err is None and smalls:
+                small = next(reversed(smalls.values()))
+            else:
+                small = smalls.get(err_key)
+        if small is None:
+            small = _fused_small(ent[1], self.d_seqs, self.d_lens,
+                                 self._put(np.int32(center)),
+                                 self._get_qlerr(err), ent[2])
+            with self._cache_lock:
+                if err_key not in smalls:
+                    smalls[err_key] = small
+                    self._align_cache_bytes += int(small.nbytes)
+                else:
+                    small = smalls[err_key]
+        return ent[0], ent[1], small
 
     def _unpack_small(self, packed: np.ndarray):
         """Host-side unpack of the fused compare's small result rows:

@@ -194,6 +194,7 @@ def dada(
                       f"{nconsist}.")
     clustering = [None] * len(derep)
     clusterquals = [None] * len(derep)
+    backends = [None] * len(derep)
     birth_subs = [None] * len(derep)
     trans = [None] * len(derep)
     maps = [None] * len(derep)
@@ -222,12 +223,22 @@ def dada(
 
         prset = set(priors) | set(pseudo_priors)
         prior_flags = [s in prset for s in seqs]
+        if backends[i] is None:
+            # one backend per sample for the WHOLE selfConsist loop:
+            # packed candidate tiles, kmer tables and geometry caches
+            # are error-independent, so later rounds skip their rebuild
+            rawset = make_rawset(seqs, drpi.abundances, prior_flags,
+                                 drpi.quals if opts.USE_QUALS else None)
+            backends[i] = _make_backend(
+                rawset, opts, True, erri.shape[1],
+                device=(mesh_devs[i % len(mesh_devs)] if mesh_devs
+                        else None))
         res = dada_uniques(
             seqs, drpi.abundances, prior_flags, erri,
             drpi.quals if opts.USE_QUALS else None, opts,
             max_clust=1 if initializeErr else opts.MAX_CLUST,
             use_quals=True,  # R passes TRUE unconditionally (R/dada.R:344)
-            device=(mesh_devs[i % len(mesh_devs)] if mesh_devs else None),
+            backend=backends[i],
         )
         clustering[i] = res["clustering"]
         clusterquals[i] = res["clusterquals"].T
