@@ -73,7 +73,7 @@ def build_refengine(tmp="/tmp/dada2_refengine_bench.so"):
     return lib, hook
 
 
-def ref_run(lib, d, err, opts):
+def ref_run(lib, d, err, opts, max_clust=0):
     """One reference-engine clustering run; returns (seconds, nclust,
     cluster_of) for cross-checking."""
     seqs, ab, quals = d.sequences, d.abundances, d.quals
@@ -99,7 +99,7 @@ def ref_run(lib, d, err, opts):
         err.shape[1], opts.MATCH, opts.MISMATCH, opts.GAP_PENALTY,
         opts.GAP_PENALTY, 1, ctypes.c_double(opts.KDIST_CUTOFF),
         opts.BAND_SIZE, ctypes.c_double(opts.OMEGA_A),
-        ctypes.c_double(opts.OMEGA_P), 0, 0,
+        ctypes.c_double(opts.OMEGA_P), 0, max_clust,
         ctypes.c_double(opts.MIN_FOLD), opts.MIN_HAMMING,
         opts.MIN_ABUNDANCE, 1, 1, opts.SSE, 1, 1,
         P(outs[0]), P(outs[1]), P(outs[2]), P(outs[3]), P(outs[4]),
@@ -246,6 +246,41 @@ def main():
     t_ref_t, t_tpu_t, _ = run_pair(lib, tut, err, opts, dada, "tutorial",
                                    ref_subset=2)
 
+    # ---- workload 3: learnErrors (the selfConsist loop) ---------------
+    # Our side runs the full learn_errors driver. The reference side
+    # replays the SAME per-round error-matrix sequence through its own
+    # compiled engine (max_clust=1 on the initialization round, exactly
+    # R/dada.R:296-342's protocol); its loess/trans assembly time is NOT
+    # charged, so the reported ratio is a LOWER bound on the speedup.
+    from dada2_tpu import learn_errors
+
+    learn_errors([tut[k] for k in list(tut)[:2]], nbases=1e12,
+                 multithread=16, verbose=False)  # warm/compile
+    t0 = time.time()
+    learned = learn_errors(list(tut.values()), nbases=1e12,
+                           multithread=16, verbose=False)
+    t_tpu_l = time.time() - t0
+    err_hist = learned["err_in"]
+    if isinstance(err_hist, np.ndarray):
+        err_hist = [err_hist]
+    info(f"[learn] our learn_errors: {t_tpu_l:.2f}s "
+         f"({len(err_hist)} selfConsist rounds)")
+    ref_names = list(tut)[:2]
+    t_ref_l = 0.0
+    ones = np.ones_like(err)
+    for rnd, err_r in enumerate([ones] + list(err_hist)):
+        if err_r.shape[1] < err.shape[1]:
+            err_r = np.hstack(
+                [err_r] + [err_r[:, -1:]] * (err.shape[1]
+                                             - err_r.shape[1]))
+        for name in ref_names:
+            dt, _, _ = ref_run(lib, tut[name], np.ascontiguousarray(err_r),
+                               opts, max_clust=1 if rnd == 0 else 0)
+            t_ref_l += dt
+    t_ref_l *= len(tut) / len(ref_names)
+    info(f"[learn] reference engine core (1 core, extrapolated): "
+         f"{t_ref_l:.2f}s")
+
     out = {
         "metric": "dada e2e wall-clock, tutorial-scale batch "
                   f"({NS}x{NREADS} reads)",
@@ -257,6 +292,12 @@ def main():
             "tpu_seconds": round(t_tpu_s, 3),
             "ref_core_seconds": round(t_ref_s, 3),
             "vs_baseline": round(t_ref_s / t_tpu_s, 3),
+        },
+        "learn_errors": {
+            "tpu_seconds": round(t_tpu_l, 3),
+            "ref_core_seconds": round(t_ref_l, 3),
+            "vs_baseline": round(t_ref_l / t_tpu_l, 3),
+            "rounds": len(err_hist),
         },
     }
     with open(os.path.join(REPO, "BENCH_E2E.json"), "w") as fh:
