@@ -608,9 +608,10 @@ class TpuBackend(CompareBackend):
     # pallas path engaged when the default backend is a real TPU; the XLA
     # scan path remains the fallback (and the CPU-test path)
     VMEM_SLAB_CAP = 12 * 1024 * 1024
-    # below this unique count the full small-pack slab is RTT-scale and
-    # the shortlisted fetch's extra round-trips cost more than they save
-    SHORTLIST_MIN_N = 8192
+    # minimum unique count for the shortlisted budded-compare fetch;
+    # with the tvec piggyback the shortlist path costs ONE round-trip
+    # (vs three for the full-slab path), so it wins at every size
+    SHORTLIST_MIN_N = 0
     # shortlist rows piggybacked on the header fetch; > this takes a
     # second (bucketed) gather fetch
     SHORTLIST_M0 = 1024
