@@ -687,6 +687,7 @@ class TpuBackend(CompareBackend):
         self._qlerr_cache: dict = {}
         self._prep_cache: dict = {}
         self._thr_cache: dict = {}
+        self._tvec_host_cache: dict = {}
         import threading
         self._cache_lock = threading.Lock()
 
@@ -906,6 +907,28 @@ class TpuBackend(CompareBackend):
         out[:, 0::2] = packed & 15
         out[:, 1::2] = packed >> 4
         return out[:, :L]
+
+    def _tvec_rows_cached(self, d_tvec, center: int, opts: DadaOptions,
+                          rows: np.ndarray) -> np.ndarray:
+        """Host-side cache of full-slab tvec row fetches. Alignments are
+        error-matrix-independent, and the selfConsist loop's init
+        compare asks for the SAME (center, rows) every round — caching
+        the unpacked rows makes later rounds' biggest transfer free."""
+        key = (center, opts.BAND_SIZE, opts.MATCH, opts.MISMATCH,
+               opts.GAP_PENALTY, len(rows), hash(rows.tobytes()))
+        with self._cache_lock:
+            hit = self._tvec_host_cache.get(key)
+            if hit is not None:
+                self._tvec_host_cache.pop(key)
+                self._tvec_host_cache[key] = hit   # refresh LRU order
+                return hit
+        out = self._fetch_tvec_rows(d_tvec, rows)
+        with self._cache_lock:
+            self._tvec_host_cache[key] = out
+            while len(self._tvec_host_cache) > 2:
+                self._tvec_host_cache.pop(
+                    next(iter(self._tvec_host_cache)), None)
+        return out
 
     def _small_rows(self, res, rows: np.ndarray):
         """Fetch + unpack only the given rows of the small pack (the
@@ -1132,7 +1155,7 @@ class TpuBackend(CompareBackend):
                 lam[ng] = self._lambdas(ng, tvec, err)
             na = al_idx[need[al_idx]]
             if len(na):
-                tvec = self._fetch_tvec_rows(res[1], na)
+                tvec = self._tvec_rows_cached(res[1], center, opts, na)
                 lam[na] = self._lambdas(na, tvec, err)
             return lam, ham
 
