@@ -70,6 +70,21 @@ def test_pallas_parity_mixed_lengths():
     _check(s1, cands, 16)
 
 
+@pytest.mark.parametrize("len1", [150, 251])
+def test_pallas_parity_long_sequences(len1):
+    """Amplicon-scale lengths: len1 >= 2*WP engages the interior-phase
+    fast body and its 4-diagonal chunks plus the unaligned remainders
+    at the phase boundaries; short fuzz cases (no_mid) never reach that
+    code."""
+    rng = np.random.default_rng(len1)
+    s1 = rng.integers(0, 4, len1).astype(np.uint8)
+    cands = [_mutate(rng, s1, nops=20) for _ in range(7)]
+    cands += [s1[8:], s1[: len1 - 13],
+              rng.integers(0, 4, len1 - 5).astype(np.uint8)]
+    _check(s1, cands, 16)
+    _check(s1, cands, 4)
+
+
 def test_pallas_parity_global_endgaps():
     rng = np.random.default_rng(5)
     s1 = rng.integers(0, 4, 30).astype(np.uint8)
