@@ -53,8 +53,10 @@ def matrix_ee(quals: List[np.ndarray]) -> np.ndarray:
     lens = np.fromiter((len(q) for q in quals), np.int64, count=n)
     L = int(lens.max()) if n else 0
     qm = np.zeros((n, L), np.float64)
-    for k, q in enumerate(quals):
-        qm[k, : lens[k]] = np.asarray(q, np.float64)
+    # row-major boolean assignment consumes the concatenation in
+    # exactly per-read order (a per-read fill loop costs ~30s/1M reads)
+    qm[np.arange(L, dtype=np.int64)[None, :] < lens[:, None]] = (
+        np.concatenate(quals) if n else np.zeros(0))
     qi = qm.astype(np.int64)
     tabled = (qm == qi) & (qi >= 0) & (qi < len(_EE_TABLE))
     fac = _EE_TABLE[np.where(tabled, qi, 0)]
@@ -99,38 +101,81 @@ def match_ref(seqs: Sequence[str], ref: str, word_size: int = 16,
     """
     if 2 * word_size > 63:
         raise ValueError("word_size too large for 2-bit hashing")
+    hits = _match_words(seqs, [_ref_words(ref, word_size)], word_size)[0]
+    if not non_overlapping:
+        return hits.sum(axis=1).astype(np.int64)
+    return _skip_walk(hits, word_size)
+
+
+def _ref_words(ref: str, word_size: int):
+    """Sorted 2-bit word table of a circularized reference, plus the
+    literal words containing non-ACGT characters (the reference hashes
+    raw strings, src/filter.cpp:21-24)."""
     refc = ref + ref[:word_size]
     rw = _word_codes(refc, word_size)[: len(ref)]
     words = np.unique(rw[rw >= 0])
-    # reference words containing non-ACGT characters match literally
-    # (the reference hashes raw strings, src/filter.cpp:21-24)
-    odd_words = {refc[i: i + word_size]
-                 for i in np.nonzero(rw < 0)[0]}
-    out = np.zeros(len(seqs), dtype=np.int64)
-    if len(words) == 0 and not odd_words:
+    odd_words = {refc[i: i + word_size] for i in np.nonzero(rw < 0)[0]}
+    return words, odd_words
+
+
+def _match_words(seqs, tables, word_size: int):
+    """Per-position word-hit masks of every read against one or more
+    word tables, with ONE rolling-code pass and ONE sorted search over
+    the union (words are <= 32 bits for word_size <= 16, halving the
+    memory traffic of the searches)."""
+    n = len(seqs)
+    out = [np.zeros((n, 0), bool) for _ in tables]
+    if n == 0:
         return out
-    for k, s in enumerate(seqs):
-        sw = _word_codes(s, word_size)
-        if not len(sw):
-            continue
-        hit = np.zeros(len(sw), bool)
-        ok = sw >= 0
-        if len(words):
-            hit[ok] = words[np.searchsorted(words, sw[ok]).clip(
-                0, len(words) - 1)] == sw[ok]
+    from .encode import pack_sequences
+
+    codes, lens = pack_sequences(seqs)
+    L = codes.shape[1]
+    W = L - word_size + 1
+    if W <= 0:
+        return out
+    dt = np.uint32 if 2 * word_size <= 32 else np.int64
+    c = codes
+    bad = c > 3
+    c0 = np.where(bad, 0, c).astype(dt)
+    w = np.zeros((n, W), dt)
+    anybad = np.zeros((n, W), bool)
+    for j in range(word_size):
+        w = (w << dt(2)) | c0[:, j: j + W]
+        anybad |= bad[:, j: j + W]
+    inlen = (np.arange(W, dtype=np.int64)[None, :]
+             < (lens.astype(np.int64) - word_size + 1)[:, None])
+    union = np.unique(np.concatenate(
+        [t[0] for t in tables])).astype(dt) if any(
+            len(t[0]) for t in tables) else np.zeros(0, dt)
+    side = np.zeros((len(tables), len(union)), bool)
+    for ti, (words, _odd) in enumerate(tables):
+        side[ti, np.searchsorted(union, words.astype(dt))] = True
+    if len(union):
+        idx = np.minimum(np.searchsorted(union, w), len(union) - 1)
+        member = (union[idx] == w) & inlen & ~anybad
+    for ti, (words, odd_words) in enumerate(tables):
+        hit = (member & side[ti][idx]) if len(union) else np.zeros(
+            (n, W), bool)
         if odd_words:
-            for j in np.nonzero(~ok)[0]:
-                hit[j] = s[j: j + word_size] in odd_words
-        nh = int(hit.sum())
-        if nh == 0:
-            continue
-        if not non_overlapping:
-            out[k] = nh
-            continue
-        pos = np.nonzero(hit)[0]
+            rr, cc = np.nonzero(anybad & inlen)
+            for r, j in zip(rr, cc):
+                if seqs[r][j: j + word_size] in odd_words:
+                    hit[r, j] = True
+        out[ti] = hit
+    return out
+
+
+def _skip_walk(hit: np.ndarray, word_size: int) -> np.ndarray:
+    """Non-overlapping hit count: skip word_size+1 positions after each
+    counted hit (reference: src/filter.cpp:7-32). Hits are rare, so the
+    sequential walk only runs over reads that have any."""
+    out = np.zeros(hit.shape[0], dtype=np.int64)
+    for k in np.nonzero(hit.any(axis=1))[0]:
+        pos = np.nonzero(hit[k])[0]
         cnt = 0
         nxt = 0
-        for p in pos:  # skip word_size after each counted hit
+        for p in pos:
             if p >= nxt:
                 cnt += 1
                 nxt = p + word_size + 1
@@ -151,8 +196,15 @@ def is_phix(seqs, wordSize: int = 16, minMatches: int = 2,
                              "phix_genome.fa")
     with open(phix_path) as f:
         sq = "".join(line.strip() for line in f if not line.startswith(">"))
-    hits = match_ref(seqs, sq, wordSize, nonOverlapping)
-    hits_rc = match_ref(seqs, rc(sq), wordSize, nonOverlapping)
+    # forward and reverse-complement word tables share one rolling-code
+    # pass and one sorted search over their union
+    hf, hr = _match_words(seqs, [_ref_words(sq, wordSize),
+                                 _ref_words(rc(sq), wordSize)], wordSize)
+    if nonOverlapping:
+        hits = _skip_walk(hf, wordSize)
+        hits_rc = _skip_walk(hr, wordSize)
+    else:
+        hits, hits_rc = hf.sum(axis=1), hr.sum(axis=1)
     return (hits >= minMatches) | (hits_rc >= minMatches)
 
 
@@ -283,7 +335,8 @@ class _Chunk:
 
     def n_counts(self) -> np.ndarray:
         """Non-ACGT character count per read (reference .nFilter)."""
-        return np.array([sum(1 for c in s if c not in "ACGT")
+        return np.array([len(s) - s.count("A") - s.count("C")
+                         - s.count("G") - s.count("T")
                          for s in self.seqs], dtype=np.int64)
 
     def rc_inplace(self, k):

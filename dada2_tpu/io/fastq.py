@@ -81,8 +81,12 @@ def write_fastq(path: str, ids, seqs, quals, append: bool = False,
         compress = path.endswith(".gz")
     mode = "ab" if append else "wb"
     raw = open(path, mode)
-    fh = gzip.GzipFile(fileobj=raw, mode=mode) if compress else raw
+    # compresslevel 6 matches R's zlib default (writeFastq); one joined
+    # buffer per chunk instead of a write() per record
+    fh = (gzip.GzipFile(fileobj=raw, mode=mode, compresslevel=6)
+          if compress else raw)
     try:
+        parts = []
         for i, s, q in zip(ids, seqs, quals):
             if isinstance(i, str):
                 i = i.encode()
@@ -90,7 +94,12 @@ def write_fastq(path: str, ids, seqs, quals, append: bool = False,
                 s = s.encode()
             if isinstance(q, str):
                 q = q.encode()
-            fh.write(b"@" + i + b"\n" + s + b"\n+\n" + q + b"\n")
+            parts.append(b"@" + i + b"\n" + s + b"\n+\n" + q + b"\n")
+            if len(parts) >= 20000:
+                fh.write(b"".join(parts))
+                parts.clear()
+        if parts:
+            fh.write(b"".join(parts))
     finally:
         if fh is not raw:
             fh.close()
