@@ -249,14 +249,18 @@ def refengine(tmp_path_factory):
     return lib
 
 
-@pytest.mark.parametrize("overrides,pallas", [
-    ({}, False),                                 # production defaults
-    ({}, True),    # pallas route incl. the shortlisted compare fetch
-    ({"GAPLESS": False, "GREEDY": False}, False),  # no screens/locks
-    ({"DETECT_SINGLETONS": True, "BAND_SIZE": 32}, False),
-    ({"OMEGA_A": 1e-10, "MIN_HAMMING": 2}, False),   # more budding
+@pytest.mark.parametrize("overrides,pallas,use_priors", [
+    ({}, False, False),                          # production defaults
+    ({}, True, False),  # pallas route incl. shortlisted compare fetch
+    ({"GAPLESS": False, "GREEDY": False}, False, False),  # no screens
+    ({"DETECT_SINGLETONS": True, "BAND_SIZE": 32}, False, False),
+    ({"OMEGA_A": 1e-10, "MIN_HAMMING": 2}, False, False),  # more buds
+    # prior sequences: the OMEGA_P birth path (reference:
+    # src/cluster.cpp:313-349 "P"-type buds) and MIN_FOLD screening
+    ({"OMEGA_A": 1e-60, "OMEGA_P": 1e-2, "MIN_FOLD": 2.0}, False, True),
 ])
-def test_engine_parity_sam1F(refengine, overrides, pallas, monkeypatch):
+def test_engine_parity_sam1F(refengine, overrides, pallas, use_priors,
+                             monkeypatch):
     if pallas:
         monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
     """Full clustering run on sam1F + tperr1: cluster assignments,
@@ -297,6 +301,8 @@ def test_engine_parity_sam1F(refengine, overrides, pallas, monkeypatch):
     qflat = np.ascontiguousarray(np.nan_to_num(quals, nan=0.0))
     reads = np.ascontiguousarray(ab, dtype=np.int32)
     priors = np.zeros(n, np.uint8)
+    if use_priors:
+        priors[5::17] = 1    # arbitrary non-center raws flagged priors
     errflat = np.ascontiguousarray(err)
     cluster_of = np.full(n, -1, np.int32)
     comp_lambda = np.zeros(n)
@@ -325,7 +331,7 @@ def test_engine_parity_sam1F(refengine, overrides, pallas, monkeypatch):
     assert nclust > 1
 
     # --- our engine ---
-    rs = make_rawset(seqs, ab, None, quals)
+    rs = make_rawset(seqs, ab, priors != 0, quals)
     be = TpuBackend(rs, use_quals=True)
     be.SHORTLIST_MIN_N = 0    # exercise the shortlisted compare fetch
     be.SHORTLIST_M0 = 32      # ... incl. its second-fetch branch
@@ -343,6 +349,9 @@ def test_engine_parity_sam1F(refengine, overrides, pallas, monkeypatch):
         assert c.birth_type.encode() == btypes.raw[i: i + 1], i
         if i > 0:
             assert c.birth_pval == bpvals[i], i
+    if use_priors:
+        # the case is tuned so at least one bud takes the OMEGA_P path
+        assert any(c.birth_type == "P" for c in eng.clusters[1:])
 
 
 @pytest.fixture(scope="module")
