@@ -256,8 +256,9 @@ def refengine(tmp_path_factory):
     ({"DETECT_SINGLETONS": True, "BAND_SIZE": 32}, False, False),
     ({"OMEGA_A": 1e-10, "MIN_HAMMING": 2}, False, False),  # more buds
     # prior sequences: the OMEGA_P birth path (reference:
-    # src/cluster.cpp:313-349 "P"-type buds) and MIN_FOLD screening
-    ({"OMEGA_A": 1e-60, "OMEGA_P": 1e-2, "MIN_FOLD": 2.0}, False, True),
+    # src/cluster.cpp:313-349 "P"-type buds) and MIN_FOLD screening,
+    # through the pallas route so the store screen sees prior raws
+    ({"OMEGA_A": 1e-60, "OMEGA_P": 1e-2, "MIN_FOLD": 2.0}, True, True),
 ])
 def test_engine_parity_sam1F(refengine, overrides, pallas, use_priors,
                              monkeypatch):
