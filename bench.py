@@ -151,6 +151,8 @@ def tpu_rate(rs, center: int):
     def run(c: int = center):
         with backend._cache_lock:
             backend._align_cache.clear()
+            backend._align_cache_bytes = 0
+            backend._tvec_host_cache.clear()
         lam, h = compare(c, e_thresh)
         return h, lam
     # sequential steady state
