@@ -764,6 +764,26 @@ def _match_matrix(fixed: bool) -> np.ndarray:
     return m
 
 
+def _primer_dp(pv: np.ndarray, sv: np.ndarray, mm: np.ndarray):
+    """Semi-global edit-distance DP matrix (subject start/end free) of
+    one primer vs one subject; row-vectorized: the in-row dependency
+    D[i,j] = min(cand[j], D[i,j-1]+1) is a running minimum, so each
+    primer row is one minimum.accumulate instead of a per-cell loop."""
+    plen, slen = len(pv), len(sv)
+    D = np.zeros((plen + 1, slen + 1), dtype=np.int64)
+    jar = np.arange(slen + 1, dtype=np.int64)
+    prev = D[0]
+    for i in range(1, plen + 1):
+        subc = (~mm[pv[i - 1], sv]).astype(np.int64)
+        cand = np.empty(slen + 1, dtype=np.int64)
+        cand[0] = i
+        np.minimum(prev[:-1] + subc, prev[1:] + 1, out=cand[1:])
+        # D[i, j] = min over j' <= j of cand[j'] + (j - j')
+        D[i] = jar + np.minimum.accumulate(cand - jar)
+        prev = D[i]
+    return D
+
+
 def _match_primer(primer: str, seq: str, max_mismatch: int,
                   with_indels: bool, fixed: bool):
     """Occurrences of primer in seq: list of (start, end) 0-based
@@ -784,13 +804,7 @@ def _match_primer(primer: str, seq: str, max_mismatch: int,
             mism += ~mm[pv[j], sv[j: j + nwin]]
         hits = np.nonzero(mism <= max_mismatch)[0]
         return [(int(h), int(h) + plen - 1) for h in hits]
-    # with indels: semi-global DP, subject start/end free
-    D = np.zeros((plen + 1, slen + 1), dtype=np.int64)
-    D[:, 0] = np.arange(plen + 1)
-    for i in range(1, plen + 1):
-        for j in range(1, slen + 1):
-            sub = D[i - 1, j - 1] + (0 if mm[pv[i - 1], sv[j - 1]] else 1)
-            D[i, j] = min(sub, D[i - 1, j] + 1, D[i, j - 1] + 1)
+    D = _primer_dp(pv, sv, mm)
     ends = np.nonzero(D[plen, 1:] <= max_mismatch)[0]
     out = []
     for e in ends:
