@@ -146,3 +146,27 @@ def test_match_ref_non_acgt_words():
                     non_overlapping=True)
     assert out[0] >= 1
     assert out[2] == 0
+
+
+def test_primer_dp_matches_percell_recurrence():
+    """The row-vectorized semi-global DP (running-minimum trick) must
+    equal the textbook per-cell recurrence."""
+    from dada2_tpu.filter import _match_matrix, _primer_dp
+
+    rng = np.random.default_rng(31)
+    mm = _match_matrix(False)
+    nts = np.frombuffer(b"ACGT", np.uint8)
+    for _ in range(20):
+        plen = int(rng.integers(4, 25))
+        slen = int(rng.integers(plen, 120))
+        pv = nts[rng.integers(0, 4, plen)]
+        sv = nts[rng.integers(0, 4, slen)]
+        got = _primer_dp(pv, sv, mm)
+        D = np.zeros((plen + 1, slen + 1), np.int64)
+        D[:, 0] = np.arange(plen + 1)
+        for i in range(1, plen + 1):
+            for j in range(1, slen + 1):
+                sub = D[i - 1, j - 1] + (0 if mm[pv[i - 1], sv[j - 1]]
+                                         else 1)
+                D[i, j] = min(sub, D[i - 1, j] + 1, D[i, j - 1] + 1)
+        np.testing.assert_array_equal(got, D)
