@@ -784,6 +784,40 @@ def _primer_dp(pv: np.ndarray, sv: np.ndarray, mm: np.ndarray):
     return D
 
 
+def _match_primer_batch(primer: str, seqs, max_mismatch: int,
+                        with_indels: bool, fixed: bool):
+    """_match_primer over a whole read list. The no-indel path runs one
+    rolling mismatch count over a padded byte matrix (per-read calls pay
+    ~plen array overheads each); the indel DP stays per read (it is
+    already row-vectorized)."""
+    if with_indels:
+        return [_match_primer(primer, s, max_mismatch, True, fixed)
+                for s in seqs]
+    n = len(seqs)
+    plen = len(primer)
+    lens = np.fromiter((len(s) for s in seqs), np.int64, count=n)
+    L = int(lens.max()) if n else 0
+    if L < plen:
+        return [[] for _ in range(n)]
+    mm = _match_matrix(fixed)
+    pv = np.frombuffer(primer.encode(), dtype=np.uint8)
+    joined = "".join(seqs).encode("ascii")
+    sb = np.zeros((n, L), np.uint8)
+    sb[np.arange(L, dtype=np.int64)[None, :] < lens[:, None]] = (
+        np.frombuffer(joined, dtype=np.uint8))
+    W = L - plen + 1
+    mism = np.zeros((n, W), dtype=np.int16)
+    for j in range(plen):
+        mism += ~mm[pv[j], sb[:, j: j + W]]
+    ok = (mism <= max_mismatch) & (
+        np.arange(W, dtype=np.int64)[None, :]
+        <= (lens - plen)[:, None])
+    out = [[] for _ in range(n)]
+    for r, h in zip(*np.nonzero(ok)):
+        out[r].append((int(h), int(h) + plen - 1))
+    return out
+
+
 def _match_primer(primer: str, seq: str, max_mismatch: int,
                   with_indels: bool, fixed: bool):
     """Occurrences of primer in seq: list of (start, end) 0-based
@@ -859,8 +893,8 @@ def remove_primers(fn, fout, primer_fwd: str, primer_rev: Optional[str] = None,
         inseqs = len(seqs)
 
         def matches(primer, ss, fixed):
-            return [_match_primer(primer, s, max_mismatch, allow_indels,
-                                  fixed) for s in ss]
+            return _match_primer_batch(primer, ss, max_mismatch,
+                                       allow_indels, fixed)
 
         m_fwd = matches(primer_fwd, seqs, fixed_fwd)
         m_rev = matches(primer_rev, seqs, fixed_rev) if has_rev else None
