@@ -875,9 +875,8 @@ def remove_primers(fn, fout, primer_fwd: str, primer_rev: Optional[str] = None,
     if len(fn) != len(fout):
         raise ValueError("Every input file must have a corresponding "
                          "output file.")
-    if allow_indels:
-        print("Primer matching with indels allowed is currently "
-              "significantly (~4x) slower.")
+    if allow_indels and verbose:
+        print("Primer matching with indels allowed is somewhat slower.")
     fixed_fwd = all(c in "ACGT" for c in primer_fwd)
     has_rev = primer_rev is not None
     fixed_rev = has_rev and all(c in "ACGT" for c in primer_rev)
