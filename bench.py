@@ -186,6 +186,23 @@ def main():
     info(f"workload: {rs.n} uniques vs center (len {int(rs.lens[center])}), "
          f"band {BAND}")
     cpu_aps, cpu_sum, cpu_reps = cpu_baseline(rs, center)
+    # The tunnel can be down or hang jax.devices() forever — probe in a
+    # subprocess first and publish a parseable error line instead of a
+    # stack trace if the backend never comes up.
+    from dada2_tpu.utils.bench_guard import probe_backend
+
+    probe_err = probe_backend(log=info)
+    if probe_err is not None:
+        info(f"backend unavailable after retries: {probe_err}")
+        print(json.dumps({
+            "metric": "unique-pair NW alignments/sec/chip",
+            "value": 0.0,
+            "unit": "alignments/s",
+            "vs_baseline": 0.0,
+            "error": probe_err,
+            "cpu_baseline_alignments_per_sec": round(cpu_aps, 1),
+        }))
+        return
     dev_aps, dev_sum, dev_reps = tpu_rate(rs, center)
     if cpu_sum // cpu_reps != dev_sum:
         info(f"FATAL: checksum mismatch cpu={cpu_sum // cpu_reps} "

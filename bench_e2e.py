@@ -206,6 +206,22 @@ def main():
         info("reference sources not mounted; nothing to compare against")
         return
 
+    # Probe the backend in a subprocess before touching jax — a dead
+    # tunnel hangs jax.devices() forever (see utils/bench_guard.py).
+    from dada2_tpu.utils.bench_guard import probe_backend
+
+    probe_err = probe_backend(log=info)
+    if probe_err is not None:
+        info(f"backend unavailable after retries: {probe_err}")
+        print(json.dumps({
+            "metric": "dada e2e wall-clock, tutorial-scale batch",
+            "value": 0.0,
+            "unit": "seconds/chip",
+            "vs_baseline": 0.0,
+            "error": probe_err,
+        }))
+        return
+
     import jax
 
     info(f"devices: {jax.devices()}")
