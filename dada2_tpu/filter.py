@@ -720,15 +720,40 @@ def filter_and_trim(fwd, filt, rev=None, filt_rev=None, compress=None,
     ncores = 1
     if multithread:
         ncores = os.cpu_count() if multithread is True else int(multithread)
+    # Every file is processed even if some fail; per-file errors are
+    # collected and reported together at the end (up to 5), like the
+    # reference (R/filter.R:479-489) — one corrupt fastq must not
+    # abandon the rest of a large batch.
+    errors: list[tuple[str, Exception]] = []
     if ncores > 1 and len(jobs) > 1:
         # spawn, not fork: the parent may have live JAX threads
         import multiprocessing as mp
         with ProcessPoolExecutor(
                 max_workers=ncores,
                 mp_context=mp.get_context("spawn")) as ex:
-            results = list(ex.map(runner, jobs))
+            futs = [ex.submit(runner, j) for j in jobs]
+            results = []
+            for f, fut in zip(fwd, futs):
+                try:
+                    results.append(fut.result())
+                except Exception as e:  # noqa: BLE001 — reported below
+                    errors.append((os.path.basename(f), e))
+                    results.append((0, 0))
     else:
-        results = [runner(j) for j in jobs]
+        results = []
+        for f, j in zip(fwd, jobs):
+            try:
+                results.append(runner(j))
+            except Exception as e:  # noqa: BLE001 — reported below
+                errors.append((os.path.basename(f), e))
+                results.append((0, 0))
+    if errors:
+        shown = "\n".join(f"  {name}: {type(e).__name__}: {e}"
+                          for name, e in errors[:5])
+        raise RuntimeError(
+            f"filter_and_trim failed on {len(errors)} of {len(jobs)} "
+            f"file(s); the rest were processed. Errors (up to 5):\n"
+            f"{shown}")
 
     out = pd.DataFrame(results, columns=["reads.in", "reads.out"],
                        index=[os.path.basename(f) for f in fwd])

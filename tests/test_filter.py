@@ -94,6 +94,27 @@ def test_filter_and_trim_paired(extdata, tmp_path):
     assert {len(s) for s in r1.seqs} == {200}
 
 
+@pytest.mark.parametrize("multithread", [False, 2])
+def test_filter_and_trim_collects_per_file_errors(extdata, tmp_path,
+                                                  multithread):
+    """One corrupt fastq must not abandon the batch: the good files
+    are still filtered and the error surfaces at the end, naming the
+    bad file (reference: R/filter.R:479-489)."""
+    bad = tmp_path / "corrupt.fastq.gz"
+    bad.write_bytes(b"this is not a gzip fastq")
+    good_out = tmp_path / "good.fastq.gz"
+    with pytest.raises(RuntimeError) as exc:
+        filter_and_trim(
+            [str(extdata / "sam1F.fastq.gz"), str(bad)],
+            [str(good_out), str(tmp_path / "bad_out.fastq.gz")],
+            truncLen=240, maxEE=2, multithread=multithread)
+    assert "corrupt.fastq.gz" in str(exc.value)
+    assert "1 of 2" in str(exc.value)
+    # the good file was fully processed despite the failure
+    ch = read_fastq(str(good_out))
+    assert len(ch) > 500
+
+
 def test_paired_match_ids(extdata, tmp_path):
     nin, nout = fastq_paired_filter(
         [str(extdata / "sam1F.fastq.gz"), str(extdata / "sam1R.fastq.gz")],
