@@ -64,13 +64,10 @@ def build_refengine(tmp="/tmp/dada2_refengine_bench.so"):
             check=True, capture_output=True)
     lib = ctypes.CDLL(tmp)
     lib.run_ref_dada.restype = ctypes.c_int
-    from scipy import special as sp
-
-    PPOIS = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_int,
-                             ctypes.c_double)
-    hook = PPOIS(lambda n, lam: float(sp.pdtrc(n, lam)))
-    lib.set_ppois_hook(hook)
-    return lib, hook
+    # No ppois hook: the reference engine runs its own native R-exact
+    # Poisson tail (refharness/rmath_ppois.h) — faster for it than the
+    # old ctypes scipy callback, and the same math our engine uses.
+    return lib, None
 
 
 def ref_run(lib, d, err, opts, max_clust=0):

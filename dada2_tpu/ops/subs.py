@@ -161,14 +161,18 @@ def compute_lambda(
 
 
 def pois_tail(reads: int, e_reads: float) -> float:
-    """P(X > reads-1 | Poisson(e_reads)) = regularized lower inc. gamma.
+    """P(X > reads-1 | Poisson(e_reads)), R-exact.
 
     The reference calls R's ppois(reads-1, E, lower.tail=FALSE)
-    (src/pval.cpp:44-51), which equals pgamma(E, reads, lower=TRUE) =
-    gammainc(reads, E). We use cephes via scipy (pdtrc), an independent
-    high-precision implementation; agreement with R is to ~1 ulp.
+    (src/pval.cpp:44-51). utils/rmath.py implements R's own pgamma
+    machinery (documented by the reference at src/pval.cpp:199-339) so
+    p-values match R bit-for-bit — cephes (scipy pdtrc) differs from R
+    in the last ulp and at the subnormal boundary, enough to flip bud
+    decisions near OMEGA_A=1e-40.
     """
-    return float(_sp.pdtrc(reads - 1, e_reads))
+    from dada2_tpu.utils.rmath import ppois_upper
+
+    return ppois_upper(reads - 1, e_reads)
 
 
 def calc_pA(reads: int, e_reads: float, prior: bool) -> float:

@@ -19,6 +19,8 @@ inline void Rprintf(const char *, ...) {}
 
 #include <climits>
 #include <cmath>
+
+#include "rmath_ppois.h"
 #define NA_INTEGER INT_MIN
 #define NA_REAL (std::nan(""))
 
@@ -153,11 +155,11 @@ class List {
   void add(const Named_<NumericVector> &n) { nv.emplace(n.name, n.value); }
 };
 
-// The Poisson upper tail is delegated to a host-installed hook so the
-// parity harness can hold the pval math COMMON between the reference
-// engine and the engine under test (R's ppois itself is not available
-// without an R installation; the hook is wired to the same
-// scipy.special.pdtrc both engines then share).
+// The Poisson upper tail defaults to the R-exact nmath algorithm
+// (rmath_ppois.h — the same published math R's ppois uses, which the
+// reference documents at src/pval.cpp:199-339), so the compiled
+// reference engine runs its own p-value path end-to-end. A
+// host-installed hook can still override it for experiments.
 typedef double (*dada2_ppois_fn)(int, double);
 inline dada2_ppois_fn &ppois_hook() {
   static dada2_ppois_fn fn = nullptr;
@@ -167,7 +169,9 @@ inline dada2_ppois_fn &ppois_hook() {
 inline NumericVector ppois(IntegerVector q, double lambda, bool lower) {
   NumericVector out(q.size());
   for (size_t i = 0; i < q.size(); i++) {
-    double upper = ppois_hook() ? ppois_hook()(q[i], lambda) : 0.0;
+    double upper = ppois_hook()
+                       ? ppois_hook()(q[i], lambda)
+                       : dada2_rmath::ppois_upper((double)q[i], lambda);
     out[i] = lower ? 1.0 - upper : upper;
   }
   return out;

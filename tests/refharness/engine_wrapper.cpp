@@ -15,6 +15,12 @@ extern "C" void set_ppois_hook(Rcpp::dada2_ppois_fn fn) {
   Rcpp::ppois_hook() = fn;
 }
 
+// Direct handle on the harness's R-exact Poisson tail so the test suite
+// can fuzz it bit-identical against dada2_tpu.utils.rmath.
+extern "C" double ref_ppois_upper(double x, double lambda) {
+  return dada2_rmath::ppois_upper(x, lambda);
+}
+
 extern "C" int run_ref_dada(
     int nraw, const char **seqs, const double *quals, int qstride,
     const int *reads, const unsigned char *priors, const double *err,

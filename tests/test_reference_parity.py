@@ -227,10 +227,11 @@ def test_kmer_screen_parity(reflib):
 # Engine-level parity: the reference's divisive clustering engine
 # (cluster.cpp / containers.cpp / pval.cpp), compiled unmodified and driven
 # through its own C API exactly as run_dada drives it, vs this repo's Engine
-# on real MiSeq data. The Poisson tail is held common via a hook (R's exact
-# pgamma machinery is not available without R; both engines use
-# scipy.special.pdtrc here, so this test isolates the clustering semantics:
-# lambdas, E_minmax pruning, shuffles, budding, greedy locks).
+# on real MiSeq data. The reference engine computes its Poisson tails with
+# its OWN C++ build of R's pgamma machinery (refharness/rmath_ppois.h, the
+# math the reference documents at src/pval.cpp:199-339); no equalizing hook
+# is installed, so lambdas, pvals, E_minmax pruning, shuffles, budding and
+# greedy locks are all covered end-to-end.
 # ---------------------------------------------------------------------------
 
 @pytest.fixture(scope="module")
@@ -267,8 +268,6 @@ def test_engine_parity_sam1F(refengine, overrides, pallas, use_priors,
     """Full clustering run on sam1F + tperr1: cluster assignments,
     comparison lambdas/hammings, p-values, E_minmax, centers and birth
     records must match the reference engine exactly."""
-    from scipy import special as sp
-
     from dada2_tpu.core.backend_tpu import TpuBackend
     from dada2_tpu.core.engine import Engine
     from dada2_tpu.core.raws import make_rawset
@@ -288,12 +287,7 @@ def test_engine_parity_sam1F(refengine, overrides, pallas, use_priors,
     if qmax + 1 > err.shape[1]:
         err = np.hstack([err] + [err[:, -1:]] * (qmax + 1 - err.shape[1]))
 
-    # --- reference engine ---
-    PPOIS = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_int,
-                             ctypes.c_double)
-    hook = PPOIS(lambda n, lam: float(sp.pdtrc(n, lam)))
-    refengine.set_ppois_hook(hook)
-
+    # --- reference engine (runs its own R-exact ppois; no hook) ---
     n = len(seqs)
     code = {"A": 1, "C": 2, "G": 3, "T": 4}
     enc = [bytes(code[c] for c in s) for s in seqs]
