@@ -102,12 +102,14 @@ def build_compare_and_tally(mesh: Mesh, nd: int, W: int, ncol: int, *,
         return ham, loglam, counts
 
     def step(center_seq, center_len, seqs, lens, quals, reads, logerr):
-        # local shards keep the (size-1) samples dim; peel it off
-        ham, loglam, counts = local_step(center_seq[0], center_len[0],
-                                         seqs[0], lens[0], quals[0],
-                                         reads[0], logerr)
-        counts = jax.lax.psum(counts, ("samples", "pairs"))
-        return ham[None, :], loglam[None, :], counts
+        # local shards keep a samples dim (size >= 1 — the mesh samples
+        # axis need not fully shard the global samples dim); vmap over it
+        ham, loglam, counts = jax.vmap(
+            lambda cs, cl, sq, ln, qu, rd: local_step(cs, cl, sq, ln,
+                                                      qu, rd, logerr)
+        )(center_seq, center_len, seqs, lens, quals, reads)
+        counts = jax.lax.psum(counts.sum(axis=0), ("samples", "pairs"))
+        return ham, loglam, counts
 
     sharded = jax.shard_map(
         step, mesh=mesh,
