@@ -416,3 +416,205 @@ def test_matrix_ee_parity(reffilter):
         m.ctypes.data_as(ctypes.c_void_p), len(quals), ncol,
         out.ctypes.data_as(ctypes.c_void_p))
     np.testing.assert_array_equal(ours, out)
+
+
+# ---------------------------------------------------------------------------
+# Pooled and pseudo-pooled parity: the refharness engine driven through the
+# same combine -> cluster -> split-back / two-pass-priors protocols the R
+# driver uses (reference: R/dada.R:443-475 pool surgery, :392-404 pseudo),
+# vs the production dada(pool=...) on real MiSeq data.
+# ---------------------------------------------------------------------------
+
+def _run_ref_engine(refengine, seqs, ab, quals, priors, err, opts,
+                    max_clust=0):
+    """Drive run_ref_dada; returns dict of output arrays."""
+    n = len(seqs)
+    code = {"A": 1, "C": 2, "G": 3, "T": 4}
+    enc = [bytes(code[c] for c in s) for s in seqs]
+    arr = (ctypes.c_char_p * n)(*enc)
+    qmax = int(np.nanmax(quals))
+    if qmax + 1 > err.shape[1]:
+        err = np.hstack([err] + [err[:, -1:]] * (qmax + 1 - err.shape[1]))
+    qflat = np.ascontiguousarray(np.nan_to_num(quals, nan=0.0))
+    reads = np.ascontiguousarray(ab, dtype=np.int32)
+    priors = np.ascontiguousarray(priors, dtype=np.uint8)
+    errflat = np.ascontiguousarray(err)
+    out = dict(cluster_of=np.full(n, -1, np.int32),
+               comp_lambda=np.zeros(n), comp_ham=np.zeros(n, np.int32),
+               pvals=np.zeros(n), e_minmax=np.zeros(n),
+               centers=np.full(n, -1, np.int32), bpvals=np.zeros(n))
+    btypes = ctypes.create_string_buffer(n)
+
+    def P(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    nclust = refengine.run_ref_dada(
+        n, arr, P(qflat), quals.shape[1], P(reads), P(priors), P(errflat),
+        err.shape[1], opts.MATCH, opts.MISMATCH, opts.GAP_PENALTY,
+        opts.GAP_PENALTY, int(opts.USE_KMERS),
+        ctypes.c_double(opts.KDIST_CUTOFF), opts.BAND_SIZE,
+        ctypes.c_double(opts.OMEGA_A), ctypes.c_double(opts.OMEGA_P),
+        int(opts.DETECT_SINGLETONS), max_clust,
+        ctypes.c_double(opts.MIN_FOLD), opts.MIN_HAMMING,
+        opts.MIN_ABUNDANCE, 1, 1, opts.SSE, int(opts.GAPLESS),
+        int(opts.GREEDY),
+        P(out["cluster_of"]), P(out["comp_lambda"]), P(out["comp_ham"]),
+        P(out["pvals"]), P(out["e_minmax"]), P(out["centers"]), btypes,
+        P(out["bpvals"]))
+    assert nclust > 0
+    out["nclust"] = nclust
+    out["err"] = err
+    return out
+
+
+def _ref_final_map(out, reads, omegaC):
+    """The reference's final per-raw map with the OMEGA_C correction
+    gate (reference: src/Rmain.cpp:238-252; post-hoc pval is the bare
+    Poisson tail, prior=TRUE semantics). -1 = NA (uncorrected)."""
+    from dada2_tpu.utils.rmath import ppois_upper
+
+    cluster_of = out["cluster_of"]
+    centers = out["centers"][: out["nclust"]]
+    bi_reads = np.zeros(out["nclust"], np.int64)
+    np.add.at(bi_reads, cluster_of, reads)
+    mp = np.full(len(reads), -1, np.int64)
+    for r in range(len(reads)):
+        bi = int(cluster_of[r])
+        if centers[bi] == r:
+            mp[r] = bi
+            continue
+        pv = ppois_upper(int(reads[r]) - 1,
+                         float(out["comp_lambda"][r]) * int(bi_reads[bi]))
+        if not pv < omegaC:
+            mp[r] = bi
+    return mp
+
+
+@pytest.fixture(scope="module")
+def pool_dereps():
+    from dada2_tpu.derep import derep_fastq
+
+    extdata = os.path.join(os.path.dirname(__file__), "extdata")
+    drps = []
+    for f in ("sam1F.fastq.gz", "sam2F.fastq.gz"):
+        d = derep_fastq(os.path.join(extdata, f))
+        top = dict(list(d.uniques.items())[:250])
+        d.uniques = top
+        d.quals = d.quals[:250]
+        d.map = d.map[d.map < 250]  # drop reads of truncated uniques
+        drps.append(d)
+    return drps
+
+
+def test_pool_parity(refengine, pool_dereps):
+    """dada(pool=TRUE) == reference engine on the combined derep
+    followed by the R driver's split-back surgery
+    (reference: R/dada.R:186-196, 443-475)."""
+    import dada2_tpu as d2
+    from dada2_tpu.data import tperr1
+    from dada2_tpu.derep import combine_dereps
+    from dada2_tpu.options import DEFAULT_OPTIONS
+
+    drps = pool_dereps
+    opts = DEFAULT_OPTIONS.normalized()
+    err = tperr1()
+
+    ours = d2.dada(drps, err=err, pool=True, verbose=False,
+                   multithread=False)
+    ours = list(ours.values())
+
+    # --- reference replay: combine -> cluster -> split back ---
+    pooled = combine_dereps(drps)
+    seqs = pooled.sequences
+    ab = pooled.abundances
+    out = _run_ref_engine(refengine, seqs, ab, pooled.quals,
+                          np.zeros(len(seqs), np.uint8), err, opts)
+    ref_map = _ref_final_map(out, ab, opts.OMEGA_C)
+    name_to_pooled = {s: k for k, s in enumerate(seqs)}
+    center_seq = [seqs[c] for c in out["centers"][: out["nclust"]]]
+
+    for drp, our in zip(drps, ours):
+        member = np.array([name_to_pooled[s] for s in drp.sequences])
+        own = ref_map[member]
+        keep_set = {int(c) for c in own if c >= 0}
+        keep = np.array([k in keep_set for k in range(out["nclust"])])
+        newBi = np.cumsum(keep) - 1
+        exp_map = np.array([newBi[c] if c >= 0 else -1 for c in own],
+                           np.int64)
+        exp_seqs = [s for s, k in zip(center_seq, keep) if k]
+        exp_ab = np.zeros(int(keep.sum()), np.int64)
+        for u, c in enumerate(exp_map):
+            if c >= 0:
+                exp_ab[c] += int(drp.abundances[u])
+
+        np.testing.assert_array_equal(our.map, exp_map)
+        assert list(our.denoised.keys()) == exp_seqs
+        np.testing.assert_array_equal(
+            np.array(list(our.denoised.values())), exp_ab)
+        assert list(our.clustering["sequence"]) == exp_seqs
+        np.testing.assert_array_equal(
+            our.clustering["abundance"].to_numpy(), exp_ab)
+
+
+def test_pseudo_parity(refengine, pool_dereps):
+    """dada(pool='pseudo') == two reference-engine passes with the R
+    driver's prior-selection protocol between them
+    (reference: R/dada.R:392-404)."""
+    import dada2_tpu as d2
+    from dada2_tpu.data import tperr1
+    from dada2_tpu.options import DEFAULT_OPTIONS
+
+    drps = pool_dereps
+    opts = DEFAULT_OPTIONS.normalized()
+    err = tperr1()
+
+    ours = d2.dada(drps, err=err, pool="pseudo", verbose=False,
+                   multithread=False)
+    ours = list(ours.values())
+
+    # --- reference replay: pass 1 (no priors) per sample ---
+    pass1 = []
+    for drp in drps:
+        out = _run_ref_engine(refengine, drp.sequences, drp.abundances,
+                              drp.quals, np.zeros(len(drp.sequences),
+                                                  np.uint8), err, opts)
+        pass1.append(out)
+
+    # prior selection: ASVs in >= PSEUDO_PREVALENCE samples or with
+    # total abundance >= PSEUDO_ABUNDANCE (R/dada.R:399-401)
+    # R builds the seqtab from the clustering dfs, whose abundance is
+    # the full cluster read total (NOT the OMEGA_C-gated map sums)
+    tot = {}
+    nsam = {}
+    for drp, out in zip(drps, pass1):
+        bi_reads = np.zeros(out["nclust"], np.int64)
+        np.add.at(bi_reads, out["cluster_of"], drp.abundances)
+        for c in range(out["nclust"]):
+            s = drp.sequences[out["centers"][c]]
+            tot[s] = tot.get(s, 0) + int(bi_reads[c])
+            nsam[s] = nsam.get(s, 0) + 1
+    pseudo_priors = {s for s in tot
+                     if nsam[s] >= opts.PSEUDO_PREVALENCE
+                     or tot[s] >= opts.PSEUDO_ABUNDANCE}
+    assert pseudo_priors  # the fixture shares ASVs across samples
+
+    # R re-estimates the error model from pass-1 transitions before the
+    # second pass (R/dada.R:368-380) — replicate with pass-1 runs of our
+    # (engine-parity-proven) engine, since run_ref_dada exposes no trans
+    import dada2_tpu as d2p1
+    from dada2_tpu.errors import accumulate_trans, loess_errfun
+
+    res_p1 = list(d2p1.dada(drps, err=err, verbose=False,
+                            multithread=False).values())
+    err2 = loess_errfun(accumulate_trans([r.trans for r in res_p1]))
+
+    # --- pass 2 with the pseudo priors flagged + re-estimated err ---
+    for drp, our in zip(drps, ours):
+        pri = np.array([s in pseudo_priors for s in drp.sequences],
+                       np.uint8)
+        out = _run_ref_engine(refengine, drp.sequences, drp.abundances,
+                              drp.quals, pri, err2, opts)
+        ref_map = _ref_final_map(out, drp.abundances, opts.OMEGA_C)
+        exp_seqs = [drp.sequences[c] for c in out["centers"][: out["nclust"]]]
+        np.testing.assert_array_equal(our.map, ref_map)
+        assert list(our.denoised.keys()) == exp_seqs
