@@ -254,9 +254,27 @@ def dada(
             from .trace import COUNTERS
             print("   " + COUNTERS.summary())
 
-    from .parallel.dist import sample_devices
+    from .parallel.dist import mesh_processes, sample_devices
 
     mesh_devs = sample_devices(mesh)
+    # multi-host mesh: each process drives its own round-robin share of
+    # the samples; the 16 x Q tally is reduced globally every round, so
+    # the error model (and the selfConsist stopping decision) is
+    # bit-identical on every host. Each host returns ITS samples' results.
+    procs = mesh_processes(mesh) if mesh is not None else [0]
+    multihost = len(procs) > 1
+    if multihost:
+        import jax as _jax
+
+        if derep_in is not None or pseudo:
+            raise NotImplementedError(
+                "pool=TRUE / pool='pseudo' on a multi-host mesh needs the "
+                "distributed unique dedup (SURVEY.md §7 hard-part 7); run "
+                "pooling on one host or use per-sample mode.")
+        my_rank = procs.index(_jax.process_index())
+        own = [i for i in range(len(derep)) if i % len(procs) == my_rank]
+    else:
+        own = list(range(len(derep)))
 
     # thread-pool over samples: per-sample engines are independent, and
     # interleaving them overlaps device dispatch/fetch latency with the
@@ -272,15 +290,21 @@ def dada(
     while True:
         if nconsist > 0:
             errs_history.append(np.asarray(err))
+        todo = [(i, derep[i]) for i in own]
         if nworkers > 1:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=nworkers) as ex:
-                list(ex.map(lambda a: _one_sample(*a), enumerate(derep)))
+                list(ex.map(lambda a: _one_sample(*a), todo))
         else:
-            for i, drpi in enumerate(derep):
+            for i, drpi in todo:
                 _one_sample(i, drpi)
 
-        if mesh is not None:
+        if multihost:
+            # exact cross-host reduction (allgathered int32 limbs)
+            from .parallel.dist import accumulate_trans_global
+
+            cur = accumulate_trans_global([trans[i] for i in own], mesh)
+        elif mesh is not None:
             # collective reduction over the mesh's samples axis
             from .parallel.dist import accumulate_trans_mesh
 
@@ -338,6 +362,16 @@ def dada(
             print(f"Convergence after {nconsist} rounds.")
 
     # --- construct return objects (R/dada.R:416-440) ---
+    if multihost:
+        # this host owns only its share; return those (names keep the
+        # global sample identity)
+        derep = [derep[i] for i in own]
+        clustering = [clustering[i] for i in own]
+        clusterquals = [clusterquals[i] for i in own]
+        birth_subs = [birth_subs[i] for i in own]
+        trans = [trans[i] for i in own]
+        maps = [maps[i] for i in own]
+        pvals = [pvals[i] for i in own]
     results = []
     for i, drpi in enumerate(derep):
         cl = clustering[i]

@@ -212,7 +212,89 @@ def accumulate_trans_mesh(mesh: Mesh, tallies):
 def sample_devices(mesh: Optional[Mesh]):
     """Round-robin device assignment for per-sample engines (the
     samples-axis data parallelism: each sample's backend computes on its
-    own device)."""
+    own device). On a multi-host mesh only THIS process's addressable
+    devices are returned — each host drives its own samples."""
     if mesh is None:
         return None
-    return list(mesh.devices.reshape(-1))
+    devs = list(mesh.devices.reshape(-1))
+    me = jax.process_index()
+    local = [d for d in devs if d.process_index == me]
+    return local or None
+
+
+# ---------------------------------------------------------------------------
+# multi-host (hosts x chips) distribution
+# ---------------------------------------------------------------------------
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None, **kw) -> None:
+    """Initialize jax's multi-process runtime (idempotent).
+
+    On TPU pods with a supported launcher every argument is
+    auto-detected; on manual launches pass
+    coordinator_address="host:port", num_processes, process_id. Must be
+    called before first jax use on every process. The reference has no
+    multi-node story at all (SURVEY.md §2.3/§5.8); this is the
+    hosts-axis the TPU build adds."""
+    # idempotence check must NOT touch the backend (jax.process_count()
+    # would initialize XLA and make initialize() fail)
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
+    kwargs = dict(kw)
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def mesh_processes(mesh: Mesh):
+    """Sorted process indices participating in a mesh."""
+    return sorted({d.process_index for d in mesh.devices.reshape(-1)})
+
+
+def pod_mesh(samples: Optional[int] = None) -> Mesh:
+    """Global (samples, pairs) mesh over every device in the pod,
+    host-major: the samples axis spans processes (slow DCN hops carry
+    only the 16 x Q psum once per selfConsist round), the pairs axis
+    stays within each host's chips (ICI carries the per-sweep
+    collectives). Defaults to samples = process count."""
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    if samples is None:
+        samples = max(1, jax.process_count())
+    return make_mesh(devices=devs, samples=samples)
+
+
+def accumulate_trans_global(local_tallies, mesh: Mesh):
+    """Exact global accumulateTrans across the mesh's processes: sum
+    this host's tallies in int64 on the host, allgather across
+    processes as two int32 limbs (device transport truncates int64 with
+    x64 off), recombine and sum. Bit-identical to running
+    errors.accumulate_trans over all hosts' tallies in one place.
+
+    reference: R/errorModels.R:462-471 is the single-node semantics.
+    """
+    from jax.experimental import multihost_utils
+
+    from ..errors import accumulate_trans
+
+    local = (accumulate_trans(local_tallies) if local_tallies
+             else np.zeros((16, 1), np.int64))
+    # processes may hold different Q widths (ragged, as in the
+    # reference): agree on the global width first
+    ncol = np.asarray([local.shape[1]], np.int32)
+    ncols = np.asarray(multihost_utils.process_allgather(ncol))
+    Q = int(ncols.max())
+    padded = np.zeros((16, Q), np.int64)
+    padded[:, : local.shape[1]] = local
+    if (padded >> 50).any():
+        raise OverflowError("transition tally exceeds the two-limb "
+                            "collective's exact range")
+    lo = (padded & ((1 << 20) - 1)).astype(np.int32)
+    hi = (padded >> 20).astype(np.int32)
+    lo_all = np.asarray(multihost_utils.process_allgather(lo))
+    hi_all = np.asarray(multihost_utils.process_allgather(hi))
+    return (lo_all.astype(np.int64).sum(axis=0)
+            + (hi_all.astype(np.int64).sum(axis=0) << 20))
