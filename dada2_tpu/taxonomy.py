@@ -64,22 +64,51 @@ def read_fasta(path: str) -> Tuple[List[str], List[str]]:
     return ids, seqs
 
 
+_NT_TABLE = np.full(256, -1, dtype=np.int8)
+for _c, _v in _NT2I.items():
+    _NT_TABLE[ord(_c)] = _v
+
+
 def tax_karray(seq: str) -> np.ndarray:
     """All valid 8-mer indices along the sequence (with multiplicity).
 
     reference: tax_karray (src/taxonomy.cpp:55-71); the reference sorts,
     which does not affect sums or uniform resampling."""
-    vals = np.array([_NT2I.get(c, -1) for c in seq], dtype=np.int64)
-    n = len(vals) - K + 1
-    if n <= 0:
-        return np.zeros(0, dtype=np.int64)
-    idx = np.zeros(n, dtype=np.int64)
-    ok = np.ones(n, dtype=bool)
+    return tax_karrays_bulk([seq])[0]
+
+
+def tax_karrays_bulk(seqs) -> list:
+    """Per-sequence valid 8-mer code arrays for a whole batch in
+    O(total bases): one byte-table lookup over a separator-joined
+    buffer + K rolling passes (the vectorized tax_karray; windows that
+    cross a separator or touch a non-ACGT base are masked out).
+
+    reference: src/taxonomy.cpp:55-71, batched over the whole
+    reference set instead of per-sequence (SILVA-scale ingestion)."""
+    if not seqs:
+        return []
+    lens = np.fromiter((len(s) for s in seqs), np.int64, len(seqs))
+    joined = "\n".join(seqs).encode()
+    vals = _NT_TABLE[np.frombuffer(joined, np.uint8)].astype(np.int64)
+    nwin = len(vals) - K + 1
+    starts = np.concatenate([[0], np.cumsum(lens[:-1] + 1)])
+    if nwin <= 0:
+        return [np.zeros(0, dtype=np.int64) for _ in seqs]
+    idx = np.zeros(nwin, dtype=np.int64)
+    ok = np.ones(nwin, dtype=bool)
     for j in range(K):
-        v = vals[j: j + n]
+        v = vals[j: j + nwin]
         ok &= v >= 0
         idx = idx * 4 + np.where(v >= 0, v, 0)
-    return idx[ok]
+    out = []
+    for i in range(len(seqs)):
+        n_i = int(lens[i]) - K + 1
+        if n_i <= 0:
+            out.append(np.zeros(0, dtype=np.int64))
+            continue
+        sl = slice(int(starts[i]), int(starts[i]) + n_i)
+        out.append(idx[sl][ok[sl]])
+    return out
 
 
 def _kmer_presence(seq: str) -> np.ndarray:
@@ -116,18 +145,35 @@ def _build_lgk(refs: List[str], ref_to_genus: np.ndarray, ngenus: int
     reference: src/taxonomy.cpp:227-270. lgk[g][m] = log((count_gm +
     prior_m) / (n_g + 1)) with prior_m = (n_m + 0.5) / (nref + 1)."""
     nref = len(refs)
-    counts = np.zeros((ngenus, N_KMERS), dtype=np.float32)
-    prior = np.zeros(N_KMERS, dtype=np.float32)
-    genus_n = np.zeros(ngenus, dtype=np.float32)
-    for r, g in zip(refs, ref_to_genus):
-        kv = _kmer_presence(r)
-        counts[g, kv] += 1.0
-        prior[kv] += 1.0
-        genus_n[g] += 1.0
-    prior = (prior + np.float32(0.5)) / np.float32(1.0 + nref)
+    counts = np.zeros((ngenus, N_KMERS), dtype=np.int32)
+    prior = np.zeros(N_KMERS, dtype=np.int64)
+    genus_n = np.bincount(np.asarray(ref_to_genus, np.int64),
+                          minlength=ngenus).astype(np.float32)
+    # chunked bulk ingestion: distinct (ref, kmer) pairs per chunk via
+    # one sort, then two scatter-adds — O(total bases log) instead of a
+    # Python loop per reference (SILVA-scale: minutes -> seconds)
+    CH = 4096
+    for lo in range(0, nref, CH):
+        sub = refs[lo: lo + CH]
+        kas = tax_karrays_bulk(sub)
+        sizes = np.fromiter((len(a) for a in kas), np.int64, len(kas))
+        if not sizes.sum():
+            continue
+        rid = np.repeat(np.arange(len(sub), dtype=np.int64), sizes)
+        kflat = np.concatenate(kas)
+        pairs = np.unique(rid * N_KMERS + kflat)  # presence, per ref
+        g = np.asarray(ref_to_genus)[lo + (pairs // N_KMERS)]
+        km = pairs % N_KMERS
+        np.add.at(counts, (g, km), 1)
+        prior += np.bincount(km, minlength=N_KMERS)
+    # float32 arithmetic ordered exactly as the reference's float build
+    # (src/taxonomy.cpp:236-270): integer counts are exact in f32
+    priorf = ((prior.astype(np.float32) + np.float32(0.5))
+              / np.float32(1.0 + nref))
     with np.errstate(divide="ignore"):
-        lgk = np.log((counts + prior[None, :]) /
-                     (genus_n[:, None] + 1.0)).astype(np.float32)
+        lgk = np.log((counts.astype(np.float32) + priorf[None, :]) /
+                     (genus_n[:, None] + np.float32(1.0))
+                     ).astype(np.float32)
     return lgk
 
 
@@ -159,7 +205,7 @@ def _score_batch(karrays: List[np.ndarray], lgk_dev, boot_key,
     Gpad = nchunk * Gc
 
     @jax.jit
-    def run(karr, alen, key):
+    def run(lgk_dev, karr, alen, key):
         mask = jnp.arange(A)[None, :] < alen[:, None]
         # counts [q, 65536] via scatter-add; dropped pad via index 65536
         idx = jnp.where(mask, karr, N_KMERS)
@@ -209,8 +255,8 @@ def _score_batch(karrays: List[np.ndarray], lgk_dev, boot_key,
             chunk, init, jnp.arange(nchunk, dtype=jnp.int32))
         return best, best_logp, boot_best
 
-    best, best_logp, boot_best = run(jnp.asarray(karr), jnp.asarray(alen),
-                                     boot_key)
+    best, best_logp, boot_best = run(lgk_dev, jnp.asarray(karr),
+                                     jnp.asarray(alen), boot_key)
     return (np.asarray(best), np.asarray(best_logp),
             np.asarray(boot_best))
 
@@ -277,10 +323,10 @@ def assign_taxonomy(seqs, refFasta: str, minBoot: int = 50,
     for lo in range(0, len(ok_idx), batch):
         chunk = ok_idx[lo: lo + batch]
         key, k1, k2 = jax.random.split(key, 3)
-        karrs = [tax_karray(seqs[i]) for i in chunk]
+        karrs = tax_karrays_bulk([seqs[i] for i in chunk])
         b, logp, bb = _score_batch(karrs, lgk_dev, k1, ngenus)
         if tryRC:
-            karrs_rc = [tax_karray(rc(seqs[i])) for i in chunk]
+            karrs_rc = tax_karrays_bulk([rc(seqs[i]) for i in chunk])
             b2, logp2, bb2 = _score_batch(karrs_rc, lgk_dev, k2, ngenus)
             use_rc = logp2 > logp
             b = np.where(use_rc, b2, b)

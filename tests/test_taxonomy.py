@@ -100,3 +100,53 @@ def test_containment_non_acgt_query_anchor():
     q = "ACGTNCGTACGTACGTACGT"      # N within the first 16 chars
     hits = _containment_hits([q], refs)
     assert hits[0] == {0}
+
+
+def test_silva_scale_ingestion(tmp_path):
+    """SILVA-scale DB: 10k genera x 100k refs must ingest via the bulk
+    vectorized karray/lgk path and classify on one chip without OOM
+    (reference: src/taxonomy.cpp:227-270 builds the same
+    [ngenus, 65536] float table).
+
+    Sized to the real thing in genus count (SILVA nr99 has ~8-10k
+    genera) with shorter refs (600nt vs ~1.4kb) to keep CI time sane —
+    ref length only affects the O(total bases) ingestion, which is the
+    path under test."""
+    import time
+
+    from dada2_tpu.taxonomy import _build_lgk, assign_taxonomy
+
+    rng = np.random.default_rng(5)
+    ngenus, refs_per, L = 10_000, 10, 600
+    nt = np.array(list("ACGT"), dtype="U1")
+    # genus base sequences, refs = mutated copies (vectorized build)
+    base = rng.integers(0, 4, (ngenus, L), dtype=np.int8)
+    lines = []
+    t0 = time.time()
+    for g in range(ngenus):
+        muts = rng.integers(0, 4, (refs_per, L), dtype=np.int8)
+        sel = rng.random((refs_per, L)) < 0.03
+        block = np.where(sel, muts, base[g][None, :])
+        for r in range(refs_per):
+            lines.append(f">Bacteria;P{g % 40};C{g % 200};G{g};")
+            lines.append("".join(nt[block[r]]))
+    fa = tmp_path / "silva_scale.fa"
+    fa.write_text("\n".join(lines) + "\n")
+    t_gen = time.time() - t0
+
+    # queries: mutated fragments of known genera
+    queries = []
+    truth = []
+    for g in (7, 4242):
+        s = "".join(nt[base[g][:400]])
+        queries.append(s)
+        truth.append(f"G{g}")
+
+    t0 = time.time()
+    res = assign_taxonomy(queries, str(fa), minBoot=50)
+    t_all = time.time() - t0
+    print(f"[scale] fixture gen {t_gen:.1f}s, "
+          f"assign_taxonomy(10k genera, 100k refs) {t_all:.1f}s")
+    assert list(res.columns[:1]) == ["Kingdom"] or res.shape[0] == 2
+    got = [res.iloc[k].dropna().tolist()[-1] for k in range(2)]
+    assert got == truth, (got, truth)
