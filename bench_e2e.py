@@ -184,10 +184,14 @@ def run_pair(lib, dereps, err, opts, dada, label, ref_subset=None):
 
     res = dada(dict(dereps), err=err, verbose=False,
                multithread=16)  # warm/compile
+    from dada2_tpu.trace import PHASES
+
+    PHASES.reset()
     t0 = time.time()
     res = dada(dict(dereps), err=err, verbose=False, multithread=16)
     t_tpu = time.time() - t0
     info(f"[{label}] dada() on one chip (threaded samples): {t_tpu:.2f}s")
+    info(f"[{label}] phases (thread-summed): {PHASES.summary()}")
     for name in ref_names:
         info(f"  {name}: ref {ref_nclust[name]} clusters, "
              f"ours {len(res[name].denoised)} ASVs")

@@ -7,9 +7,14 @@ isShiftDenovo :380).
 
 The pairwise alignments (query vs candidate parents, ends-free vectorized NW
 with band = maxShift) run batched on device; the left/right overlap
-credit scans (get_lr) are exact host-side ports of the reference's pointer
-walks, including their quirks (position-based shift crediting, the one-off
-double-credit of the first post-mismatch match).
+credit scans (get_lr) and the ends-free hamming are computed as VECTORIZED
+run-length scans over the whole [npairs, L] alignment-code batch —
+argmax/cummax formulations of the reference's pointer walks, reproducing
+their quirks exactly (position-based shift crediting with the asymmetric
+right-side bound, the one-off double-credit of the first post-mismatch
+match, the AND-carried end-gap trimming). The scalar pointer walks live
+in tests/test_chimeras.py as oracles and the vectorized scans are fuzzed
+against them there.
 """
 from __future__ import annotations
 
@@ -20,136 +25,256 @@ import pandas as pd
 
 from .encode import pack_sequences
 from .options import current_options
-from .ops.nw_batch import nw_batch, steps_to_alignment
+from .ops.nw_batch import PTR_LEFT, PTR_NONE, PTR_UP, nw_batch
 from .ops.nw_ref import GAP
 
+_PAD = 255  # padding code outside each pair's alignment length
 
-def _align_pairs(pairs: List[tuple], seqs: List[str], maxShift: int,
-                 match: int, mismatch: int, gap_p: int):
-    """Ends-free vectorized-NW alignments of arbitrary (query, parent)
-    index pairs in ONE device batch.
 
-    reference: nwalign_vectorized2 calls in src/chimera.cpp:27,122.
-    Returns {pair: (al0, al1)} uint8 code arrays (GAP=254)."""
-    if not pairs:
-        return {}
-    mat, lens = pack_sequences(seqs)
-    qi = np.array([p[0] for p in pairs], np.int64)
-    pi = np.array([p[1] for p in pairs], np.int64)
+def _alignment_code_mats(pairs_chunk, mat, lens, maxShift, match,
+                         mismatch, gap_p):
+    """Gapped-alignment code matrices for (query, parent) index pairs.
+
+    One device nw_batch + one vectorized host reconstruction (the
+    batched equivalent of ops/nw_batch.steps_to_alignment). Returns
+    (A, B, m): [P, Lmax] uint8 with GAP=254 and _PAD beyond each
+    pair's alignment length m[p].
+
+    reference: nwalign_vectorized2 calls in src/chimera.cpp:27,122."""
+    qi = np.fromiter((p[0] for p in pairs_chunk), np.int64,
+                     len(pairs_chunk))
+    pi = np.fromiter((p[1] for p in pairs_chunk), np.int64,
+                     len(pairs_chunk))
     kinds, p0, p1, _, _, ok = nw_batch(
         mat[qi], lens[qi], mat[pi], lens[pi], match=match,
         mismatch=mismatch, gap_p=gap_p, end_gap_p=0, band=maxShift)
     kinds, p0, p1 = np.asarray(kinds), np.asarray(p0), np.asarray(p1)
     if not np.asarray(ok).all():
         raise RuntimeError("N-W Align out of range.")
-    out = {}
-    for k, pr in enumerate(pairs):
-        out[pr] = steps_to_alignment(
-            kinds[k], p0[k], p1[k], mat[qi[k]][: lens[qi[k]]],
-            mat[pi[k]][: lens[pi[k]]])
+    live = kinds != PTR_NONE            # contiguous step prefix, reversed
+    m = live.sum(axis=1)
+    Lmax = int(m.max()) if len(m) else 0
+    P = len(pairs_chunk)
+    rows = np.arange(P)[:, None]
+    J = m[:, None] - 1 - np.arange(Lmax)[None, :]   # un-reverse steps
+    valid = J >= 0
+    Jc = np.clip(J, 0, kinds.shape[1] - 1)
+    kg = kinds[rows, Jc]
+    s1g = mat[qi[:, None], np.clip(p0[rows, Jc], 0, mat.shape[1] - 1)]
+    s2g = mat[pi[:, None], np.clip(p1[rows, Jc], 0, mat.shape[1] - 1)]
+    A = np.where(kg != PTR_LEFT, s1g, GAP).astype(np.uint8)
+    B = np.where(kg != PTR_UP, s2g, GAP).astype(np.uint8)
+    A[~valid] = _PAD
+    B[~valid] = _PAD
+    return A, B, m.astype(np.int64)
+
+
+def _first_false(mask: np.ndarray, start: np.ndarray) -> np.ndarray:
+    """Per row: smallest index >= start[p] where mask[p] is False, or
+    L if none (rows whose start is past the last False get L)."""
+    L = mask.shape[1]
+    W = ~mask & (np.arange(L)[None, :] >= start[:, None])
+    hit = W.any(axis=1)
+    return np.where(hit, W.argmax(axis=1), L)
+
+
+def _lr_one_side(A, B, m, allow_one_off, shift_bound):
+    """One directional credit scan (reference: get_lr one direction,
+    src/chimera.cpp:228-269): skip query end-gaps, credit parent
+    overhang while idx < shift_bound, credit the match run, then the
+    one-off extension past a single mismatch."""
+    idx = np.arange(A.shape[1])[None, :]
+    inlen = idx < m[:, None]
+    q0 = _first_false((A == GAP) & inlen, np.zeros(len(m), np.int64))
+    s = _first_false((B == GAP) & (idx < shift_bound), q0)
+    eq = (A == B) & inlen
+    e = _first_false(eq, s)
+    credit = e - q0
+    credit_oo = credit
+    if allow_one_off:
+        t = e + 1
+        tc = np.clip(t, 0, A.shape[1] - 1)
+        bonus = (t < m) & (A[np.arange(len(m)), tc] != GAP)
+        f = _first_false(eq, np.minimum(t, A.shape[1]))
+        credit_oo = credit + bonus + np.maximum(f - t, 0)
+    return credit, credit_oo
+
+
+def _reverse_rows(X: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """Reverse each row's first m[p] entries; pad stays at the end."""
+    L = X.shape[1]
+    J = m[:, None] - 1 - np.arange(L)[None, :]
+    out = X[np.arange(X.shape[0])[:, None], np.clip(J, 0, L - 1)]
+    out[J < 0] = _PAD
     return out
 
 
-def _align_parents(sq: str, parents: List[str], maxShift: int,
-                   match: int, mismatch: int, gap_p: int):
-    """sq vs each parent (single-query convenience wrapper)."""
-    seqs = [sq] + list(parents)
-    pairs = [(0, 1 + k) for k in range(len(parents))]
-    als = _align_pairs(pairs, seqs, maxShift, match, mismatch, gap_p)
-    return [als[p] for p in pairs]
+def _lr_ham_batch(A, B, m, allow_one_off, max_shift):
+    """Vectorized get_lr + get_ham_endsfree over the whole batch.
+
+    reference: src/chimera.cpp:228-269 (get_lr; note the asymmetric
+    bounds — left overhang creditable at idx < max_shift, right at
+    reverse-idx < max_shift-1, from `pos > len0 - max_shift`) and
+    :196-224 (get_ham_endsfree with AND-carried end trimming).
+    Returns (left, right, left_oo, right_oo, ham) int64 [P]."""
+    left, left_oo = _lr_one_side(A, B, m, allow_one_off, max_shift)
+    Ar = _reverse_rows(A, m)
+    Br = _reverse_rows(B, m)
+    right, right_oo = _lr_one_side(Ar, Br, m, allow_one_off,
+                                   max_shift - 1)
+    # ends-free hamming: trim max(leading gap runs), max(trailing runs)
+    zero = np.zeros(len(m), np.int64)
+    idx = np.arange(A.shape[1])[None, :]
+    start = np.maximum(_first_false(A == GAP, zero),
+                       _first_false(B == GAP, zero))
+    rtrim = np.maximum(_first_false(Ar == GAP, zero),
+                       _first_false(Br == GAP, zero))
+    end = m - rtrim  # exclusive
+    ham = ((A != B) & (idx >= start[:, None])
+           & (idx < end[:, None])).sum(axis=1)
+    return (left.astype(np.int64), right.astype(np.int64),
+            left_oo.astype(np.int64), right_oo.astype(np.int64),
+            ham.astype(np.int64))
 
 
-def _ham_endsfree(al0: np.ndarray, al1: np.ndarray) -> int:
-    """Hamming distance over the internal (non-end-gap) alignment region.
-
-    reference: get_ham_endsfree, src/chimera.cpp:196-224."""
-    n = len(al0)
-    i = 0
-    gap1 = al0[i] == GAP
-    gap2 = al1[i] == GAP
-    while gap1 or gap2:
-        i += 1
-        gap1 = gap1 and al0[i] == GAP
-        gap2 = gap2 and al1[i] == GAP
-    j = n - 1
-    gap1 = al0[j] == GAP
-    gap2 = al1[j] == GAP
-    while gap1 or gap2:
-        j -= 1
-        gap1 = gap1 and al0[j] == GAP
-        gap2 = gap2 and al1[j] == GAP
-    return int(np.sum(al0[i: j + 1] != al1[i: j + 1]))
+_CHUNK_PAIRS = 65536
 
 
-def _get_lr(al0: np.ndarray, al1: np.ndarray, allow_one_off: bool,
-            max_shift: int):
-    """Left/right overlap credits, exact port of get_lr
-    (reference: src/chimera.cpp:228-269)."""
-    n = len(al0)
-    pos = 0
-    left = 0
-    while pos < n and al0[pos] == GAP:
-        pos += 1                      # scan in until query starts
-    while pos < max_shift and al1[pos] == GAP:
-        pos += 1                      # credit ends-free parent overhang
-        left += 1
-    while pos < n and al0[pos] == al1[pos]:
-        pos += 1
-        left += 1
-    left_oo = right_oo = 0
-    if allow_one_off:
-        left_oo = left
-        pos += 1
-        if pos < n and al0[pos] != GAP:
-            left_oo += 1
-        while pos < n and al0[pos] == al1[pos]:
-            pos += 1
-            left_oo += 1
+def _jnp_first_false(mask, start, L):
+    """Per row: smallest index >= start[p] with mask False, else L."""
+    import jax.numpy as jnp
 
-    pos = n - 1
-    right = 0
-    while pos >= 0 and al0[pos] == GAP:
-        pos -= 1
-    while pos > n - max_shift and al1[pos] == GAP:
-        pos -= 1
-        right += 1
-    while pos >= 0 and al0[pos] == al1[pos]:
-        pos -= 1
-        right += 1
-    if allow_one_off:
-        right_oo = right
-        pos -= 1
-        if pos >= 0 and al0[pos] != GAP:
-            right_oo += 1
-        while pos >= 0 and al0[pos] == al1[pos]:
-            pos -= 1
-            right_oo += 1
-    return left, right, left_oo, right_oo
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    W = ~mask & (idx >= start[:, None])
+    return jnp.where(W.any(axis=1), jnp.argmax(W, axis=1).astype(jnp.int32),
+                     jnp.int32(L))
 
 
-def _vote_bimera(als, sqlen: int, allowOneOff: bool,
-                 minOneOffParentDistance: int, maxShift: int) -> bool:
-    """Bimera decision from a query's parent alignments
-    (reference: C_is_bimera body, src/chimera.cpp:18-58)."""
-    max_left = max_right = 0
-    oo_max_left = oo_max_right = oo_max_left_oo = oo_max_right_oo = 0
-    for al0, al1 in als:
-        left, right, left_oo, right_oo = _get_lr(al0, al1, allowOneOff,
-                                                 maxShift)
-        if left + right >= sqlen:
-            continue  # toss id/pure-shift/internal-indel "parents"
-        max_left = max(max_left, left)
-        max_right = max(max_right, right)
-        if allowOneOff and _ham_endsfree(al0, al1) >= \
-                minOneOffParentDistance:
-            oo_max_left = max(oo_max_left, left)
-            oo_max_right = max(oo_max_right, right)
-            oo_max_left_oo = max(oo_max_left_oo, left_oo)
-            oo_max_right_oo = max(oo_max_right_oo, right_oo)
-        if max_left + max_right >= sqlen:
-            return True
-        if allowOneOff and (oo_max_left + oo_max_right_oo >= sqlen
-                            or oo_max_left_oo + oo_max_right >= sqlen):
+def _jnp_lr_one_side(A, B, m, allow_one_off, shift_bound):
+    import jax.numpy as jnp
+
+    L = A.shape[1]
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    inlen = idx < m[:, None]
+    zero = jnp.zeros_like(m)
+    q0 = _jnp_first_false((A == GAP) & inlen, zero, L)
+    s = _jnp_first_false((B == GAP) & (idx < shift_bound), q0, L)
+    eq = (A == B) & inlen
+    e = _jnp_first_false(eq, s, L)
+    credit = e - q0
+    if not allow_one_off:
+        return credit, credit
+    t = e + 1
+    tc = jnp.clip(t, 0, L - 1)
+    bonus = ((t < m) & (jnp.take_along_axis(A, tc[:, None], axis=1)[:, 0]
+                        != GAP)).astype(jnp.int32)
+    f = _jnp_first_false(eq, jnp.minimum(t, L), L)
+    return credit, credit + bonus + jnp.maximum(f - t, 0)
+
+
+def _lr_stats_device(kinds, p0, p1, sq, sp, allow_one_off, max_shift):
+    """Device twin of (_alignment_code_mats + _lr_ham_batch): compute
+    the five lr/ham statistics straight from the traceback steps, so
+    only [P, 5] ints ever leave the device. The steps arrive REVERSED
+    (end-first), which IS the right-side scan order — the left side is
+    recovered with one un-reversing gather."""
+    import jax.numpy as jnp
+
+    P, L = kinds.shape
+    live = kinds != PTR_NONE
+    m = live.sum(axis=1).astype(jnp.int32)
+    # reversed-order (right-side) code rows, straight from the steps
+    s1g = jnp.take_along_axis(
+        sq.astype(jnp.int32), jnp.clip(p0, 0, sq.shape[1] - 1), axis=1)
+    s2g = jnp.take_along_axis(
+        sp.astype(jnp.int32), jnp.clip(p1, 0, sp.shape[1] - 1), axis=1)
+    Ar = jnp.where(live, jnp.where(kinds != PTR_LEFT, s1g, GAP), _PAD)
+    Br = jnp.where(live, jnp.where(kinds != PTR_UP, s2g, GAP), _PAD)
+    # forward-order rows via the un-reversing gather
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    J = m[:, None] - 1 - idx
+    Jc = jnp.clip(J, 0, L - 1)
+    A = jnp.where(J >= 0, jnp.take_along_axis(Ar, Jc, axis=1), _PAD)
+    B = jnp.where(J >= 0, jnp.take_along_axis(Br, Jc, axis=1), _PAD)
+
+    left, left_oo = _jnp_lr_one_side(A, B, m, allow_one_off, max_shift)
+    right, right_oo = _jnp_lr_one_side(Ar, Br, m, allow_one_off,
+                                       max_shift - 1)
+    zero = jnp.zeros_like(m)
+    start = jnp.maximum(_jnp_first_false(A == GAP, zero, L),
+                        _jnp_first_false(B == GAP, zero, L))
+    rtrim = jnp.maximum(_jnp_first_false(Ar == GAP, zero, L),
+                        _jnp_first_false(Br == GAP, zero, L))
+    end = m - rtrim
+    ham = ((A != B) & (idx >= start[:, None])
+           & (idx < end[:, None])).sum(axis=1).astype(jnp.int32)
+    return jnp.stack([left, right, left_oo, right_oo, ham], axis=1)
+
+
+_lr_stats_device_jit = None
+
+
+def _get_lr_stats_jit():
+    global _lr_stats_device_jit
+    if _lr_stats_device_jit is None:
+        import jax
+
+        _lr_stats_device_jit = jax.jit(
+            _lr_stats_device, static_argnames=("allow_one_off",
+                                               "max_shift"))
+    return _lr_stats_device_jit
+
+
+def _batch_lr_stats(pairs, seqs, maxShift, match, mismatch, gap_p,
+                    allow_one_off):
+    """lr/ham statistics for arbitrary (query, parent) index pairs:
+    device-aligned AND device-scanned in chunks — alignments never
+    materialize on the host; each chunk fetches [P, 5] ints.
+
+    Returns (left, right, left_oo, right_oo, ham) int64 [len(pairs)]."""
+    P = len(pairs)
+    outs = [np.zeros(P, np.int64) for _ in range(5)]
+    if P == 0:
+        return tuple(outs)
+    mat, lens = pack_sequences(seqs)
+    fn = _get_lr_stats_jit()
+    for lo in range(0, P, _CHUNK_PAIRS):
+        chunk = pairs[lo: lo + _CHUNK_PAIRS]
+        # pad the chunk to a power of two (repeat pair 0) to bound
+        # compile diversity across chunked calls
+        nb = 1 << (len(chunk) - 1).bit_length()
+        qi = np.fromiter((p[0] for p in chunk), np.int64, len(chunk))
+        pi = np.fromiter((p[1] for p in chunk), np.int64, len(chunk))
+        qi = np.concatenate([qi, np.full(nb - len(chunk), qi[0])])
+        pi = np.concatenate([pi, np.full(nb - len(chunk), pi[0])])
+        kinds, p0, p1, _, _, ok = nw_batch(
+            mat[qi], lens[qi], mat[pi], lens[pi], match=match,
+            mismatch=mismatch, gap_p=gap_p, end_gap_p=0, band=maxShift)
+        if not np.asarray(ok).all():
+            raise RuntimeError("N-W Align out of range.")
+        stats = np.asarray(fn(kinds, p0, p1, mat[qi], mat[pi],
+                              allow_one_off, maxShift))[: len(chunk)]
+        for k, o in enumerate(outs):
+            o[lo: lo + len(chunk)] = stats[:, k]
+    return tuple(outs)
+
+
+def _vote_from_stats(left, right, left_oo, right_oo, ham, sqlen: int,
+                     allowOneOff: bool,
+                     minOneOffParentDistance: int) -> bool:
+    """Bimera decision from a query's parent lr stats
+    (reference: C_is_bimera body, src/chimera.cpp:18-58; the running
+    maxima with early return are order-free, so plain maxima)."""
+    keep = left + right < sqlen   # toss id/shift/internal-indel parents
+    if not keep.any():
+        return False
+    if left[keep].max() + right[keep].max() >= sqlen:
+        return True
+    if allowOneOff:
+        ok = keep & (ham >= minOneOffParentDistance)
+        if ok.any() and (
+                left[ok].max() + right_oo[ok].max() >= sqlen
+                or left_oo[ok].max() + right[ok].max() >= sqlen):
             return True
     return False
 
@@ -162,10 +287,14 @@ def is_bimera(sq: str, parents: List[str], allowOneOff: bool = False,
     reference: C_is_bimera (src/chimera.cpp:18-58), isBimera
     (R/chimeras.R:43-47)."""
     opts = current_options().replace(**opt_overrides)
-    als = _align_parents(sq, parents, maxShift, opts.MATCH, opts.MISMATCH,
-                         opts.GAP_PENALTY)
-    return _vote_bimera(als, len(sq), allowOneOff,
-                        minOneOffParentDistance, maxShift)
+    seqs = [sq] + list(parents)
+    pairs = [(0, 1 + k) for k in range(len(parents))]
+    left, right, left_oo, right_oo, ham = _batch_lr_stats(
+        pairs, seqs, maxShift, opts.MATCH, opts.MISMATCH,
+        opts.GAP_PENALTY, allowOneOff)
+    return _vote_from_stats(left, right, left_oo, right_oo, ham,
+                            len(sq), allowOneOff,
+                            minOneOffParentDistance)
 
 
 def is_bimera_denovo(unqs, minFoldParentOverAbundance: float = 2,
@@ -183,8 +312,8 @@ def is_bimera_denovo(unqs, minFoldParentOverAbundance: float = 2,
     unqs_int = get_uniques(unqs)
     seqs = list(unqs_int.keys())
     abunds = np.array(list(unqs_int.values()))
-    # all (query, parent) alignments in one device batch
-    par_idx = []
+    # all (query, parent) alignments in one chunked device batch
+    par_slices = []
     all_pairs = []
     for i, abund in enumerate(abunds):
         sel = (abunds > minFoldParentOverAbundance * abund) & \
@@ -192,17 +321,19 @@ def is_bimera_denovo(unqs, minFoldParentOverAbundance: float = 2,
         idx = np.nonzero(sel)[0]
         if len(idx) < 2:
             idx = idx[:0]
-        par_idx.append(idx)
+        lo = len(all_pairs)
         all_pairs.extend((i, int(k)) for k in idx)
-    als = _align_pairs(all_pairs, seqs, maxShift, opts.MATCH,
-                       opts.MISMATCH, opts.GAP_PENALTY)
+        par_slices.append(slice(lo, len(all_pairs)))
+    left, right, left_oo, right_oo, ham = _batch_lr_stats(
+        all_pairs, seqs, maxShift, opts.MATCH, opts.MISMATCH,
+        opts.GAP_PENALTY, allowOneOff)
     bims = np.zeros(len(seqs), dtype=bool)
-    for i, idx in enumerate(par_idx):
-        if len(idx) < 2:
+    for i, sl in enumerate(par_slices):
+        if sl.stop == sl.start:
             continue
-        bims[i] = _vote_bimera(
-            [als[(i, int(k))] for k in idx], len(seqs[i]), allowOneOff,
-            minOneOffParentDistance, maxShift)
+        bims[i] = _vote_from_stats(
+            left[sl], right[sl], left_oo[sl], right_oo[sl], ham[sl],
+            len(seqs[i]), allowOneOff, minOneOffParentDistance)
     flagged = {s for s, b in zip(seqs, bims) if b}
     seqs_input = get_sequences(unqs)
     out = pd.Series([s in flagged for s in seqs_input], index=seqs_input)
@@ -257,25 +388,31 @@ def _table_bimera_stats(mat: np.ndarray, sqs: List[str],
     nsam_tot, ncol = mat.shape
     nflag = np.zeros(ncol, dtype=np.int64)
     nsam = np.zeros(ncol, dtype=np.int64)
+    ge_abund = mat >= minParentAbundance
 
-    # all (query, union-parent) alignments across all columns in ONE batch
+    # all (query, union-parent) alignments across all columns, batched
+    # in chunks (reference lazily aligns each per-column parent once —
+    # the same union, src/chimera.cpp:120-146)
     unions = []
     all_pairs = []
+    offsets = []
     for j in range(ncol):
         present = mat[:, j] > 0
         if not present.any():
             unions.append(np.zeros(0, np.int64))
+            offsets.append(len(all_pairs))
             continue
         parent_mask = (mat > (minFoldParentOverAbundance *
-                              mat[:, j][:, None])) & \
-            (mat >= minParentAbundance)
+                              mat[:, j][:, None])) & ge_abund
         parent_mask[~present, :] = False
         union = np.nonzero(parent_mask.any(axis=0))[0]
         union = union[union != j]
         unions.append(union)
+        offsets.append(len(all_pairs))
         all_pairs.extend((j, int(k)) for k in union)
-    als_all = _align_pairs(all_pairs, sqs, maxShift, opts.MATCH,
-                           opts.MISMATCH, opts.GAP_PENALTY)
+    l_all, r_all, lo_all, ro_all, ham_all = _batch_lr_stats(
+        all_pairs, sqs, maxShift, opts.MATCH, opts.MISMATCH,
+        opts.GAP_PENALTY, allowOneOff)
 
     for j in range(ncol):
         present = mat[:, j] > 0
@@ -284,41 +421,35 @@ def _table_bimera_stats(mat: np.ndarray, sqs: List[str],
             continue
         sqlen = len(sqs[j])
         parent_mask = (mat > (minFoldParentOverAbundance *
-                              mat[:, j][:, None])) & \
-            (mat >= minParentAbundance)
+                              mat[:, j][:, None])) & ge_abund
         parent_mask[~present, :] = False
         union = unions[j]
+        sl = slice(offsets[j], offsets[j] + len(union))
         lefts = np.zeros(ncol, dtype=np.int64)
         rights = np.zeros(ncol, dtype=np.int64)
         lefts_oo = np.zeros(ncol, dtype=np.int64)
         rights_oo = np.zeros(ncol, dtype=np.int64)
         allowed = np.zeros(ncol, dtype=bool)
-        for k in union:
-            al0, al1 = als_all[(j, int(k))]
-            left, right, left_oo, right_oo = _get_lr(
-                al0, al1, allowOneOff, maxShift)
-            if allowOneOff and _ham_endsfree(al0, al1) >= \
-                    minOneOffParentDistance:
-                allowed[k] = True
-            if left + right < sqlen:
-                lefts[k], rights[k] = left, right
-                lefts_oo[k], rights_oo[k] = left_oo, right_oo
-        for i in np.nonzero(present)[0]:
-            pk = np.nonzero(parent_mask[i])[0]
-            if len(pk) == 0:
-                continue
-            max_left = int(lefts[pk].max(initial=0))
-            max_right = int(rights[pk].max(initial=0))
-            if max_left + max_right >= sqlen:
-                nflag[j] += 1
-            elif allowOneOff:
-                pa = pk[allowed[pk]]
-                if len(pa):
-                    if (lefts[pa].max(initial=0) +
-                            rights_oo[pa].max(initial=0) >= sqlen or
-                            lefts_oo[pa].max(initial=0) +
-                            rights[pa].max(initial=0) >= sqlen):
-                        nflag[j] += 1
+        keep = l_all[sl] + r_all[sl] < sqlen  # toss id/shift parents
+        lefts[union[keep]] = l_all[sl][keep]
+        rights[union[keep]] = r_all[sl][keep]
+        if allowOneOff:
+            lefts_oo[union[keep]] = lo_all[sl][keep]
+            rights_oo[union[keep]] = ro_all[sl][keep]
+            allowed[union] = ham_all[sl] >= minOneOffParentDistance
+        # per-sample vote, all present samples at once
+        pm = parent_mask[present]        # [ns, ncol]
+        max_left = np.where(pm, lefts[None, :], 0).max(axis=1)
+        max_right = np.where(pm, rights[None, :], 0).max(axis=1)
+        flag = max_left + max_right >= sqlen
+        if allowOneOff:
+            pa = pm & allowed[None, :]
+            oo_l = np.where(pa, lefts[None, :], 0).max(axis=1)
+            oo_r = np.where(pa, rights[None, :], 0).max(axis=1)
+            oo_lo = np.where(pa, lefts_oo[None, :], 0).max(axis=1)
+            oo_ro = np.where(pa, rights_oo[None, :], 0).max(axis=1)
+            flag |= (oo_l + oo_ro >= sqlen) | (oo_lo + oo_r >= sqlen)
+        nflag[j] = int(flag.sum())
     return nflag, nsam
 
 

@@ -494,18 +494,26 @@ class Engine:
     # ----- main loop (reference: src/Rmain.cpp:297-336) -----
 
     def run(self, max_clust: int = 0):
+        from ..trace import PHASES
+
         opts = self.opts
-        self.compare(0, opts.USE_KMERS, 1.0)  # no kmer screen on init cluster
-        self.p_update()
+        with PHASES("engine.compare_init"):
+            self.compare(0, opts.USE_KMERS, 1.0)  # no screen on init cluster
+        with PHASES("engine.p_update"):
+            self.p_update()
         if max_clust < 1:
             max_clust = self.n
         while len(self.clusters) < max_clust:
-            newi = self.bud()
+            with PHASES("engine.bud"):
+                newi = self.bud()
             if not newi:
                 break
-            self.compare(newi, opts.USE_KMERS, opts.KDIST_CUTOFF)
+            with PHASES("engine.compare"):
+                self.compare(newi, opts.USE_KMERS, opts.KDIST_CUTOFF)
             nshuffle = 0
-            while self.shuffle() and nshuffle + 1 < MAX_SHUFFLE:
-                nshuffle += 1
-            self.p_update()
+            with PHASES("engine.shuffle"):
+                while self.shuffle() and nshuffle + 1 < MAX_SHUFFLE:
+                    nshuffle += 1
+            with PHASES("engine.p_update"):
+                self.p_update()
         return self

@@ -35,6 +35,8 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
     subqual ([16, Q] int64), clusterquals ([maxlen, nclust] float64),
     map ([n] int64, -1 for NA), pval ([n] float64).
     """
+    from ..trace import PHASES
+
     rs = eng.rs
     nclust = len(eng.clusters)
     has_quals = rs.quals is not None
@@ -44,20 +46,21 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
     # the bare Poisson tail with no presence conditioning). Runs BEFORE
     # the stats pass: the tallies are weighted by the correct mask.
     pvals = np.zeros(rs.n)
-    for i, bi in enumerate(eng.clusters):
-        mem = np.asarray(bi.slots, dtype=np.int64)
-        eng.p[bi.center] = 1.0
-        notc = mem[mem != bi.center]
-        if len(notc):
-            from dada2_tpu.utils.rmath import ppois_upper
+    with PHASES("finalize.pvals"):
+        for i, bi in enumerate(eng.clusters):
+            mem = np.asarray(bi.slots, dtype=np.int64)
+            eng.p[bi.center] = 1.0
+            notc = mem[mem != bi.center]
+            if len(notc):
+                from dada2_tpu.utils.rmath import ppois_upper
 
-            E = eng.comp_lam[notc] * bi.reads
-            # R-exact Poisson tail (see ops/subs.py pois_tail)
-            pv = np.array([ppois_upper(int(r) - 1, float(e))
-                           for r, e in zip(rs.reads[notc], E)])
-            eng.p[notc] = pv
-            eng.correct[notc[pv < omegaC]] = False
-        pvals[mem] = eng.p[mem]
+                E = eng.comp_lam[notc] * bi.reads
+                # R-exact Poisson tail (see ops/subs.py pois_tail)
+                pv = np.array([ppois_upper(int(r) - 1, float(e))
+                               for r, e in zip(rs.reads[notc], E)])
+                eng.p[notc] = pv
+                eng.correct[notc[pv < omegaC]] = False
+            pvals[mem] = eng.p[mem]
 
     # Final subs statistics for every raw vs its cluster center, and
     # birth subs (reference: src/Rmain.cpp:174-236 + src/error.cpp).
@@ -80,13 +83,14 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
             birth_subs[i] = eng.backend.subs_pair(
                 from_center, bi.center, opts, opts.USE_KMERS, 1.0)
 
-    if nclust > 2:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=min(16, nclust)) as ex:
-            list(ex.map(_one_cluster, range(nclust)))
-    else:
-        for i in range(nclust):
-            _one_cluster(i)
+    with PHASES("finalize.cluster_stats"):
+        if nclust > 2:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(16, nclust)) as ex:
+                list(ex.map(_one_cluster, range(nclust)))
+        else:
+            for i in range(nclust):
+                _one_cluster(i)
 
     clustering = _clustering_df(eng, stats, birth_subs, has_quals)
     subqual = np.zeros((16, ncol_t), dtype=np.int64)

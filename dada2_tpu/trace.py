@@ -45,6 +45,45 @@ class Counters:
 COUNTERS = Counters()
 
 
+class PhaseTimer:
+    """Wall-clock accumulation per named engine phase, summed across
+    threads — the breakdown that tells which side (device round-trips,
+    host bookkeeping, finalize tallies) bounds an e2e run."""
+
+    def __init__(self):
+        import threading
+        from collections import defaultdict
+
+        self._t = defaultdict(float)
+        self._n = defaultdict(int)
+        self._lock = threading.Lock()
+
+    @contextmanager
+    def __call__(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            dt = time.time() - t0
+            with self._lock:
+                self._t[name] += dt
+                self._n[name] += 1
+
+    def reset(self) -> None:
+        with self._lock:
+            self._t.clear()
+            self._n.clear()
+
+    def summary(self) -> str:
+        with self._lock:
+            items = sorted(self._t.items(), key=lambda kv: -kv[1])
+            return " | ".join(f"{k}: {v:.2f}s/{self._n[k]}x"
+                              for k, v in items) or "(no phases)"
+
+
+PHASES = PhaseTimer()
+
+
 @contextmanager
 def timed_compare(n_aligned: int, n_shrouded: int, n_gapless: int = 0):
     """Record one compare sweep in the global counters."""

@@ -76,3 +76,158 @@ def test_is_shift_denovo(parents):
     unqs2 = {a: 100, sub: 5}
     assert not is_shift_denovo(unqs2)[sub]
     assert is_shift_denovo(unqs2, flagSubseqs=True)[sub]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized lr/ham scans vs the scalar pointer-walk ORACLES (exact
+# ports of the reference's get_lr / get_ham_endsfree,
+# src/chimera.cpp:228-269 and :196-224, kept here for fuzzing only)
+# ---------------------------------------------------------------------------
+
+from dada2_tpu.chimeras import _lr_ham_batch, _PAD  # noqa: E402
+from dada2_tpu.ops.nw_ref import GAP  # noqa: E402
+
+
+def _oracle_ham_endsfree(al0, al1):
+    n = len(al0)
+    i = 0
+    gap1 = al0[i] == GAP
+    gap2 = al1[i] == GAP
+    while gap1 or gap2:
+        i += 1
+        gap1 = gap1 and al0[i] == GAP
+        gap2 = gap2 and al1[i] == GAP
+    j = n - 1
+    gap1 = al0[j] == GAP
+    gap2 = al1[j] == GAP
+    while gap1 or gap2:
+        j -= 1
+        gap1 = gap1 and al0[j] == GAP
+        gap2 = gap2 and al1[j] == GAP
+    return int(np.sum(al0[i: j + 1] != al1[i: j + 1]))
+
+
+def _oracle_get_lr(al0, al1, allow_one_off, max_shift):
+    n = len(al0)
+    pos = 0
+    left = 0
+    while pos < n and al0[pos] == GAP:
+        pos += 1
+    while pos < max_shift and al1[pos] == GAP:
+        pos += 1
+        left += 1
+    while pos < n and al0[pos] == al1[pos]:
+        pos += 1
+        left += 1
+    left_oo = right_oo = 0
+    if allow_one_off:
+        left_oo = left
+        pos += 1
+        if pos < n and al0[pos] != GAP:
+            left_oo += 1
+        while pos < n and al0[pos] == al1[pos]:
+            pos += 1
+            left_oo += 1
+    pos = n - 1
+    right = 0
+    while pos >= 0 and al0[pos] == GAP:
+        pos -= 1
+    while pos > n - max_shift and al1[pos] == GAP:
+        pos -= 1
+        right += 1
+    while pos >= 0 and al0[pos] == al1[pos]:
+        pos -= 1
+        right += 1
+    if allow_one_off:
+        right_oo = right
+        pos -= 1
+        if pos >= 0 and al0[pos] != GAP:
+            right_oo += 1
+        while pos >= 0 and al0[pos] == al1[pos]:
+            pos -= 1
+            right_oo += 1
+    return left, right, left_oo, right_oo
+
+
+def _random_alignment_pair(rng, n):
+    """A plausible gapped alignment: never GAP in both rows at once;
+    end-gap runs on either side; mismatches and interior indels."""
+    al0 = rng.integers(1, 5, n).astype(np.uint8)
+    al1 = np.where(rng.random(n) < 0.7, al0,
+                   rng.integers(1, 5, n)).astype(np.uint8)
+    # leading/trailing end gaps on one row per side (bounded so no row
+    # is ever all-gap — impossible in a real alignment)
+    lead = int(rng.integers(0, min(25, n // 3 + 1)))
+    trail = int(rng.integers(0, min(25, n // 3 + 1)))
+    if lead:
+        (al0 if rng.random() < 0.5 else al1)[:lead] = GAP
+    if trail:
+        (al0 if rng.random() < 0.5 else al1)[n - trail:] = GAP
+    # sparse interior gaps
+    for _ in range(int(rng.integers(0, 4))):
+        p = int(rng.integers(lead + 1, max(lead + 2, n - trail - 1)))
+        (al0 if rng.random() < 0.5 else al1)[p] = GAP
+    # guard: no double-gap columns
+    both = (al0 == GAP) & (al1 == GAP)
+    al1[both] = 1
+    return al0, al1
+
+
+@pytest.mark.parametrize("allow_one_off", [False, True])
+@pytest.mark.parametrize("max_shift", [1, 4, 16, 64])
+def test_lr_ham_batch_vs_oracle(allow_one_off, max_shift):
+    rng = np.random.default_rng(12345 + max_shift)
+    P = 300
+    lens = rng.integers(8, 200, P)
+    Lmax = int(lens.max())
+    A = np.full((P, Lmax), _PAD, np.uint8)
+    B = np.full((P, Lmax), _PAD, np.uint8)
+    pairs = []
+    for p in range(P):
+        a0, a1 = _random_alignment_pair(rng, int(lens[p]))
+        A[p, : lens[p]] = a0
+        B[p, : lens[p]] = a1
+        pairs.append((a0, a1))
+    left, right, left_oo, right_oo, ham = _lr_ham_batch(
+        A, B, lens.astype(np.int64), allow_one_off, max_shift)
+    for p, (a0, a1) in enumerate(pairs):
+        el, er, elo, ero = _oracle_get_lr(a0, a1, allow_one_off,
+                                          max_shift)
+        assert (left[p], right[p]) == (el, er), p
+        if allow_one_off:
+            assert (left_oo[p], right_oo[p]) == (elo, ero), p
+            assert ham[p] == _oracle_ham_endsfree(a0, a1), p
+
+
+def test_device_lr_stats_match_host_scans():
+    """The on-device stats path (traceback steps -> stats, no host
+    alignment materialization) must equal the host numpy scan pipeline
+    on real nw_batch outputs."""
+    from dada2_tpu.chimeras import (_alignment_code_mats, _batch_lr_stats,
+                                    _lr_ham_batch)
+    from dada2_tpu.encode import pack_sequences
+
+    rng = np.random.default_rng(77)
+    nt = np.array(list("ACGT"))
+    base = "".join(nt[rng.integers(0, 4, 150)])
+    seqs = [base]
+    for _ in range(40):
+        s = list(base)
+        for _ in range(int(rng.integers(0, 12))):
+            s[int(rng.integers(0, len(s)))] = nt[rng.integers(0, 4)]
+        if rng.random() < 0.4:  # shifts / indels
+            cut = int(rng.integers(1, 10))
+            s = s[cut:] if rng.random() < 0.5 else \
+                list(nt[rng.integers(0, 4, cut)]) + s
+        seqs.append("".join(s))
+    pairs = [(0, k) for k in range(1, len(seqs))] + \
+        [(k, 0) for k in range(1, len(seqs), 3)]
+    for allow_oo, max_shift in ((False, 16), (True, 16), (True, 4)):
+        dev = _batch_lr_stats(pairs, seqs, max_shift, 5, -4, -8, allow_oo)
+        mat, lens = pack_sequences(seqs)
+        A, B, m = _alignment_code_mats(pairs, mat, lens, max_shift,
+                                       5, -4, -8)
+        host = _lr_ham_batch(A, B, m, allow_oo, max_shift)
+        for k in range(5):
+            np.testing.assert_array_equal(dev[k], host[k],
+                                          err_msg=f"stat {k}")
