@@ -20,13 +20,20 @@ span=0.75/degree=2/family=gaussian, with BOTH evaluation surfaces:
   prediction point.
 
 R and its Fortran loess are not installable in this environment, so
-interpolate-surface goldens cannot be generated; the kd-tree build rules
-above are derived from the published algorithm and the R sources' known
-behavior, and the two surfaces are cross-checked against each other in
-tests (they agree exactly at vertices and to ~1e-3 log10 units between
-them, far below the clamping granularity that feeds selfConsist).
-Everything downstream of the error matrix is covered by the compiled-
-reference engine parity harness (tests/test_reference_parity.py).
+interpolate-surface goldens cannot be generated. Validation instead
+(tests/test_loess.py): the direct surface is checked against an
+INDEPENDENT from-scratch oracle (50-digit mpmath normal equations — a
+different formulation and solver); the kd-tree build rules are
+property-tested (cell occupancy <= fc between consecutive vertices,
+data-valued split points, tie-rule termination on integer-quality
+fixtures); the Hermite blend is verified C1 at interior vertices and
+shown to converge to the direct surface as cell -> 0; and the two
+surfaces cross-check to ~1e-3 log10 units apart (R's own interpolation
+error scale), far below the clamping granularity that feeds
+selfConsist. Residual risk vs R: limited to R-specific interpolate
+quirks not implied by the published algorithm. Everything downstream of
+the error matrix is covered by the compiled-reference engine parity
+harness (tests/test_reference_parity.py).
 """
 from __future__ import annotations
 
