@@ -145,11 +145,21 @@ def dada(
 
     priors = list(priors)
 
+    # --- process topology (multi-host pools need it before combining) ---
+    from .parallel.dist import mesh_processes
+
+    procs = mesh_processes(mesh) if mesh is not None else [0]
+    multihost = len(procs) > 1
+    if multihost:
+        import jax as _jax
+
+        my_rank = procs.index(_jax.process_index())
+
     # --- pooling (R/dada.R:186-196) ---
     pseudo = False
     pseudo_priors: List[str] = []
     derep_in = None
-    if len(derep) <= 1:
+    if len(derep) <= 1 and not multihost:
         pool = False
     if isinstance(pool, str):
         if pool == "pseudo":
@@ -159,7 +169,25 @@ def dada(
             raise ValueError("Invalid pool argument.")
     elif pool:
         derep_in = derep
-        derep = [combine_dereps(derep_in)]
+        if multihost:
+            # distributed dedup (SURVEY.md §7 hard-part 7): reads never
+            # leave their host — only each sample's dereplicated unique
+            # summaries are allgathered; every host then builds the
+            # IDENTICAL pooled derep and runs the pooled engine
+            # redundantly, splitting back only its local samples.
+            from .parallel.dist import gather_sample_summaries
+
+            items = [((my_rank << 32) + i, d.name or f"p{my_rank}s{i}",
+                      d.sequences, d.abundances, d.quals)
+                     for i, d in enumerate(derep_in)]
+            gathered = gather_sample_summaries(items)
+            all_drps = [
+                Derep(uniques={s: int(a) for s, a in zip(seqs, ab)},
+                      quals=quals, map=np.zeros(0, np.int64), name=name)
+                for _, name, seqs, ab, quals in gathered]
+            derep = [combine_dereps(all_drps)]
+        else:
+            derep = [combine_dereps(derep_in)]
 
     # --- err validation (R/dada.R:198-205) ---
     initializeErr = False
@@ -254,27 +282,19 @@ def dada(
             from .trace import COUNTERS
             print("   " + COUNTERS.summary())
 
-    from .parallel.dist import mesh_processes, sample_devices
+    from .parallel.dist import sample_devices
 
     mesh_devs = sample_devices(mesh)
-    # multi-host mesh: each process drives its own round-robin share of
-    # the samples; the 16 x Q tally is reduced globally every round, so
-    # the error model (and the selfConsist stopping decision) is
-    # bit-identical on every host. Each host returns ITS samples' results.
-    procs = mesh_processes(mesh) if mesh is not None else [0]
-    multihost = len(procs) > 1
-    if multihost:
-        import jax as _jax
-
-        if derep_in is not None or pseudo:
-            raise NotImplementedError(
-                "pool=TRUE / pool='pseudo' on a multi-host mesh needs the "
-                "distributed unique dedup (SURVEY.md §7 hard-part 7); run "
-                "pooling on one host or use per-sample mode.")
-        my_rank = procs.index(_jax.process_index())
-        own = [i for i in range(len(derep)) if i % len(procs) == my_rank]
-    else:
-        own = list(range(len(derep)))
+    # multi-host mesh: each process passes (and drives) ITS OWN samples
+    # — derep IO is never duplicated across hosts. The 16 x Q tally is
+    # reduced globally every round, so the error model (and the
+    # selfConsist stopping decision) is bit-identical on every host;
+    # each host returns its own samples' results. With pool=TRUE every
+    # host holds the identical pooled derep (built above), runs the
+    # deterministic pooled engine redundantly, and the tally is NOT
+    # globally summed (it would count the pooled sample once per host).
+    own = list(range(len(derep)))
+    redundant_pool = multihost and derep_in is not None
 
     # thread-pool over samples: per-sample engines are independent, and
     # interleaving them overlaps device dispatch/fetch latency with the
@@ -300,10 +320,16 @@ def dada(
                 _one_sample(i, drpi)
 
         if multihost:
-            # exact cross-host reduction (allgathered int32 limbs)
-            from .parallel.dist import accumulate_trans_global
+            if redundant_pool:
+                # every host computed the identical pooled tally; a
+                # global sum would count it once per host
+                cur = accumulate_trans(trans)
+            else:
+                # exact cross-host reduction (allgathered int32 limbs)
+                from .parallel.dist import accumulate_trans_global
 
-            cur = accumulate_trans_global([trans[i] for i in own], mesh)
+                cur = accumulate_trans_global([trans[i] for i in own],
+                                              mesh)
         elif mesh is not None:
             # collective reduction over the mesh's samples axis
             from .parallel.dist import accumulate_trans_mesh
@@ -334,14 +360,39 @@ def dada(
             break
 
         if pseudo and nconsist >= 1:
-            from .seqtab import make_sequence_table
-            st = make_sequence_table({str(k): clustering[k]
-                                      for k in range(len(clustering))})
-            prevalence = (st.values > 0).sum(axis=0)
-            totals = st.values.sum(axis=0)
-            keep = (prevalence >= opts.PSEUDO_PREVALENCE) | \
-                   (totals >= opts.PSEUDO_ABUNDANCE)
-            pseudo_priors = [c for c, k in zip(st.columns, keep) if k]
+            if multihost:
+                # global prior selection: allgather every host's
+                # per-sample (ASV sequence, abundance) summaries and
+                # apply the same prevalence/abundance thresholds the
+                # seqtab would (R/dada.R:399-401) — identical prior
+                # sets on every host
+                from .parallel.dist import gather_sample_summaries
+
+                items = [((my_rank << 32) + k, f"p{my_rank}s{k}",
+                          list(clustering[k]["sequence"]),
+                          clustering[k]["abundance"].to_numpy(), None)
+                         for k in range(len(clustering))]
+                gathered = gather_sample_summaries(items)
+                tot: dict = {}
+                nsam: dict = {}
+                for _, _, seqs_g, ab_g, _ in gathered:
+                    for s, a in zip(seqs_g, ab_g):
+                        tot[s] = tot.get(s, 0) + int(a)
+                        if a > 0:
+                            nsam[s] = nsam.get(s, 0) + 1
+                pseudo_priors = [
+                    s for s in tot
+                    if nsam.get(s, 0) >= opts.PSEUDO_PREVALENCE
+                    or tot[s] >= opts.PSEUDO_ABUNDANCE]
+            else:
+                from .seqtab import make_sequence_table
+                st = make_sequence_table({str(k): clustering[k]
+                                          for k in range(len(clustering))})
+                prevalence = (st.values > 0).sum(axis=0)
+                totals = st.values.sum(axis=0)
+                keep = (prevalence >= opts.PSEUDO_PREVALENCE) | \
+                       (totals >= opts.PSEUDO_ABUNDANCE)
+                pseudo_priors = [c for c, k in zip(st.columns, keep) if k]
 
         nconsist += 1
         if checkpoint is not None and selfConsist:
@@ -362,16 +413,6 @@ def dada(
             print(f"Convergence after {nconsist} rounds.")
 
     # --- construct return objects (R/dada.R:416-440) ---
-    if multihost:
-        # this host owns only its share; return those (names keep the
-        # global sample identity)
-        derep = [derep[i] for i in own]
-        clustering = [clustering[i] for i in own]
-        clusterquals = [clusterquals[i] for i in own]
-        birth_subs = [birth_subs[i] for i in own]
-        trans = [trans[i] for i in own]
-        maps = [maps[i] for i in own]
-        pvals = [pvals[i] for i in own]
     results = []
     for i, drpi in enumerate(derep):
         cl = clustering[i]

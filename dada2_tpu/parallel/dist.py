@@ -267,6 +267,74 @@ def pod_mesh(samples: Optional[int] = None) -> Mesh:
     return make_mesh(devices=devs, samples=samples)
 
 
+def _allgather_blobs(blob: bytes):
+    """Exchange one variable-length byte blob per process; returns the
+    list of every process's blob in process order. Sizes are agreed
+    first, then the padded uint8 buffers travel in one allgather (bytes
+    are bit-exact transport for packed float64/int64 payloads, immune
+    to the x64-off truncation device dtypes suffer)."""
+    from jax.experimental import multihost_utils
+
+    arr = np.frombuffer(blob, np.uint8)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(arr)], np.int64)))
+    mx = int(sizes.max())
+    padded = np.zeros(mx, np.uint8)
+    padded[: len(arr)] = arr
+    all_ = np.asarray(multihost_utils.process_allgather(padded))
+    return [all_[p, : int(sizes[p, 0])].tobytes()
+            for p in range(all_.shape[0])]
+
+
+def _pack_sample_summaries(items) -> bytes:
+    """Serialize (global_index, name, sequences, abundances, quals)
+    tuples; quals travel as exact float64 bytes."""
+    import io
+    import pickle
+
+    out = io.BytesIO()
+    payload = []
+    for gidx, name, seqs, ab, quals in items:
+        payload.append((int(gidx), name, list(seqs),
+                        np.asarray(ab, np.int64).tobytes(),
+                        None if quals is None else
+                        (quals.shape, np.asarray(quals, np.float64)
+                         .tobytes())))
+    pickle.dump(payload, out, protocol=4)
+    return out.getvalue()
+
+
+def _unpack_sample_summaries(blob: bytes):
+    import pickle
+
+    out = []
+    for gidx, name, seqs, ab_b, quals_t in pickle.loads(blob):
+        ab = np.frombuffer(ab_b, np.int64)
+        quals = None
+        if quals_t is not None:
+            shape, qb = quals_t
+            quals = np.frombuffer(qb, np.float64).reshape(shape)
+        out.append((gidx, name, seqs, ab, quals))
+    return out
+
+
+def gather_sample_summaries(local_items):
+    """Allgather per-sample unique summaries (sequences + abundances +
+    average quals) across every process, returned sorted by global
+    sample index — the distributed dedup exchange for pool=TRUE
+    (SURVEY.md §7 hard-part 7; reads never leave their host, only the
+    dereplicated uniques travel).
+
+    local_items: iterable of (global_index, name, sequences,
+    abundances, quals)."""
+    blobs = _allgather_blobs(_pack_sample_summaries(local_items))
+    merged = []
+    for b in blobs:
+        merged.extend(_unpack_sample_summaries(b))
+    merged.sort(key=lambda t: t[0])
+    return merged
+
+
 def accumulate_trans_global(local_tallies, mesh: Mesh):
     """Exact global accumulateTrans across the mesh's processes: sum
     this host's tallies in int64 on the host, allgather across
