@@ -383,13 +383,12 @@ class Engine:
         if np.any(need):
             import math
 
-            from dada2_tpu.utils.rmath import ppois_upper
+            from dada2_tpu.utils.rmath import ppois_upper_vec
 
             E = lam[need] * bi_reads
             # R-exact Poisson tail (see ops/subs.py pois_tail): scipy's
             # pdtrc drifts from R's ppois in the last ulp
-            pv = np.array([ppois_upper(int(r) - 1, float(e))
-                           for r, e in zip(reads[need], E)])
+            pv = ppois_upper_vec(reads[need] - 1, E)
             cond = ~(prior[need] | opts.DETECT_SINGLETONS)
             # libm exp (not numpy's SIMD exp, which can differ in the
             # last ulp): the reference's calc_pA calls C exp()

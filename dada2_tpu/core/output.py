@@ -52,12 +52,11 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
             eng.p[bi.center] = 1.0
             notc = mem[mem != bi.center]
             if len(notc):
-                from dada2_tpu.utils.rmath import ppois_upper
+                from dada2_tpu.utils.rmath import ppois_upper_vec
 
                 E = eng.comp_lam[notc] * bi.reads
                 # R-exact Poisson tail (see ops/subs.py pois_tail)
-                pv = np.array([ppois_upper(int(r) - 1, float(e))
-                               for r, e in zip(rs.reads[notc], E)])
+                pv = ppois_upper_vec(rs.reads[notc] - 1, E)
                 eng.p[notc] = pv
                 eng.correct[notc[pv < omegaC]] = False
             pvals[mem] = eng.p[mem]

@@ -13,7 +13,9 @@ import threading
 from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "io_native.cpp")
+_SRCS = [os.path.join(_HERE, "io_native.cpp"),
+         os.path.join(_HERE, "rmath_native.cpp")]
+_HDRS = [os.path.join(_HERE, "rmath_ppois.h")]
 _LIB = os.path.join(_HERE, "io_native.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -23,8 +25,8 @@ _failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _LIB, _SRC, "-lz"],
+            ["g++", "-O3", "-march=native", "-ffp-contract=off",
+             "-shared", "-fPIC", "-o", _LIB] + _SRCS + ["-lz"],
             check=True, capture_output=True)
         return True
     except Exception:
@@ -46,7 +48,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _failed:
             return _lib
         fresh = (os.path.exists(_LIB) and
-                 os.path.getmtime(_LIB) >= os.path.getmtime(_SRC))
+                 all(os.path.getmtime(_LIB) >= os.path.getmtime(f)
+                     for f in _SRCS + _HDRS))
         if not fresh and not _build():
             _failed = True
             return None

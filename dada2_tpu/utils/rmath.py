@@ -23,7 +23,36 @@ from __future__ import annotations
 
 import math
 
-__all__ = ["ppois_upper", "pgamma_lower"]
+__all__ = ["ppois_upper", "pgamma_lower", "ppois_upper_vec"]
+
+
+def ppois_upper_vec(xs, lams):
+    """Vectorized ppois_upper over arrays: uses the native C++ batch
+    (dada2_tpu/native/rmath_native.cpp, bit-identical and GIL-releasing
+    — engine threads' p-value updates run concurrently) with the
+    Python-loop fallback when the native library is unavailable."""
+    import numpy as np
+
+    xs = np.ascontiguousarray(xs, dtype=np.float64)
+    lams = np.ascontiguousarray(lams, dtype=np.float64)
+    out = np.empty(len(xs))
+    if len(xs) == 0:
+        return out
+    from ..native import get_lib
+
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "dada2_ppois_upper_batch"):
+        import ctypes
+
+        lib.dada2_ppois_upper_batch(
+            xs.ctypes.data_as(ctypes.c_void_p),
+            lams.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_longlong(len(xs)))
+        return out
+    for i in range(len(xs)):
+        out[i] = ppois_upper(xs[i], lams[i])
+    return out
 
 DBL_EPSILON = 2.220446049250313e-16
 DBL_MIN = 2.2250738585072014e-308

@@ -218,3 +218,34 @@ def test_calc_pA_uses_rmath():
         if norm < 1e-7:
             norm = E - 0.5 * E * E
         assert got == pytest.approx(t / norm, rel=1e-11)
+
+
+def test_native_batch_bit_identity_and_fallback(monkeypatch):
+    """The production native batch (rmath_native.cpp) must be
+    bit-identical to the Python implementation, and the fallback path
+    must engage under DADA2_TPU_NATIVE=0."""
+    from dada2_tpu.native import get_lib
+    from dada2_tpu.utils.rmath import ppois_upper_vec
+
+    rng = random.Random(7)
+    xs, lams = [], []
+    for _ in range(2000):
+        reads = rng.choice([1, 2, 3, 5, 20, 100, 999, 31623])
+        regime = rng.random()
+        if regime < 0.4:
+            E = rng.uniform(1e-300, 0.999)
+        elif regime < 0.8:
+            E = reads * rng.uniform(0.01, 30)
+        else:
+            E = reads * rng.uniform(0.8, 1.25)
+        xs.append(float(reads - 1))
+        lams.append(E)
+    xs = np.array(xs)
+    lams = np.array(lams)
+    assert get_lib() is not None, "native build failed"
+    native = ppois_upper_vec(xs, lams)
+    monkeypatch.setenv("DADA2_TPU_NATIVE", "0")
+    pure = ppois_upper_vec(xs, lams)
+    assert native.tobytes() == pure.tobytes()
+    expect = np.array([rmath.ppois_upper(x, l) for x, l in zip(xs, lams)])
+    assert pure.tobytes() == expect.tobytes()
