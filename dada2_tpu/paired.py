@@ -169,17 +169,24 @@ def _merge_one(dadaF, derepF, dadaR, derepR, minOverlap, maxMismatch,
     rF = np.where(mapF >= 0, dadaF.map[np.maximum(mapF, 0)], -1)
     rR = np.where(mapR >= 0, dadaR.map[np.maximum(mapR, 0)], -1)
 
-    # unique (F, R) pairs in first-encounter order (like unique(data.frame))
-    pairs: List[tuple] = []
-    seen = {}
+    # unique (F, R) pairs in first-encounter order (like
+    # unique(data.frame)), vectorized — the read axis can be hundreds of
+    # thousands long while distinct ASV pairs number in the hundreds
     counts: Dict[tuple, int] = {}
-    for f, r in zip(rF, rR):
-        key = (int(f), int(r))
-        if key not in seen:
-            seen[key] = len(pairs)
-            pairs.append(key)
-        if f >= 0 and r >= 0:
-            counts[key] = counts.get(key, 0) + 1
+    if len(rF):
+        span = int(rR.max()) + 2 if len(rR) else 1
+        key = (rF.astype(np.int64) + 1) * span + (rR.astype(np.int64) + 1)
+        uniq, first, cnt = np.unique(key, return_index=True,
+                                     return_counts=True)
+        pairs = []
+        for k in np.argsort(first, kind="stable"):
+            f = int(uniq[k] // span) - 1
+            r = int(uniq[k] % span) - 1
+            pairs.append((f, r))
+            if f >= 0 and r >= 0:
+                counts[(f, r)] = int(cnt[k])
+    else:
+        pairs = []
     ups = [p for p in pairs if p[0] >= 0 and p[1] >= 0]
     cols = ["sequence", "abundance", "forward", "reverse",
             "nmatch", "nmismatch", "nindel", "prefer", "accept"]
