@@ -260,6 +260,9 @@ def refengine(tmp_path_factory):
     # src/cluster.cpp:313-349 "P"-type buds) and MIN_FOLD screening,
     # through the pallas route so the store screen sees prior raws
     ({"OMEGA_A": 1e-60, "OMEGA_P": 1e-2, "MIN_FOLD": 2.0}, True, True),
+    # the PacBio path: homopolymer gap penalty forces the scalar
+    # aligner (VECTORIZED_ALIGNMENT off via normalization, dada.R:232)
+    ({"HOMOPOLYMER_GAP_PENALTY": -1, "BAND_SIZE": 32}, False, False),
 ])
 def test_engine_parity_sam1F(refengine, overrides, pallas, use_priors,
                              monkeypatch):
@@ -312,14 +315,18 @@ def test_engine_parity_sam1F(refengine, overrides, pallas, use_priors,
         return a.ctypes.data_as(ctypes.c_void_p)
 
     opts = DEFAULT_OPTIONS.replace(**overrides).normalized()
+    homo_gap = (opts.HOMOPOLYMER_GAP_PENALTY
+                if opts.HOMOPOLYMER_GAP_PENALTY is not None
+                else opts.GAP_PENALTY)
     nclust = refengine.run_ref_dada(
         n, arr, P(qflat), qstride, P(reads), P(priors), P(errflat),
         err.shape[1], opts.MATCH, opts.MISMATCH, opts.GAP_PENALTY,
-        opts.GAP_PENALTY, int(opts.USE_KMERS),
+        homo_gap, int(opts.USE_KMERS),
         ctypes.c_double(opts.KDIST_CUTOFF), opts.BAND_SIZE,
         ctypes.c_double(opts.OMEGA_A), ctypes.c_double(opts.OMEGA_P),
         int(opts.DETECT_SINGLETONS), 0, ctypes.c_double(opts.MIN_FOLD),
-        opts.MIN_HAMMING, opts.MIN_ABUNDANCE, 1, 1, opts.SSE,
+        opts.MIN_HAMMING, opts.MIN_ABUNDANCE, 1,
+        int(opts.VECTORIZED_ALIGNMENT), opts.SSE,
         int(opts.GAPLESS), int(opts.GREEDY),
         P(cluster_of), P(comp_lambda), P(comp_ham), P(pvals),
         P(e_minmax), P(centers), btypes, P(bpvals))
