@@ -374,8 +374,13 @@ def _shortlist_fused(small, tvec, seqs, lens, center, eth2, *, L, M0,
     log(e_thresh). Rows provably below that threshold (by a sound f32
     error margin, see TpuBackend._screen_need) never influence the
     engine, so only the surviving shortlist needs to reach the host at
-    all. eth2 is one [2, n] f32 upload: row 0 = e_thresh, row 1 = the
-    greedy-skip bits. Returns (buf, order): buf is a single int8 buffer
+    all. eth2 is ONE packed int8 upload of 2n + ceil(n/8) bytes:
+    e_thresh as bf16 (f32 truncated toward zero — a sound LOWER bound
+    on the store threshold, so rounding can only keep extra rows, never
+    drop one; negatives/zeros land in the kept branch regardless) and
+    the greedy-skip mask bit-packed little-endian (4x less upload than
+    the old [2, n] f32, which costs real milliseconds per compare on a
+    remote-attached chip). Returns (buf, order): buf is a single int8 buffer
     [16B header: m, naligned, nshroud, 0 | M0 x i32 indices | M0 x 13B
     small rows | M1 x ceil(W/2)B 4-bit tvec rows] holding the first M0
     shortlisted rows and, for the first M1, their final transition
@@ -391,8 +396,12 @@ def _shortlist_fused(small, tvec, seqs, lens, center, eth2, *, L, M0,
     off by at most ~4*eps*|logthr| (f32 cast of e_thresh + log impl
     ulps); 1e-3 covers the f32 adds/compares themselves."""
     n = small.shape[0]
-    e_thresh = eth2[0]
-    nskip = eth2[1] != 0
+    e_thresh = jax.lax.bitcast_convert_type(
+        eth2[: 2 * n].reshape(n, 2), jnp.bfloat16).astype(jnp.float32)
+    skip_bytes = eth2[2 * n:].astype(jnp.uint8)
+    nskip = ((jnp.repeat(skip_bytes, 8)[:n]
+              >> (jnp.arange(n, dtype=jnp.int32) % 8).astype(jnp.uint8))
+             & 1) != 0
     loglam = jax.lax.bitcast_convert_type(
         small[:, 4:8].reshape(n, 1, 4), jnp.float32).reshape(n)
     abssum = jax.lax.bitcast_convert_type(
@@ -688,8 +697,22 @@ class TpuBackend(CompareBackend):
         self._prep_cache: dict = {}
         self._thr_cache: dict = {}
         self._tvec_host_cache: dict = {}
+        self._center_cache: dict = {}
         import threading
         self._cache_lock = threading.Lock()
+
+    def _center_dev(self, center: int):
+        """Cached device scalar for a center index — centers repeat
+        across selfConsist rounds and finalize passes, and every
+        host->device put is a tunnel round-trip on remote chips."""
+        with self._cache_lock:
+            hit = self._center_cache.get(center)
+        if hit is not None:
+            return hit
+        d = self._put(np.int32(center))
+        with self._cache_lock:
+            self._center_cache[center] = d
+        return d
 
     def _get_qlerr(self, err: Optional[np.ndarray]):
         """Device [17, n, L] log-error-factor table for the current error
@@ -722,7 +745,7 @@ class TpuBackend(CompareBackend):
     def _screens(self, center: int):
         minsum, kmatch = _screen_kernel(self.d_kmers, self.d_kords,
                                         self.d_lens,
-                                        self._put(np.int32(center)))
+                                        self._center_dev(center))
         return np.asarray(minsum, np.int64), np.asarray(kmatch, np.int64)
 
     # ---- batched alignment --------------------------------------------
@@ -812,7 +835,7 @@ class TpuBackend(CompareBackend):
 
             mapq, tvec, small5 = _fused_align_base(
                 d_scal, d_params, sels, d_perm, pb.d_offs,
-                self._put(np.int32(center)),
+                self._center_dev(center),
                 self.d_seqs, self.d_lens, pb.d_s2q,
                 pb.d_inv, self.d_kmers, self.d_kords,
                 self._shroud_thr(opts.KDIST_CUTOFF),
@@ -850,7 +873,7 @@ class TpuBackend(CompareBackend):
                 small = smalls.get(err_key)
         if small is None:
             small = _fused_small(ent[1], self.d_seqs, self.d_lens,
-                                 self._put(np.int32(center)),
+                                 self._center_dev(center),
                                  self._get_qlerr(err), ent[2])
             with self._cache_lock:
                 if err_key not in smalls:
@@ -1182,15 +1205,20 @@ class TpuBackend(CompareBackend):
         n = self.rs.n
         if n < self.SHORTLIST_MIN_N:
             return None
-        eth2 = np.zeros((2, n), np.float32)
-        eth2[0] = e_thresh
-        eth2[1] = skip
+        # ONE packed upload: bf16 e_thresh lower bound + bit-packed skip
+        nb = (n + 7) // 8
+        ethbuf = np.empty(2 * n + nb, np.uint8)
+        e32 = np.ascontiguousarray(e_thresh, np.float32)
+        ethbuf[: 2 * n] = (e32.view(np.uint32) >> 16).astype(
+            np.uint16).view(np.uint8)
+        ethbuf[2 * n:] = np.packbits(np.asarray(skip, bool),
+                                     bitorder="little")
         M0 = min(self.SHORTLIST_M0, n)
         M1 = min(self.SHORTLIST_TVEC, M0)
         buf_d, order = _shortlist_fused(res[2], res[1], self.d_seqs,
                                         self.d_lens,
-                                        self._put(np.int32(center)),
-                                        self._put(eth2),
+                                        self._center_dev(center),
+                                        self._put(ethbuf.view(np.int8)),
                                         L=self.maxlen, M0=M0, M1=M1)
         buf = np.asarray(buf_d)
         m, naligned, nshroud = buf[:16].copy().view(np.int32)[:3]
