@@ -281,6 +281,8 @@ def dada(
         if verbose >= 2:
             from .trace import COUNTERS
             print("   " + COUNTERS.summary())
+            from .trace import PHASES
+            print("   phases: " + PHASES.summary())
 
     from .parallel.dist import sample_devices
 
