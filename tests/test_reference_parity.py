@@ -625,3 +625,49 @@ def test_pseudo_parity(refengine, pool_dereps):
         exp_seqs = [drp.sequences[c] for c in out["centers"][: out["nclust"]]]
         np.testing.assert_array_equal(our.map, ref_map)
         assert list(our.denoised.keys()) == exp_seqs
+
+
+@pytest.mark.parametrize("dataset", ["sam2F", "pooled"])
+def test_engine_parity_other_data(refengine, dataset, monkeypatch):
+    """Engine parity on a second dataset and on a pooled length/quality
+    mix (default options, pallas shortlist route) — guards against
+    data-dependent divergence the sam1F cases can't see."""
+    from dada2_tpu.core.backend_tpu import TpuBackend
+    from dada2_tpu.core.engine import Engine
+    from dada2_tpu.core.raws import make_rawset
+    from dada2_tpu.data import tperr1
+    from dada2_tpu.derep import combine_dereps, derep_fastq
+    from dada2_tpu.options import DEFAULT_OPTIONS
+
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    extdata = os.path.join(os.path.dirname(__file__), "extdata")
+    if dataset == "sam2F":
+        d = derep_fastq(os.path.join(extdata, "sam2F.fastq.gz"))
+    else:
+        d = combine_dereps([
+            derep_fastq(os.path.join(extdata, "sam1F.fastq.gz")),
+            derep_fastq(os.path.join(extdata, "sam2F.fastq.gz"))])
+    N = 300
+    seqs, ab, quals = d.sequences[:N], d.abundances[:N], d.quals[:N]
+    opts = DEFAULT_OPTIONS.normalized()
+    err = tperr1()
+    out = _run_ref_engine(refengine, seqs, ab, quals,
+                          np.zeros(len(seqs), np.uint8), err, opts)
+
+    qmax = int(np.nanmax(quals))
+    errx = np.hstack([err] + [err[:, -1:]] * max(0, qmax + 1
+                                                 - err.shape[1]))
+    rs = make_rawset(seqs, ab, None, quals)
+    be = TpuBackend(rs, use_quals=True)
+    be.SHORTLIST_MIN_N = 0
+    eng = Engine(rs, errx, opts, be, use_quals=True)
+    eng.run(max_clust=0)
+
+    assert len(eng.clusters) == out["nclust"]
+    np.testing.assert_array_equal(eng.cluster_of, out["cluster_of"])
+    np.testing.assert_array_equal(eng.comp_lam, out["comp_lambda"])
+    np.testing.assert_array_equal(eng.comp_ham, out["comp_ham"])
+    np.testing.assert_array_equal(eng.p, out["pvals"])
+    np.testing.assert_array_equal(eng.E_minmax, out["e_minmax"])
+    for i, c in enumerate(eng.clusters):
+        assert c.center == out["centers"][i], i
