@@ -363,6 +363,15 @@ def _gather_rows(arr, idx):
     return jnp.take(arr, idx.astype(jnp.int32), axis=0)
 
 
+def _fetch(x):
+    """Forcing device->host read, tallied (each is ~a tunnel round-trip
+    on remote-attached chips; see trace.Counters.device_fetches)."""
+    from ..trace import COUNTERS
+
+    COUNTERS.device_fetches += 1
+    return np.asarray(x)
+
+
 @partial(jax.jit, static_argnames=("L", "M0", "M1"))
 def _shortlist_fused(small, tvec, seqs, lens, center, eth2, *, L, M0,
                      M1):
@@ -650,6 +659,9 @@ class TpuBackend(CompareBackend):
         self.mesh = mesh
 
         def put(x):
+            from ..trace import COUNTERS
+
+            COUNTERS.device_puts += 1
             return (jax.device_put(x, device) if device is not None
                     else jnp.asarray(x))
 
@@ -746,7 +758,8 @@ class TpuBackend(CompareBackend):
         minsum, kmatch = _screen_kernel(self.d_kmers, self.d_kords,
                                         self.d_lens,
                                         self._center_dev(center))
-        return np.asarray(minsum, np.int64), np.asarray(kmatch, np.int64)
+        return (np.asarray(_fetch(minsum), np.int64),
+                np.asarray(kmatch, np.int64))
 
     # ---- batched alignment --------------------------------------------
 
@@ -924,7 +937,7 @@ class TpuBackend(CompareBackend):
         nb = _bucket(len(rows))
         pad = np.full(nb - len(rows), rows[0], np.int64)
         full = self._put(np.concatenate([rows, pad]).astype(np.int32))
-        packed = np.asarray(_gather_tvec_packed(d_tvec, full))[: len(rows)]
+        packed = _fetch(_gather_tvec_packed(d_tvec, full))[: len(rows)]
         L = d_tvec.shape[1]
         out = np.empty((len(rows), packed.shape[1] * 2), np.uint8)
         out[:, 0::2] = packed & 15
@@ -965,7 +978,7 @@ class TpuBackend(CompareBackend):
         nb = _bucket(len(rows))
         pad = np.full(nb - len(rows), rows[0], np.int64)
         full = self._put(np.concatenate([rows, pad]).astype(np.int32))
-        packed = np.asarray(_gather_rows(res[2], full))[: len(rows)]
+        packed = _fetch(_gather_rows(res[2], full))[: len(rows)]
         return self._unpack_small(packed)
 
     def _shrouded(self, center: int, kdist_cutoff: float,
@@ -1140,12 +1153,12 @@ class TpuBackend(CompareBackend):
                               and bool(np.any(e_thresh > 0)))
             if screen_applies:
                 (ham_all, ham_gl, loglam_sel, abssum_sel, ok, gl_bit,
-                 sh_bit) = self._unpack_small(np.asarray(res[2]))
+                 sh_bit) = self._unpack_small(_fetch(res[2]))
             else:
                 # the screen can't exclude anything (init compare /
                 # non-kmer configs): the loglam/abssum bytes are dead
                 # weight, fetch 5 bytes per row instead of 13
-                p5 = np.asarray(_small_cols5(res[2]))
+                p5 = _fetch(_small_cols5(res[2]))
                 ints = p5[:, :4].copy().view(np.int16).astype(np.int64)
                 ham_all, ham_gl = ints[:, 0], ints[:, 1]
                 flags = p5[:, 4]
@@ -1220,7 +1233,7 @@ class TpuBackend(CompareBackend):
                                         self._center_dev(center),
                                         self._put(ethbuf.view(np.int8)),
                                         L=self.maxlen, M0=M0, M1=M1)
-        buf = np.asarray(buf_d)
+        buf = _fetch(buf_d)
         m, naligned, nshroud = buf[:16].copy().view(np.int32)[:3]
         m, naligned, nshroud = int(m), int(naligned), int(nshroud)
         if m * (SMALL_PACK_BYTES + 4) > n * SMALL_PACK_BYTES:
@@ -1422,7 +1435,7 @@ class TpuBackend(CompareBackend):
                 pad = np.full(nb - len(idx), idx[0], np.int64)
                 rows = self._put(
                     np.concatenate([idx, pad]).astype(np.int32))
-                mrows = np.asarray(_gather_rows(res[0], rows))[: len(al)]
+                mrows = _fetch(_gather_rows(res[0], rows))[: len(al)]
                 if not sm[4][al].all():
                     raise RuntimeError("N-W Align out of range.")
                 for r, k in enumerate(al):
@@ -1469,7 +1482,7 @@ class TpuBackend(CompareBackend):
         pad = np.full(nb - m, members[0], np.int64)
         dfull = self._put(np.concatenate([members, pad]).astype(np.int32))
         W = _round_up(len0 + 2, 64)
-        mrows = np.asarray(_gather_rows_slice(res[0], dfull, W))[:m]
+        mrows = _fetch(_gather_rows_slice(res[0], dfull, W))[:m]
         mr = mrows[:, 1: len0 + 1].astype(np.int64)   # row i = 1..len0
         diag = (mr & 7) >= 2
         jq = (mr >> 3) & 0x3FFF
@@ -1506,7 +1519,7 @@ class TpuBackend(CompareBackend):
         w_pad = np.zeros(nb, np.int32)
         w_pad[:m] = np.where(correct, self.rs.reads[members], 0)
         CW = _round_up(len0 + 2, 64)
-        packed = np.asarray(_cluster_stats_dev(
+        packed = _fetch(_cluster_stats_dev(
             res[0], self.d_seqs[center],
             self._put(mem_pad.astype(np.int32)), self._put(w_pad),
             res[2], CW=CW, ncol=ncol))

@@ -22,6 +22,11 @@ class Counters:
     shrouded: int = 0          # pairs rejected by the kmer screen
     gapless: int = 0           # pairs resolved by the gapless screen
     compare_seconds: float = 0.0
+    # device-boundary tallies: on a remote-attached chip each is
+    # roughly one tunnel round-trip, so puts+fetches predict the
+    # latency floor of a run before ever touching the hardware
+    device_puts: int = 0       # host -> device uploads
+    device_fetches: int = 0    # forcing device -> host reads
 
     def reset(self) -> None:
         self.compares = 0
@@ -29,6 +34,8 @@ class Counters:
         self.shrouded = 0
         self.gapless = 0
         self.compare_seconds = 0.0
+        self.device_puts = 0
+        self.device_fetches = 0
 
     def alignments_per_sec(self) -> float:
         if self.compare_seconds == 0:
@@ -39,7 +46,9 @@ class Counters:
         return (f"{self.alignments} alignments ({self.shrouded} shrouded, "
                 f"{self.gapless} gapless) in {self.compares} compares, "
                 f"{self.compare_seconds:.2f}s "
-                f"({self.alignments_per_sec():.0f} aligns/s)")
+                f"({self.alignments_per_sec():.0f} aligns/s); "
+                f"device ops: {self.device_puts} puts, "
+                f"{self.device_fetches} fetches")
 
 
 COUNTERS = Counters()
