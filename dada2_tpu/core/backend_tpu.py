@@ -497,8 +497,7 @@ def _gather_rows_slice(arr, idx, W):
     return jnp.take(arr, idx.astype(jnp.int32), axis=0)[:, :W]
 
 
-@partial(jax.jit, static_argnames=("CW", "ncol"))
-def _cluster_stats_dev(ntq, cseq, members, w, small, *, CW, ncol):
+def _cluster_stats_trace(ntq, cseq, members, w, small, *, CW, ncol):
     """Device per-cluster output tallies from the kernel's ntq tiles
     (reference semantics: src/error.cpp:131-258; every accumulated term
     is integer-valued, so any summation order is exact).
@@ -538,6 +537,45 @@ def _cluster_stats_dev(ntq, cseq, members, w, small, *, CW, ncol):
     okm = (mrows[:, 12] & 1) != 0
     nsubs = jnp.where(okm, ham.astype(jnp.int32), -1)
     return jnp.concatenate([trans, qacc, qcnt, nsubs])
+
+
+_cluster_stats_dev = partial(jax.jit, static_argnames=("CW", "ncol"))(
+    _cluster_stats_trace)
+
+
+@partial(jax.jit, static_argnames=("Ws",))
+def _pair_rows_multi(ntqs, smalls, idx1, *, Ws):
+    """One fused gather of every birth pair's small-pack row + merged
+    alignment-map row (int32-widened so both ride one buffer)."""
+    outs = []
+    for i in range(len(Ws)):
+        sm = jax.lax.dynamic_index_in_dim(
+            smalls[i], idx1[i], 0, keepdims=False).astype(jnp.int32)
+        row = jax.lax.dynamic_index_in_dim(
+            ntqs[i], idx1[i], 0, keepdims=False)[: Ws[i]].astype(jnp.int32)
+        outs.append(jnp.concatenate([sm, row]))
+    return jnp.concatenate(outs)
+
+
+@partial(jax.jit, static_argnames=("CWs", "nbs", "ncol"))
+def _cluster_stats_multi(ntqs, smalls, seqs, cidx, memw, *, CWs, nbs,
+                         ncol):
+    """Every cluster's output tallies in ONE device call + ONE fetch
+    (vs one round-trip per cluster — finalize dominated the small-batch
+    op budget). memw is the single packed upload of all clusters'
+    padded member indices and weights; cidx the center indices; CWs/nbs
+    are the static per-cluster tile widths / member-bucket sizes."""
+    outs = []
+    off = 0
+    for i in range(len(CWs)):
+        mem = jax.lax.dynamic_slice_in_dim(memw, off, nbs[i])
+        w = jax.lax.dynamic_slice_in_dim(memw, off + nbs[i], nbs[i])
+        off += 2 * nbs[i]
+        cseq = jnp.take(seqs, cidx[i], axis=0)
+        outs.append(_cluster_stats_trace(ntqs[i], cseq, mem, w,
+                                         smalls[i], CW=CWs[i],
+                                         ncol=ncol))
+    return jnp.concatenate(outs)
 
 
 class _PallasBlocks:
@@ -1460,6 +1498,56 @@ class TpuBackend(CompareBackend):
         return self._subs_batch(i0, np.array([i1], np.int64), opts,
                                 use_kmers, kdist_cutoff)[0]
 
+    def subs_pairs(self, pairs, opts: DadaOptions, use_kmers: bool,
+                   kdist_cutoff: float):
+        """Sub for every (from_center, to_center) pair in ONE fused
+        fetch — the finalize birth-subs pass previously paid ~4
+        round-trips per cluster. Mirrors _subs_batch's pallas-route
+        semantics; only valid where the kmer screen can never exclude
+        (kdist_cutoff >= 1.0, which is what finalize passes)."""
+        out = [None] * len(pairs)
+        if kdist_cutoff < 1.0:
+            return [self.subs_pair(a, b, opts, use_kmers, kdist_cutoff)
+                    for a, b in pairs]
+        prep = []
+        for k, (i0, i1) in enumerate(pairs):
+            l1 = int(self.lens[i0])
+            geom = (self._pallas_ok(l1, opts)
+                    if opts.BAND_SIZE != 0 else None)
+            if geom is None:
+                out[k] = self.subs_pair(i0, i1, opts, use_kmers,
+                                        kdist_cutoff)
+                continue
+            res = self._align_all_pallas(i0, opts, geom, None)
+            W = _round_up(l1 + 2, 64)
+            prep.append((k, i0, i1, res, W))
+        if prep:
+            idx1 = self._put(np.fromiter((p[2] for p in prep), np.int32,
+                                         len(prep)))
+            seg = _fetch(_pair_rows_multi(
+                tuple(p[3][0] for p in prep),
+                tuple(p[3][2] for p in prep),
+                idx1, Ws=tuple(p[4] for p in prep)))
+            off = 0
+            for k, i0, i1, res, W in prep:
+                sm13 = seg[off: off + SMALL_PACK_BYTES]
+                row = seg[off + SMALL_PACK_BYTES:
+                          off + SMALL_PACK_BYTES + W]
+                off += SMALL_PACK_BYTES + W
+                smb = (sm13 & 0xFF).astype(np.uint8).view(np.int8)
+                _, _, _, _, okb, gl, _sh = self._unpack_small(
+                    smb[None, :])
+                gapless = bool(gl[0]) if use_kmers else False
+                if opts.BAND_SIZE == 0:
+                    gapless = True
+                if gapless:
+                    out[k] = self._gapless_sub(i0, i1)
+                else:
+                    if not bool(okb[0]):
+                        raise RuntimeError("N-W Align out of range.")
+                    out[k] = self._maprow_to_sub(row, i0, i1)
+        return out
+
     def subs_info(self, center: int, members: np.ndarray,
                   opts: DadaOptions):
         """Vectorized final-subs summary straight from the device map
@@ -1531,6 +1619,60 @@ class TpuBackend(CompareBackend):
         if (nsubs < 0).any():
             raise RuntimeError("N-W Align out of range.")
         return trans, qacc, qcnt, nsubs
+
+    def cluster_stats_all(self, clusters, opts: DadaOptions, ncol: int,
+                          use_quals: bool):
+        """All clusters' tallies in ONE device call, ONE packed
+        member/weight upload and ONE fetch (the per-cluster version
+        costs ~3 round-trips each — finalize dominated the op budget of
+        small-sample runs). Clusters that can't ride the device path
+        (no pallas geometry, no quals, int32 overflow risk) fall back
+        individually."""
+        out = [None] * len(clusters)
+        prep = []
+        for k, (center, members, correct) in enumerate(clusters):
+            members = np.asarray(members, np.int64)
+            len0 = int(self.lens[center])
+            geom = (self._pallas_ok(len0, opts)
+                    if opts.BAND_SIZE != 0 else None)
+            bound = int(self.rs.reads[members].sum()) * max(250, len0 + 2)
+            if geom is None or not use_quals or bound >= 2**31 - 1:
+                out[k] = super().cluster_stats(center, members, correct,
+                                               opts, ncol, use_quals)
+                continue
+            res = self._align_all_pallas(center, opts, geom, None)
+            m = len(members)
+            nb = _bucket(m)
+            mem_pad = np.zeros(nb, np.int32)
+            mem_pad[:m] = members
+            w_pad = np.zeros(nb, np.int32)
+            w_pad[:m] = np.where(correct, self.rs.reads[members], 0)
+            CW = _round_up(len0 + 2, 64)
+            prep.append((k, center, res, mem_pad, w_pad, CW, nb, m, len0))
+        if prep:
+            memw = np.concatenate(
+                [np.concatenate([p[3], p[4]]) for p in prep])
+            cidx = np.fromiter((p[1] for p in prep), np.int32, len(prep))
+            packed = _fetch(_cluster_stats_multi(
+                tuple(p[2][0] for p in prep),
+                tuple(p[2][2] for p in prep),
+                self.d_seqs, self._put(cidx), self._put(memw),
+                CWs=tuple(p[5] for p in prep),
+                nbs=tuple(p[6] for p in prep), ncol=ncol))
+            off = 0
+            for k, center, res, mem_pad, w_pad, CW, nb, m, len0 in prep:
+                seg = packed[off: off + 16 * ncol + 2 * CW + nb]
+                off += 16 * ncol + 2 * CW + nb
+                trans = seg[: 16 * ncol].astype(np.int64).reshape(16,
+                                                                  ncol)
+                qacc = seg[16 * ncol: 16 * ncol + len0].astype(np.int64)
+                qcnt = seg[16 * ncol + CW:
+                           16 * ncol + CW + len0].astype(np.int64)
+                nsubs = seg[16 * ncol + 2 * CW:][:m].astype(np.int64)
+                if (nsubs < 0).any():
+                    raise RuntimeError("N-W Align out of range.")
+                out[k] = (trans, qacc, qcnt, nsubs)
+        return out
 
     def subs_to_center(self, center: int, members: np.ndarray,
                        opts: DadaOptions) -> List[Optional[Sub]]:

@@ -94,6 +94,22 @@ class CompareBackend:
         """
         raise NotImplementedError
 
+    def subs_pairs(self, pairs, opts: DadaOptions, use_kmers: bool,
+                   kdist_cutoff: float):
+        """subs_pair for a batch of (from, to) center pairs. Backends
+        may override with one fused device fetch."""
+        return [self.subs_pair(a, b, opts, use_kmers, kdist_cutoff)
+                for a, b in pairs]
+
+    def cluster_stats_all(self, clusters, opts: DadaOptions, ncol: int,
+                          use_quals: bool):
+        """cluster_stats for EVERY cluster: clusters is a list of
+        (center, members, correct) triples; returns the per-cluster
+        (trans, qacc, qcnt, nsubs) list. Backends may override with one
+        fused device dispatch (one round-trip instead of nclust)."""
+        return [self.cluster_stats(c, m, corr, opts, ncol, use_quals)
+                for c, m, corr in clusters]
+
     def subs_info(self, center: int, members: np.ndarray,
                   opts: DadaOptions):
         """Batched final-subs summary: (p1mat [m, len0] int64 query

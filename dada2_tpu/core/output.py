@@ -70,26 +70,29 @@ def finalize(eng: Engine, opts: DadaOptions, err_ncol: int,
     stats = [None] * nclust    # (members, trans, qacc, qcnt, nsubs)
     birth_subs: List[Optional[Sub]] = [None] * nclust
 
-    def _one_cluster(i):
-        bi = eng.clusters[i]
-        members = np.asarray(bi.slots, dtype=np.int64)
-        trans_i, qacc_i, qcnt_i, nsubs_i = eng.backend.cluster_stats(
-            bi.center, members, eng.correct[members], opts, ncol_t,
-            has_quals)
-        stats[i] = (members, trans_i, qacc_i, qcnt_i, nsubs_i)
-        if i > 0:
-            from_center = eng.clusters[bi.birth_comp_i].center
-            birth_subs[i] = eng.backend.subs_pair(
-                from_center, bi.center, opts, opts.USE_KMERS, 1.0)
-
     with PHASES("finalize.cluster_stats"):
-        if nclust > 2:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(16, nclust)) as ex:
-                list(ex.map(_one_cluster, range(nclust)))
-        else:
-            for i in range(nclust):
-                _one_cluster(i)
+        # every cluster's tallies in one fused device dispatch (one
+        # round-trip instead of nclust; reference: FinalSubsParallel's
+        # TBB loop, src/Rmain.cpp:179-236)
+        member_arrs = [np.asarray(bi.slots, dtype=np.int64)
+                       for bi in eng.clusters]
+        allstats = eng.backend.cluster_stats_all(
+            [(bi.center, mem, eng.correct[mem])
+             for bi, mem in zip(eng.clusters, member_arrs)],
+            opts, ncol_t, has_quals)
+        for i in range(nclust):
+            stats[i] = (member_arrs[i], *allstats[i])
+
+    with PHASES("finalize.birth_subs"):
+        # all birth pairs in one fused fetch (one round-trip instead of
+        # ~4 per cluster)
+        bpairs = [(eng.clusters[eng.clusters[i].birth_comp_i].center,
+                   eng.clusters[i].center) for i in range(1, nclust)]
+        if bpairs:
+            subs = eng.backend.subs_pairs(bpairs, opts, opts.USE_KMERS,
+                                          1.0)
+            for i, s in zip(range(1, nclust), subs):
+                birth_subs[i] = s
 
     clustering = _clustering_df(eng, stats, birth_subs, has_quals)
     subqual = np.zeros((16, ncol_t), dtype=np.int64)
