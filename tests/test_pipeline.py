@@ -105,3 +105,20 @@ def test_pacbio_mode(extdata, tmp_path):
                   MAX_CONSIST=3)
     assert len(res.denoised) >= 1
     assert all(len(s) > 1000 for s in res.denoised)
+
+
+def test_learn_errors_nbases_budget(extdata):
+    """The base budget cuts off sample streaming exactly like the
+    reference (R/errorModels.R:344-355): a tiny budget uses only the
+    first file, a huge one uses all."""
+    import dada2_tpu as d2
+
+    f1 = str(extdata / "sam1F.fastq.gz")
+    f2 = str(extdata / "sam2F.fastq.gz")
+    small = d2.learn_errors([f1, f2], nbases=1, MAX_CONSIST=1,
+                            verbose=False)
+    only1 = d2.learn_errors([f1], nbases=1, MAX_CONSIST=1, verbose=False)
+    np.testing.assert_array_equal(small["trans"], only1["trans"])
+    both = d2.learn_errors([f1, f2], nbases=1e12, MAX_CONSIST=1,
+                           verbose=False)
+    assert int(both["trans"].sum()) > int(small["trans"].sum())
