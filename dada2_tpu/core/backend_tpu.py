@@ -18,6 +18,7 @@ small, cached set of compiled programs.
 from __future__ import annotations
 
 import os
+import threading
 from functools import partial
 from typing import List, Optional
 
@@ -172,7 +173,7 @@ def _qlerr_table(quals, err32):
     serialize on the scalar core."""
     lerr = jnp.log(err32)                                  # [16, Q]
     Q = err32.shape[1]
-    onehot = (quals[:, :, None] ==
+    onehot = (quals.astype(jnp.int32)[:, :, None] ==
               jnp.arange(Q, dtype=jnp.int32)[None, None, :])
     # HIGHEST precision: the default TPU matmul precision truncates the
     # f32 operands to bfloat16, which would blow the log-lambda screen's
@@ -358,9 +359,35 @@ def _fused_small(tvec, seqs, lens, center, qlerr, small5):
 
 
 @jax.jit
+def _widen_i32(x):
+    """Device widen of a compact-dtype upload (construction transfers
+    travel in the smallest dtype that can carry the values)."""
+    return x.astype(jnp.int32)
+
+
+@jax.jit
 def _gather_rows(arr, idx):
     """Device gather of selected rows (the shortlist tvec/map fetch)."""
     return jnp.take(arr, idx.astype(jnp.int32), axis=0)
+
+
+# Optional tunnel simulator: DADA2_TPU_SIM_RTT_MS charges every device
+# put/fetch a fixed latency and DADA2_TPU_SIM_BW_MBPS charges its byte
+# volume, both under ONE global lock — modeling the remote rig's
+# serialized op-rate- and bandwidth-bound tunnel so orchestration and
+# transfer-volume changes can be measured on CPU without the hardware.
+_SIM_RTT = float(os.environ.get("DADA2_TPU_SIM_RTT_MS", "0")) / 1e3
+_SIM_BW = float(os.environ.get("DADA2_TPU_SIM_BW_MBPS", "0")) * 1e6
+_SIM_LOCK = threading.Lock()
+
+
+def _sim_rtt(nbytes: int = 0):
+    if _SIM_RTT > 0 or (_SIM_BW > 0 and nbytes):
+        import time as _t
+
+        dt = _SIM_RTT + (nbytes / _SIM_BW if _SIM_BW > 0 else 0.0)
+        with _SIM_LOCK:
+            _t.sleep(dt)
 
 
 def _fetch(x):
@@ -369,6 +396,9 @@ def _fetch(x):
     from ..trace import COUNTERS
 
     COUNTERS.device_fetches += 1
+    nb = int(getattr(x, "nbytes", 0))
+    COUNTERS.fetch_bytes += nb
+    _sim_rtt(nb)
     return np.asarray(x)
 
 
@@ -607,8 +637,13 @@ class _PallasBlocks:
         merged = (rawset.seqs & 3).astype(np.int32)
         if rawset.quals is not None:
             merged |= rawset.quals.astype(np.int32) << 2
-        self.d_s2q = put(nwp.pack_s2_blocks(merged, self.lens,
-                                            self.block_idx, self.L2R))
+        # the packed candidate tile's values are (qual << 2 | nt) <=
+        # 1003: upload as uint16 and widen on device (halves the
+        # biggest construction transfer; the widen is one fused
+        # elementwise op, no gathers)
+        packed16 = nwp.pack_s2_blocks(merged, self.lens, self.block_idx,
+                                      self.L2R).astype(np.uint16)
+        self.d_s2q = _widen_i32(put(packed16))
         flat = self.block_idx.reshape(-1)
         inv = np.full(rawset.n, -1, np.int64)
         # reverse-order assignment keeps the FIRST occurrence (pad lanes
@@ -700,6 +735,9 @@ class TpuBackend(CompareBackend):
             from ..trace import COUNTERS
 
             COUNTERS.device_puts += 1
+            nb = int(getattr(np.asarray(x), "nbytes", 0))
+            COUNTERS.put_bytes += nb
+            _sim_rtt(nb)
             return (jax.device_put(x, device) if device is not None
                     else jnp.asarray(x))
 
@@ -709,11 +747,13 @@ class TpuBackend(CompareBackend):
         self.d_kmers, self.d_kords = _kmer_tables(self.d_seqs,
                                                   self.d_lens)
         self._use_quals_dev = use_quals and rawset.quals is not None
+        # quals travel as uint8 (dada validates q <= 250) and widen on
+        # device — a 4x smaller construction upload at real scale
         if self._use_quals_dev:
-            self.d_quals = put(np.asarray(rawset.quals, np.int32))
+            self.d_quals = put(np.asarray(rawset.quals, np.uint8))
         else:
             self.d_quals = put(
-                np.zeros((1, rawset.seqs.shape[1]), np.int32))
+                np.zeros((1, rawset.seqs.shape[1]), np.uint8))
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = rawset.max_len
         import os

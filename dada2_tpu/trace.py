@@ -27,6 +27,8 @@ class Counters:
     # latency floor of a run before ever touching the hardware
     device_puts: int = 0       # host -> device uploads
     device_fetches: int = 0    # forcing device -> host reads
+    put_bytes: int = 0
+    fetch_bytes: int = 0
 
     def reset(self) -> None:
         self.compares = 0
@@ -36,6 +38,8 @@ class Counters:
         self.compare_seconds = 0.0
         self.device_puts = 0
         self.device_fetches = 0
+        self.put_bytes = 0
+        self.fetch_bytes = 0
 
     def alignments_per_sec(self) -> float:
         if self.compare_seconds == 0:
@@ -47,8 +51,10 @@ class Counters:
                 f"{self.gapless} gapless) in {self.compares} compares, "
                 f"{self.compare_seconds:.2f}s "
                 f"({self.alignments_per_sec():.0f} aligns/s); "
-                f"device ops: {self.device_puts} puts, "
-                f"{self.device_fetches} fetches")
+                f"device ops: {self.device_puts} puts "
+                f"({self.put_bytes / 1e6:.1f}MB), "
+                f"{self.device_fetches} fetches "
+                f"({self.fetch_bytes / 1e6:.1f}MB)")
 
 
 COUNTERS = Counters()
