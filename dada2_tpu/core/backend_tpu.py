@@ -641,9 +641,11 @@ class _PallasBlocks:
         # 1003: upload as uint16 and widen on device (halves the
         # biggest construction transfer; the widen is one fused
         # elementwise op, no gathers)
-        packed16 = nwp.pack_s2_blocks(merged, self.lens, self.block_idx,
-                                      self.L2R).astype(np.uint16)
-        self.d_s2q = _widen_i32(put(packed16))
+        packed = nwp.pack_s2_blocks(merged, self.lens, self.block_idx,
+                                    self.L2R)
+        small_t = (np.uint8 if (not packed.size or packed.max() <= 255)
+                   else np.uint16)  # MiSeq quals fit a byte; PacBio q93 doesn't
+        self.d_s2q = _widen_i32(put(packed.astype(small_t)))
         flat = self.block_idx.reshape(-1)
         inv = np.full(rawset.n, -1, np.int64)
         # reverse-order assignment keeps the FIRST occurrence (pad lanes
