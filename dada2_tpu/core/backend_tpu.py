@@ -358,11 +358,49 @@ def _fused_small(tvec, seqs, lens, center, qlerr, small5):
          small5[:, 4:5]], axis=1)
 
 
-@jax.jit
-def _widen_i32(x):
-    """Device widen of a compact-dtype upload (construction transfers
-    travel in the smallest dtype that can carry the values)."""
-    return x.astype(jnp.int32)
+@partial(jax.jit, static_argnames=("W",))
+def _unpack_seqs(packed2, lens, *, W):
+    """Device unpack of the 2-bit sequence upload back to the int8 code
+    matrix (A=0..T=3, pad = -1 i.e. the uint8 255 the host uses).
+    Sequences are ACGT-only (validated in dada()), so codes fit 2 bits
+    and the biggest construction transfer travels at a quarter of its
+    int8 volume; the unpack is pure elementwise ops + reshape (no
+    gathers, which serialize on the TPU scalar core)."""
+    n, _ = packed2.shape
+    cols = jnp.stack([(packed2 >> s) & 3 for s in (0, 2, 4, 6)],
+                     axis=2).reshape(n, -1)[:, :W]
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    return jnp.where(pos < lens[:, None], cols,
+                     jnp.int32(-1)).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("L2R", "with_quals"))
+def _pack_s2_dev(seqs, quals, lens, block_idx, l2max, *, L2R,
+                 with_quals):
+    """Device-side build of the kernel's reversed right-aligned merged
+    (qual << 2 | nt) candidate tile [nblocks, L2R, LANES] — the exact
+    layout of ops/nw_pallas.pack_s2_blocks, derived on device from the
+    seq/qual uploads so the tile itself (the single biggest construction
+    transfer, ~L2R bytes/unique) never crosses the tunnel. Row gather +
+    flip + per-block dynamic slice; no element gathers."""
+    merged = (seqs & 3).astype(jnp.int32)
+    if with_quals:
+        merged = merged | (quals.astype(jnp.int32) << 2)
+    W = seqs.shape[1]
+    seg = jnp.take(merged, block_idx, axis=0)          # [nb, lanes, W]
+    lb = jnp.take(lens, block_idx, axis=0)             # [nb, lanes]
+    # want out[bi, t, lane] = merged[row, l2max[bi]-1-t] for the kept
+    # region; flip so that slice offset (W - l2max) aligns position
+    # l2max-1-t with flipped index W - l2max + t
+    segf = jnp.pad(seg[:, :, ::-1], ((0, 0), (0, 0), (0, L2R)))
+    lanes = seg.shape[1]
+    out = jax.vmap(lambda a, o: jax.lax.dynamic_slice(
+        a, (0, o), (lanes, L2R)))(segf, W - l2max)
+    out = jnp.swapaxes(out, 1, 2)                      # [nb, L2R, lanes]
+    t_idx = jnp.arange(L2R, dtype=jnp.int32)[None, :, None]
+    l2m = l2max[:, None, None]
+    keep = (t_idx >= l2m - lb[:, None, :]) & (t_idx < l2m)
+    return jnp.where(keep, out, 0)
 
 
 @jax.jit
@@ -619,7 +657,8 @@ class _PallasBlocks:
     # roughly the time of one
     BLOCK_FUSE = int(os.environ.get("DADA2_TPU_BLOCK_FUSE", "2"))
 
-    def __init__(self, rawset: RawSet, put=jnp.asarray):
+    def __init__(self, rawset: RawSet, put=jnp.asarray, d_seqs=None,
+                 d_quals=None, d_lens=None):
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = int(self.lens.max())
         self.lanes = nwp.LANES
@@ -631,21 +670,25 @@ class _PallasBlocks:
         # bucket share one program (the fill/traceback loops are runtime-
         # bounded by the true lengths; padding costs memory only)
         self.L2R = nwp._round_up(self.maxlen + 128, 128)
-        # merged (qual << 2 | nt) candidate tile: one kernel input
-        # carries chars and quals in the reversed right-aligned layout;
-        # merging BEFORE packing halves the packing pass
-        merged = (rawset.seqs & 3).astype(np.int32)
-        if rawset.quals is not None:
-            merged |= rawset.quals.astype(np.int32) << 2
-        # the packed candidate tile's values are (qual << 2 | nt) <=
-        # 1003: upload as uint16 and widen on device (halves the
-        # biggest construction transfer; the widen is one fused
-        # elementwise op, no gathers)
-        packed = nwp.pack_s2_blocks(merged, self.lens, self.block_idx,
-                                    self.L2R)
-        small_t = (np.uint8 if (not packed.size or packed.max() <= 255)
-                   else np.uint16)  # MiSeq quals fit a byte; PacBio q93 doesn't
-        self.d_s2q = _widen_i32(put(packed.astype(small_t)))
+        # merged (qual << 2 | nt) candidate tile in the kernel's reversed
+        # right-aligned layout, DERIVED ON DEVICE from the seq/qual
+        # uploads (ops/nw_pallas.pack_s2_blocks is the host oracle): the
+        # tile is the biggest construction transfer (~L2R bytes/unique)
+        # and every uploaded byte costs tunnel time on remote chips, so
+        # only the [nblocks, LANES] block index crosses instead
+        if d_seqs is None:
+            d_seqs = put(np.asarray(rawset.seqs, np.int8))
+        if d_lens is None:
+            d_lens = put(np.asarray(rawset.lens, np.int32))
+        if rawset.quals is not None and d_quals is None:
+            d_quals = put(np.asarray(rawset.quals, np.uint8))
+        l2max = (self.lens[self.block_idx].max(axis=1)
+                 if self.nblocks else np.zeros(0, np.int64))
+        self.d_s2q = _pack_s2_dev(
+            d_seqs, d_quals if rawset.quals is not None else d_seqs,
+            d_lens, put(self.block_idx.astype(np.int32)),
+            put(l2max.astype(np.int32)), L2R=self.L2R,
+            with_quals=rawset.quals is not None)
         flat = self.block_idx.reshape(-1)
         inv = np.full(rawset.n, -1, np.int64)
         # reverse-order assignment keeps the FIRST occurrence (pad lanes
@@ -744,8 +787,15 @@ class TpuBackend(CompareBackend):
                     else jnp.asarray(x))
 
         self._put = put
-        self.d_seqs = put(np.asarray(rawset.seqs, np.int8))
         self.d_lens = put(np.asarray(rawset.lens, np.int32))
+        # sequences travel 2-bit packed (codes are ACGT-only; the pad
+        # byte 255 is rebuilt on device), a 4x smaller upload than int8
+        W = rawset.seqs.shape[1]
+        sq = np.zeros((rawset.n, ((W + 3) // 4) * 4), np.uint8)
+        sq[:, :W] = rawset.seqs & 3
+        packed2 = (sq[:, 0::4] | (sq[:, 1::4] << 2)
+                   | (sq[:, 2::4] << 4) | (sq[:, 3::4] << 6))
+        self.d_seqs = _unpack_seqs(put(packed2), self.d_lens, W=W)
         self.d_kmers, self.d_kords = _kmer_tables(self.d_seqs,
                                                   self.d_lens)
         self._use_quals_dev = use_quals and rawset.quals is not None
@@ -777,7 +827,10 @@ class TpuBackend(CompareBackend):
         self._interpret = plat == "cpu"
         self._pb: Optional[_PallasBlocks] = None
         if self.use_pallas:
-            self._pb = _PallasBlocks(rawset, put)
+            self._pb = _PallasBlocks(
+                rawset, put, d_seqs=self.d_seqs,
+                d_quals=(self.d_quals if self._use_quals_dev else None),
+                d_lens=self.d_lens)
         # byte-budgeted LRU of per-center alignments; the finalize pass
         # re-reads every final center's sweep (subs_info/cluster_stats/
         # birth subs), so the budget must hold ~nclusters entries or

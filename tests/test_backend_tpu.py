@@ -207,3 +207,39 @@ def test_compare_shortlist_path(sample, monkeypatch):
     assert (ham_k[skip2] == -1).all()
     assert (lam_k[skip2] == 0).all()
     assert naligned2 == int((ham_full >= 0) .sum() - (ham_full[skip2] >= 0).sum())
+
+
+def test_device_construction_derivations():
+    """The 2-bit seq upload and the device-derived merged candidate tile
+    must reproduce the host encodings bit-for-bit (the host
+    ops/nw_pallas.pack_s2_blocks stays as the oracle)."""
+    import dada2_tpu.ops.nw_pallas as nwp
+
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"),
+                               size=rng.integers(60, 121)))
+            for _ in range(300)]
+    quals = np.full((300, 120), np.nan)
+    for i, s in enumerate(seqs):
+        quals[i, : len(s)] = rng.integers(2, 94, len(s))  # incl. q93
+    rs = make_rawset(seqs, np.arange(1, 301), None, quals)
+    bk = TpuBackend(rs, use_quals=True)
+    assert np.array_equal(np.asarray(bk.d_seqs),
+                          np.asarray(rs.seqs, np.int8))
+    from dada2_tpu.core.backend_tpu import _PallasBlocks
+    pb = bk._pb or _PallasBlocks(rs, bk._put, d_seqs=bk.d_seqs,
+                                 d_quals=bk.d_quals, d_lens=bk.d_lens)
+    merged = ((rs.seqs & 3).astype(np.int32)
+              | (rs.quals.astype(np.int32) << 2))
+    host = nwp.pack_s2_blocks(merged, rs.lens, pb.block_idx, pb.L2R)
+    assert np.array_equal(host, np.asarray(pb.d_s2q))
+    # quality-free variant (merged tile carries chars only)
+    rs2 = make_rawset(seqs, np.arange(1, 301))
+    bk2 = TpuBackend(rs2, use_quals=False)
+    assert np.array_equal(np.asarray(bk2.d_seqs),
+                          np.asarray(rs2.seqs, np.int8))
+    pb2 = bk2._pb or _PallasBlocks(rs2, bk2._put, d_seqs=bk2.d_seqs,
+                                   d_lens=bk2.d_lens)
+    host2 = nwp.pack_s2_blocks((rs2.seqs & 3).astype(np.int32),
+                               rs2.lens, pb2.block_idx, pb2.L2R)
+    assert np.array_equal(host2, np.asarray(pb2.d_s2q))
