@@ -315,8 +315,7 @@ def _i16col(x):
         x.astype(jnp.int16)[:, None], jnp.int8).reshape(-1, 2)
 
 
-@jax.jit
-def _fused_small(tvec, seqs, lens, center, qlerr, small5):
+def _small_trace(tvec, seqs, lens, center, qlerr, small5):
     """ERROR-MATRIX-DEPENDENT half of the compare sweep: f32 log-lambda
     and |log-factor| sums under the error matrix baked into qlerr (the
     screen for the exact host float64 product, reference:
@@ -356,6 +355,93 @@ def _fused_small(tvec, seqs, lens, center, qlerr, small5):
     return jnp.concatenate(
         [small5[:, :4], f32col(loglam_sel), f32col(abssum_sel),
          small5[:, 4:5]], axis=1)
+
+
+_fused_small = jax.jit(_small_trace)
+
+
+def _subs_tile_trace(tvec, seqs, lens, center, flags, idx, *, K):
+    """[M, K] uint16 substitution tile for the given rows: the final
+    tvec of a row is 5*nt1 (the self transition) at EVERY query position
+    except substitutions, which hold 4*nt0+nt1 (reference:
+    src/pval.cpp:104-130) — so (position, nt0) pairs are the ONLY
+    device information the host lambda product needs. Entries are
+    ``pos | nt0 << 14`` in ascending position order; a row's first
+    ham entries are valid (ham > K rows overflow and are re-fetched
+    densely by the host). The device gapless flag selects between the
+    aligned traceback tvec and the pad-to-length construction, exactly
+    like the dense fetch paths."""
+    W = seqs.shape[1]
+    s0 = seqs[center].astype(jnp.int32)
+    s1 = jnp.take(seqs, idx, axis=0).astype(jnp.int32)       # [M, W]
+    l2 = jnp.take(lens, idx)
+    l1 = lens[center]
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    validp = pos < l2[:, None]
+    gtv = jnp.where(validp, 5 * s1, 16)
+    gtv = jnp.where((pos < jnp.minimum(l2, l1)[:, None])
+                    & (s0[None, :] != s1), 4 * s0[None, :] + s1, gtv)
+    gl = (jnp.take(flags, idx) & 2) != 0
+    tv = jnp.where(gl[:, None], gtv,
+                   jnp.take(tvec, idx, axis=0).astype(jnp.int32))
+    is_sub = validp & (tv != 5 * s1)
+    order2 = jnp.argsort(~is_sub, axis=1, stable=True).astype(jnp.int32)
+    posK = order2[:, :K]                                     # [M, K]
+    codeK = jnp.take_along_axis(tv, posK, axis=1)
+    subK = jnp.take_along_axis(is_sub, posK, axis=1)
+    packed = jnp.where(subK, posK | ((codeK >> 2) << 14),
+                       jnp.int32(0xFFFF))
+    return packed.astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("L", "M0", "K"))
+def _budded_fused(tvec, small5, seqs, lens, center, qlerr, eth2, *, L,
+                  M0, K):
+    """The WHOLE error-dependent half of a budded compare in one device
+    call: small pack + store-screen shortlist + substitution tiles,
+    packed so the compare costs exactly ONE host fetch.
+
+    Returns (buf, order, small13): buf = [16B header: m, naligned,
+    nshroud, 0 | M0 x i32 indices | M0 x 13B small rows | M0 x K u16
+    substitution entries]; order is the full compaction for a follow-up
+    _take_subs when m > M0; small13 stays on device for the finalize
+    paths (cached per error matrix, exactly what _fused_small builds).
+    See _shortlist_screen for the store-screen margin soundness."""
+    small = _small_trace(tvec, seqs, lens, center, qlerr, small5)
+    header, order = _shortlist_screen(small, eth2, L=L)
+    idx = order[:M0]
+    rows = jnp.take(small, idx, axis=0)
+    subs = _subs_tile_trace(tvec, seqs, lens, center, small5[:, 4], idx,
+                            K=K)
+    buf = jnp.concatenate([
+        jax.lax.bitcast_convert_type(header, jnp.int8).reshape(-1),
+        jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
+        rows.reshape(-1),
+        jax.lax.bitcast_convert_type(subs, jnp.int8).reshape(-1)])
+    return buf, order, small
+
+
+@partial(jax.jit, static_argnames=("M", "K"))
+def _take_subs(small, tvec, seqs, lens, center, order, *, M, K):
+    """Follow-up fetch when the shortlist overflows M0: indices, small
+    rows and substitution tiles for the first M compacted rows, in one
+    buffer (M is bucketed so programs are reused)."""
+    idx = jax.lax.dynamic_slice_in_dim(order, 0, M)
+    rows = jnp.take(small, idx, axis=0)
+    subs = _subs_tile_trace(tvec, seqs, lens, center,
+                            small[:, 12], idx, K=K)
+    return jnp.concatenate([
+        jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
+        rows.reshape(-1),
+        jax.lax.bitcast_convert_type(subs, jnp.int8).reshape(-1)])
+
+
+@partial(jax.jit, static_argnames=("K",))
+def _gather_subs(tvec, seqs, lens, center, flags, idx, *, K):
+    """Substitution tiles for an explicit row upload (the full-compare
+    path's bulk fetch; rows with ham > K are re-fetched densely)."""
+    return _subs_tile_trace(tvec, seqs, lens, center, flags,
+                            idx.astype(jnp.int32), K=K)
 
 
 @partial(jax.jit, static_argnames=("W",))
@@ -440,11 +526,8 @@ def _fetch(x):
     return np.asarray(x)
 
 
-@partial(jax.jit, static_argnames=("L", "M0", "M1"))
-def _shortlist_fused(small, tvec, seqs, lens, center, eth2, *, L, M0,
-                     M1):
-    """Device store-screen + compaction for a budded compare, packed for
-    ONE host fetch.
+def _shortlist_screen(small, eth2, *, L):
+    """Device store-screen + compaction for a budded compare.
 
     The engine stores a comparison iff lambda * total_reads > E_minmax
     (reference: src/cluster.cpp:179-201), i.e. iff log(lambda) >
@@ -457,15 +540,9 @@ def _shortlist_fused(small, tvec, seqs, lens, center, eth2, *, L, M0,
     drop one; negatives/zeros land in the kept branch regardless) and
     the greedy-skip mask bit-packed little-endian (4x less upload than
     the old [2, n] f32, which costs real milliseconds per compare on a
-    remote-attached chip). Returns (buf, order): buf is a single int8 buffer
-    [16B header: m, naligned, nshroud, 0 | M0 x i32 indices | M0 x 13B
-    small rows | M1 x ceil(W/2)B 4-bit tvec rows] holding the first M0
-    shortlisted rows and, for the first M1, their final transition
-    vectors (gapless rows get the device-built pad-to-length tvec,
-    reference: src/nwalign_endsfree.cpp:539-555) — in steady state the
-    shortlist is tiny and this ONE fetch replaces the two follow-up
-    tvec round-trips; order is the full device-side compaction for a
-    follow-up _shortlist_take when m > M0.
+    remote-attached chip). Returns (header [4] i32: m, naligned,
+    nshroud, 0; order = the stable compaction putting shortlisted rows
+    first).
 
     Margin soundness (all-f32 version of the host rule): device loglam
     differs from the exact log lambda by at most eps*(5L + (L+5)*S)
@@ -499,34 +576,7 @@ def _shortlist_fused(small, tvec, seqs, lens, center, eth2, *, L, M0,
                         (shroud & ~nskip).sum(),
                         jnp.zeros((), jnp.int32)]).astype(jnp.int32)
     order = jnp.argsort(~need, stable=True).astype(jnp.int32)
-    idx = order[:M0]
-    rows = jnp.take(small, idx, axis=0)
-    # final per-row tvec for the first M1 shortlisted rows: the device
-    # gapless flag selects between the aligned traceback tvec and the
-    # pad-to-length construction (host masks pad positions by length,
-    # so the 4-bit pack's loss of code 16 is harmless)
-    idx1 = order[:M1]
-    gl1 = (jnp.take(flags, idx1) & 2) != 0
-    s0 = seqs[center].astype(jnp.int32)
-    s1 = jnp.take(seqs, idx1, axis=0).astype(jnp.int32)
-    l2 = jnp.take(lens, idx1)
-    l1 = lens[center]
-    pos = jnp.arange(seqs.shape[1], dtype=jnp.int32)[None, :]
-    validp = pos < l2[:, None]
-    gtv = jnp.where(validp, 5 * s1, 16)
-    gtv = jnp.where((pos < jnp.minimum(l2, l1)[:, None])
-                    & (s0[None, :] != s1), 4 * s0[None, :] + s1, gtv)
-    tv = jnp.where(gl1[:, None], gtv,
-                   jnp.take(tvec, idx1, axis=0).astype(jnp.int32))
-    tv = tv.astype(jnp.uint8) & 15
-    if tv.shape[1] % 2:
-        tv = jnp.pad(tv, ((0, 0), (0, 1)))
-    tv4 = (tv[:, 0::2] | (tv[:, 1::2] << 4)).astype(jnp.int8)
-    buf = jnp.concatenate([
-        jax.lax.bitcast_convert_type(header, jnp.int8).reshape(-1),
-        jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
-        rows.reshape(-1), tv4.reshape(-1)])
-    return buf, order
+    return header, order
 
 
 @jax.jit
@@ -537,14 +587,6 @@ def _small_cols5(small):
     every candidate's exact lambda anyway, so the loglam/abssum bytes
     are dead weight on the wire)."""
     return jnp.concatenate([small[:, :4], small[:, 12:13]], axis=1)
-
-
-@partial(jax.jit, static_argnames=("M",))
-def _shortlist_take(small, order, M):
-    """Gather the first M rows of the compacted order (indices + their
-    small-pack rows travel together; M is bucketed so programs reuse)."""
-    idx = jax.lax.dynamic_slice_in_dim(order, 0, M)
-    return idx, jnp.take(small, idx, axis=0)
 
 
 @jax.jit
@@ -745,16 +787,18 @@ class TpuBackend(CompareBackend):
     # scan path remains the fallback (and the CPU-test path)
     VMEM_SLAB_CAP = 12 * 1024 * 1024
     # minimum unique count for the shortlisted budded-compare fetch;
-    # with the tvec piggyback the shortlist path costs ONE round-trip
-    # (vs three for the full-slab path), so it wins at every size
+    # with the substitution-tile piggyback the shortlist path costs ONE
+    # round-trip (vs three for the full-slab path), so it wins at every
+    # size
     SHORTLIST_MIN_N = 0
-    # shortlist rows piggybacked on the header fetch; > this takes a
-    # second (bucketed) gather fetch
-    SHORTLIST_M0 = 1024
-    # shortlist rows whose final tvec ALSO rides the header fetch
-    # (~L/2 bytes each); covers the steady-state shortlist so a budded
-    # compare costs exactly one round-trip
-    SHORTLIST_TVEC = 128
+    # fixed shortlist buffer size override (None = adaptive from the
+    # previous buds' m, see _predict_m0; tests pin it small to exercise
+    # the follow-up-fetch branch)
+    SHORTLIST_M0 = None
+    # substitution entries per shortlist row riding the single fetch
+    # (2 bytes each); rows with more substitutions than this re-fetch
+    # densely
+    SHORTLIST_K = 16
     # align-cache byte budget: must hold every final center's sweep or
     # finalize re-dispatches them (HBM is 16GB/chip; the multi-sample
     # driver shares it across ~6 concurrent backends)
@@ -843,6 +887,12 @@ class TpuBackend(CompareBackend):
         self._thr_cache: dict = {}
         self._tvec_host_cache: dict = {}
         self._center_cache: dict = {}
+        # shortlist-size history for the adaptive budded-compare buffer
+        # (ordinal k = the k-th bud since the last init compare; the
+        # selfConsist loop repeats the same shrinking-m pattern each
+        # round, so last round's m at the same ordinal is the predictor)
+        self._bud_ordinal = 0
+        self._m_by_ordinal: dict = {}
         import threading
         self._cache_lock = threading.Lock()
 
@@ -914,21 +964,16 @@ class TpuBackend(CompareBackend):
             return None
         return wp, NDP, L1R
 
-    def _align_all_pallas(self, center: int, opts: DadaOptions, geom,
-                          err: Optional[np.ndarray] = None):
-        """Align every unique against the center with the wavefront
-        kernel; returns device (kinds, p0, p1, ham, tvec, ok, small) in
-        original row order (kinds rows diagonal-ascending).
+    def _align_ent(self, center: int, opts: DadaOptions, geom):
+        """Error-matrix-INDEPENDENT half of the compare sweep for one
+        center: the cached [mapq, tvec, small5, {err_key: small13}]
+        align-cache entry (running the wavefront kernel on a miss).
 
         Blocks are bucketed by window width so narrow-length blocks never
         pay the widest block's compute; each bucket's block count is
-        padded to a power of two to bound compile diversity.
-
-        err feeds the err-dependent log-lambda half (_fused_small); the
-        alignment half is cached per center INDEPENDENT of err, so
-        selfConsist rounds after the first never re-run the kernel.
-        err=None accepts a small pack computed under ANY err (for
-        lambda-free consumers: the finalize subs path)."""
+        padded to a power of two to bound compile diversity. Cached per
+        center INDEPENDENT of the error matrix, so selfConsist rounds
+        after the first never re-run the kernel."""
         wp, NDP, L1R = geom
         pb = self._pb
         len1 = int(self.lens[center])
@@ -1009,24 +1054,43 @@ class TpuBackend(CompareBackend):
                                 sum(int(x.nbytes) for x in old[:3])
                                 + sum(int(s.nbytes)
                                       for s in old[3].values()))
+        return ent
 
+    def _small_cached(self, ent, err):
+        """The cached per-error small13 pack of an align entry, or None.
+        err=None accepts a pack computed under ANY error matrix (for
+        lambda-free consumers: the finalize subs paths)."""
         err_key = ("any",) if err is None else hash(err.tobytes())
         with self._cache_lock:
             smalls = ent[3]
             if err is None and smalls:
-                small = next(reversed(smalls.values()))
-            else:
-                small = smalls.get(err_key)
+                return next(reversed(smalls.values()))
+            return smalls.get(err_key)
+
+    def _small_insert(self, ent, err, small):
+        """Insert a small13 pack into an align entry's per-error cache;
+        returns the winning copy under races."""
+        err_key = ("any",) if err is None else hash(err.tobytes())
+        with self._cache_lock:
+            smalls = ent[3]
+            if err_key not in smalls:
+                smalls[err_key] = small
+                self._align_cache_bytes += int(small.nbytes)
+            return smalls[err_key]
+
+    def _align_all_pallas(self, center: int, opts: DadaOptions, geom,
+                          err: Optional[np.ndarray] = None):
+        """Full fused compare sweep vs one center: returns device
+        (mapq, tvec, small13) in original row order; the align half
+        comes from the per-center cache (_align_ent) and the
+        err-dependent small pack from the per-error cache."""
+        ent = self._align_ent(center, opts, geom)
+        small = self._small_cached(ent, err)
         if small is None:
             small = _fused_small(ent[1], self.d_seqs, self.d_lens,
                                  self._center_dev(center),
                                  self._get_qlerr(err), ent[2])
-            with self._cache_lock:
-                if err_key not in smalls:
-                    smalls[err_key] = small
-                    self._align_cache_bytes += int(small.nbytes)
-                else:
-                    small = smalls[err_key]
+            small = self._small_insert(ent, err, small)
         return ent[0], ent[1], small
 
     def _unpack_small(self, packed: np.ndarray):
@@ -1263,18 +1327,23 @@ class TpuBackend(CompareBackend):
         l1 = int(self.lens[center])
         geom = self._pallas_ok(l1, opts) if opts.BAND_SIZE != 0 else None
 
-        if (geom is not None and use_kmers and e_thresh is not None
-                and float(kdist_cutoff) == float(opts.KDIST_CUTOFF)
-                and np.any(e_thresh > 0)):
+        budded = (geom is not None and use_kmers and e_thresh is not None
+                  and float(kdist_cutoff) == float(opts.KDIST_CUTOFF)
+                  and np.any(e_thresh > 0))
+        if budded:
             # budded compare: the store screen runs ON DEVICE and only
-            # the surviving shortlist is ever fetched (two small fetches
-            # instead of the full [n, 13] slab; the E_minmax prune makes
-            # the shortlist a tiny fraction of n in steady state)
-            res = self._align_all_pallas(center, opts, geom, err)
+            # the surviving shortlist is ever fetched (ONE fetch
+            # carrying indices, small rows AND substitution tiles; the
+            # E_minmax prune makes the shortlist a tiny fraction of n
+            # in steady state)
             out = self._compare_shortlisted(center, skip, opts, err,
-                                            e_thresh, res)
+                                            e_thresh, geom)
             if out is not None:
                 return out
+        else:
+            # engine run restarting (init compare): the adaptive
+            # shortlist sizing keys its history by bud ordinal
+            self._bud_ordinal = 0
 
         if geom is not None:
             # fast path: ONE fused device call + ONE small host fetch;
@@ -1335,22 +1404,73 @@ class TpuBackend(CompareBackend):
                                   use_kmers, kdist_cutoff, minsum, kmatch,
                                   l1)
 
+    def _predict_m0(self, n: int) -> int:
+        """Static shortlist buffer size for the next budded compare.
+
+        The true shortlist size m is only known after the fetch, so the
+        buffer is sized from history: the same bud ordinal of the
+        previous engine run on this backend (selfConsist rounds repeat
+        the same shrinking-m pattern), else half an order above the
+        previous bud's m. A fixed menu bounds compile diversity; a
+        too-small pick costs one follow-up fetch, a too-large one costs
+        only its own bytes. SHORTLIST_M0 forces a fixed size (tests)."""
+        if self.SHORTLIST_M0 is not None:
+            return min(self.SHORTLIST_M0, n)
+        pred = self._m_by_ordinal.get(self._bud_ordinal)
+        if pred is not None:
+            pred += pred // 2 + 16
+        else:
+            last = self._m_by_ordinal.get(self._bud_ordinal - 1)
+            pred = 2 * last + 16 if last is not None else n // 3
+        M0 = 256
+        while M0 < pred and M0 < n:
+            M0 *= 4
+        return min(M0, n)
+
+    def _tvec_from_subs(self, rows: np.ndarray, subs: np.ndarray,
+                        counts: np.ndarray) -> np.ndarray:
+        """Reconstruct final transition vectors from substitution tiles:
+        tvec is 5*nt1 (the self transition) at every query position
+        except the tile's (pos, nt0) substitution entries (reference:
+        src/pval.cpp:104-130); only each row's first ``counts`` entries
+        are valid. Positions past a row's length are masked downstream
+        by _lambdas, exactly like the dense fetch path."""
+        s1 = self.rs.seqs[rows].astype(np.int64)
+        t = 5 * s1
+        K = subs.shape[1]
+        vm = np.arange(K)[None, :] < counts[:, None]
+        if vm.any():
+            pos = (subs & 0x3FFF).astype(np.int64)
+            r = np.broadcast_to(np.arange(len(rows))[:, None],
+                                subs.shape)
+            rv, pv = r[vm], pos[vm]
+            t[rv, pv] = 4 * (subs[vm] >> 14).astype(np.int64) + s1[rv, pv]
+        return t
+
     def _compare_shortlisted(self, center: int, skip: np.ndarray,
                              opts: DadaOptions, err: np.ndarray,
-                             e_thresh: np.ndarray, res):
+                             e_thresh: np.ndarray, geom):
         """Shortlist variant of the fused compare: device store-screen +
-        compacted fetch. Returns (lam, ham) with ham == -2 marking rows
-        that were aligned on device but provably never stored by the
-        engine (their exact lambda is irrelevant and never computed);
-        sets self.last_stats = (naligned, nshrouded) from the device
-        scalars so the engine's counters stay exact. Returns None when
-        the shortlist is so large that the full-slab fetch is cheaper,
-        and for small samples where the whole slab is RTT-scale anyway
-        (the shortlist's extra upload+fetch would cost more than it
-        saves)."""
+        compacted single-fetch. Returns (lam, ham) with ham == -2
+        marking rows that were aligned on device but provably never
+        stored by the engine (their exact lambda is irrelevant and never
+        computed); sets self.last_stats = (naligned, nshrouded) from the
+        device scalars so the engine's counters stay exact. Returns None
+        when the shortlist is so large that the full-slab fetch is
+        cheaper (the full path then reuses the small pack this call
+        already computed and cached).
+
+        The ONE fetch carries indices, small rows and substitution
+        tiles for up to M0 rows; m > M0 takes one follow-up fetch, and
+        rows whose substitution count overflows the K-wide tile are
+        re-fetched densely (gapless overflows rebuild on host for
+        free)."""
         n = self.rs.n
         if n < self.SHORTLIST_MIN_N:
             return None
+        ent = self._align_ent(center, opts, geom)
+        K = self.SHORTLIST_K
+        M0 = self._predict_m0(n)
         # ONE packed upload: bf16 e_thresh lower bound + bit-packed skip
         nb = (n + 7) // 8
         ethbuf = np.empty(2 * n + nb, np.uint8)
@@ -1359,63 +1479,67 @@ class TpuBackend(CompareBackend):
             np.uint16).view(np.uint8)
         ethbuf[2 * n:] = np.packbits(np.asarray(skip, bool),
                                      bitorder="little")
-        M0 = min(self.SHORTLIST_M0, n)
-        M1 = min(self.SHORTLIST_TVEC, M0)
-        buf_d, order = _shortlist_fused(res[2], res[1], self.d_seqs,
-                                        self.d_lens,
-                                        self._center_dev(center),
-                                        self._put(ethbuf.view(np.int8)),
-                                        L=self.maxlen, M0=M0, M1=M1)
+        d_center = self._center_dev(center)
+        buf_d, order, small13 = _budded_fused(
+            ent[1], ent[2], self.d_seqs, self.d_lens, d_center,
+            self._get_qlerr(err), self._put(ethbuf.view(np.int8)),
+            L=self.maxlen, M0=M0, K=K)
+        small13 = self._small_insert(ent, err, small13)
         buf = _fetch(buf_d)
         m, naligned, nshroud = buf[:16].copy().view(np.int32)[:3]
         m, naligned, nshroud = int(m), int(naligned), int(nshroud)
-        if m * (SMALL_PACK_BYTES + 4) > n * SMALL_PACK_BYTES:
-            return None
+        self._m_by_ordinal[self._bud_ordinal] = m
+        self._bud_ordinal += 1
+        # no full-slab fallback: even at m == n the shortlist transport
+        # (17 + 2K bytes/row) undercuts the full path's 13B small slab
+        # plus ~L/2B dense tvec gathers
         lam = np.zeros(n)
         ham = np.full(n, -2, dtype=np.int64)
         ham[np.asarray(skip, bool)] = -1
         self.last_stats = (naligned, nshroud)
         if m == 0:
             return lam, ham
-        off_tv = 16 + 4 * M0 + M0 * SMALL_PACK_BYTES
         if m <= M0:
-            rows_idx = buf[16: 16 + 4 * M0].copy().view(
+            o1 = 16 + 4 * M0
+            o2 = o1 + M0 * SMALL_PACK_BYTES
+            rows_idx = buf[16: o1].copy().view(
                 np.int32)[:m].astype(np.int64)
-            packed = buf[16 + 4 * M0: off_tv].reshape(
-                M0, SMALL_PACK_BYTES)[:m]
+            packed = buf[o1: o2].reshape(M0, SMALL_PACK_BYTES)[:m]
+            subs = buf[o2:].copy().view(np.uint16).reshape(M0, K)[:m]
         else:
             M = min(_bucket(m), n)
-            idx_d, rows_d = _shortlist_take(res[2], order, M)
-            rows_idx = np.asarray(idx_d)[:m].astype(np.int64)
-            packed = np.asarray(rows_d)[:m]
+            buf2 = _fetch(_take_subs(small13, ent[1], self.d_seqs,
+                                     self.d_lens, d_center, order,
+                                     M=M, K=K))
+            o1 = 4 * M
+            o2 = o1 + M * SMALL_PACK_BYTES
+            rows_idx = buf2[:o1].copy().view(
+                np.int32)[:m].astype(np.int64)
+            packed = buf2[o1: o2].reshape(M, SMALL_PACK_BYTES)[:m]
+            subs = buf2[o2:].copy().view(np.uint16).reshape(M, K)[:m]
         (ham_all, ham_gl, _loglam, _abssum, ok, gl_bit,
          _sh) = self._unpack_small(packed)
-        gl_rows = rows_idx[gl_bit]
-        al_rows = rows_idx[~gl_bit]
-        if len(al_rows) and not ok[~gl_bit].all():
+        if (~gl_bit).any() and not ok[~gl_bit].all():
             raise RuntimeError("N-W Align out of range.")
-        ham[gl_rows] = ham_gl[gl_bit]
-        ham[al_rows] = ham_all[~gl_bit]
+        ham_sel = np.where(gl_bit, ham_gl, ham_all)
+        ham[rows_idx] = ham_sel
         from ..trace import COUNTERS
 
-        COUNTERS.gapless += len(gl_rows)
-        if m <= M1:
-            # tvec rows rode along in the single fetch (4-bit packed;
-            # pad positions are masked by length in _lambdas)
-            W = self.rs.seqs.shape[1]
-            nb2 = (W + 1) // 2
-            tv4 = buf[off_tv:].reshape(M1, nb2)[:m].view(np.uint8)
-            tvals = np.empty((m, nb2 * 2), np.uint8)
-            tvals[:, 0::2] = tv4 & 15
-            tvals[:, 1::2] = tv4 >> 4
-            lam[rows_idx] = self._lambdas(rows_idx, tvals[:, :W], err)
-            return lam, ham
-        if len(gl_rows):
-            tvec, _ = self._gapless_tvec_ham(center, gl_rows)
-            lam[gl_rows] = self._lambdas(gl_rows, tvec, err)
-        if len(al_rows):
-            tvec = self._fetch_tvec_rows(res[1], al_rows)
-            lam[al_rows] = self._lambdas(al_rows, tvec, err)
+        COUNTERS.gapless += int(gl_bit.sum())
+        fits = ham_sel <= K
+        if fits.any():
+            rf = rows_idx[fits]
+            lam[rf] = self._lambdas(
+                rf, self._tvec_from_subs(rf, subs[fits], ham_sel[fits]),
+                err)
+        gl_over = rows_idx[~fits & gl_bit]
+        if len(gl_over):
+            tvec, _ = self._gapless_tvec_ham(center, gl_over)
+            lam[gl_over] = self._lambdas(gl_over, tvec, err)
+        al_over = rows_idx[~fits & ~gl_bit]
+        if len(al_over):
+            tvec = self._fetch_tvec_rows(ent[1], al_over)
+            lam[al_over] = self._lambdas(al_over, tvec, err)
         return lam, ham
 
     def _compare_slow(self, center, lam, ham, cand, opts, err, use_kmers,

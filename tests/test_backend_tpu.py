@@ -186,17 +186,22 @@ def test_compare_shortlist_path(sample, monkeypatch):
     store = lam_full * total > e_minmax
     assert fetched[store].all()
     assert (lam_full[~fetched] * total <= e_minmax[~fetched]).all()
-    # piggybacked-tvec branch (m <= SHORTLIST_TVEC): one fetch carries
-    # indices, small rows AND final tvecs; lambdas must be bit-equal
-    be2 = TpuBackend(rs, use_quals=True)
-    be2.SHORTLIST_MIN_N = 0
-    be2.SHORTLIST_TVEC = be2.SHORTLIST_M0   # cover every row
-    lam_p, ham_p = be2.compare(0, skip, opts, err, True, cutoff,
-                               e_minmax / total)
-    fetched_p = ham_p != -2
-    np.testing.assert_array_equal(fetched_p, fetched)
-    np.testing.assert_array_equal(ham_p[fetched_p], ham_full[fetched_p])
-    np.testing.assert_array_equal(lam_p[fetched_p], lam_full[fetched_p])
+    # single-fetch branch (m <= M0): one fetch carries indices, small
+    # rows AND substitution tiles; lambdas must be bit-equal. K=1
+    # forces most rows through the dense overflow re-fetch too.
+    for K in (None, 1):
+        be2 = TpuBackend(rs, use_quals=True)
+        be2.SHORTLIST_MIN_N = 0
+        if K is not None:
+            be2.SHORTLIST_K = K
+        lam_p, ham_p = be2.compare(0, skip, opts, err, True, cutoff,
+                                   e_minmax / total)
+        fetched_p = ham_p != -2
+        np.testing.assert_array_equal(fetched_p, fetched)
+        np.testing.assert_array_equal(ham_p[fetched_p],
+                                      ham_full[fetched_p])
+        np.testing.assert_array_equal(lam_p[fetched_p],
+                                      lam_full[fetched_p])
 
     # greedy-skip rows keep the -1 sentinel and are excluded from stats
     skip2 = np.zeros(rs.n, bool)
