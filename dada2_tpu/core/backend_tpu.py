@@ -402,15 +402,17 @@ def _budded_fused(tvec, small5, seqs, lens, center, qlerr, eth2, *, L,
     packed so the compare costs exactly ONE host fetch.
 
     Returns (buf, order, small13): buf = [16B header: m, naligned,
-    nshroud, 0 | M0 x i32 indices | M0 x 13B small rows | M0 x K u16
-    substitution entries]; order is the full compaction for a follow-up
-    _take_subs when m > M0; small13 stays on device for the finalize
-    paths (cached per error matrix, exactly what _fused_small builds).
-    See _shortlist_screen for the store-screen margin soundness."""
+    nshroud, 0 | M0 x i32 indices | M0 x 5B ham/ham_gl/flags rows (the
+    host never reads the screened loglam/abssum in this path) | M0 x K
+    u16 substitution entries]; order is the full compaction for a
+    follow-up _take_subs when m > M0; small13 stays on device for the
+    finalize paths (cached per error matrix, exactly what _fused_small
+    builds). See _shortlist_screen for the store-screen margin
+    soundness."""
     small = _small_trace(tvec, seqs, lens, center, qlerr, small5)
     header, order = _shortlist_screen(small, eth2, L=L)
     idx = order[:M0]
-    rows = jnp.take(small, idx, axis=0)
+    rows = jnp.take(small5, idx, axis=0)
     subs = _subs_tile_trace(tvec, seqs, lens, center, small5[:, 4], idx,
                             K=K)
     buf = jnp.concatenate([
@@ -423,11 +425,12 @@ def _budded_fused(tvec, small5, seqs, lens, center, qlerr, eth2, *, L,
 
 @partial(jax.jit, static_argnames=("M", "K"))
 def _take_subs(small, tvec, seqs, lens, center, order, *, M, K):
-    """Follow-up fetch when the shortlist overflows M0: indices, small
-    rows and substitution tiles for the first M compacted rows, in one
-    buffer (M is bucketed so programs are reused)."""
+    """Follow-up fetch when the shortlist overflows M0: indices, 5-byte
+    ham/flags rows and substitution tiles for the first M compacted
+    rows, in one buffer (M is bucketed so programs are reused)."""
     idx = jax.lax.dynamic_slice_in_dim(order, 0, M)
-    rows = jnp.take(small, idx, axis=0)
+    rows = jnp.take(jnp.concatenate([small[:, :4], small[:, 12:13]],
+                                    axis=1), idx, axis=0)
     subs = _subs_tile_trace(tvec, seqs, lens, center,
                             small[:, 12], idx, K=K)
     return jnp.concatenate([
@@ -437,27 +440,51 @@ def _take_subs(small, tvec, seqs, lens, center, order, *, M, K):
 
 
 @partial(jax.jit, static_argnames=("K",))
-def _gather_subs(tvec, seqs, lens, center, flags, idx, *, K):
+def _gather_subs(tvec, seqs, lens, center, small, idx, *, K):
     """Substitution tiles for an explicit row upload (the full-compare
     path's bulk fetch; rows with ham > K are re-fetched densely)."""
-    return _subs_tile_trace(tvec, seqs, lens, center, flags,
+    return _subs_tile_trace(tvec, seqs, lens, center, small[:, 12],
                             idx.astype(jnp.int32), K=K)
 
 
-@partial(jax.jit, static_argnames=("W",))
-def _unpack_seqs(packed2, lens, *, W):
+def _unpack_seqs_trace(packed2, lens, W):
     """Device unpack of the 2-bit sequence upload back to the int8 code
     matrix (A=0..T=3, pad = -1 i.e. the uint8 255 the host uses).
     Sequences are ACGT-only (validated in dada()), so codes fit 2 bits
-    and the biggest construction transfer travels at a quarter of its
-    int8 volume; the unpack is pure elementwise ops + reshape (no
-    gathers, which serialize on the TPU scalar core)."""
+    and the construction transfer travels at a quarter of its int8
+    volume; the unpack is pure elementwise ops + reshape (no gathers,
+    which serialize on the TPU scalar core)."""
     n, _ = packed2.shape
     cols = jnp.stack([(packed2 >> s) & 3 for s in (0, 2, 4, 6)],
                      axis=2).reshape(n, -1)[:, :W]
     pos = jnp.arange(W, dtype=jnp.int32)[None, :]
     return jnp.where(pos < lens[:, None], cols,
                      jnp.int32(-1)).astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("n", "W", "q6", "with_quals"))
+def _construct_dev(blob, lens, *, n, W, q6, with_quals):
+    """Split + unpack the single concatenated construction upload (one
+    big transfer rides the tunnel at ~2x the bandwidth of several small
+    ones): 2-bit packed sequences, then quals — 6-bit packed when they
+    fit (qmax < 64, every Illumina dataset; PacBio's q93 rides uint8).
+    Returns (seqs int8 [n, W], quals uint8 [n, W] or None)."""
+    Wp4 = (W + 3) // 4
+    packed2 = blob[: n * Wp4].reshape(n, Wp4).astype(jnp.uint8)
+    seqs = _unpack_seqs_trace(packed2, lens, W)
+    if not with_quals:
+        return seqs, None
+    if not q6:
+        quals = blob[n * Wp4: n * (Wp4 + W)].reshape(n, W)
+        return seqs, quals.astype(jnp.uint8)
+    qp = blob[n * Wp4: n * Wp4 + n * Wp4 * 3].reshape(
+        n, Wp4, 3).astype(jnp.uint16)
+    b0, b1, b2 = qp[:, :, 0], qp[:, :, 1], qp[:, :, 2]
+    q = jnp.stack([b0 & 63,
+                   (b0 >> 6) | ((b1 & 15) << 2),
+                   (b1 >> 4) | ((b2 & 3) << 4),
+                   b2 >> 2], axis=2).reshape(n, -1)[:, :W]
+    return seqs, q.astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("L2R", "with_quals"))
@@ -796,9 +823,11 @@ class TpuBackend(CompareBackend):
     # the follow-up-fetch branch)
     SHORTLIST_M0 = None
     # substitution entries per shortlist row riding the single fetch
-    # (2 bytes each); rows with more substitutions than this re-fetch
-    # densely
+    # (2 bytes each); rows with more substitutions than the chosen
+    # width re-fetch densely. _predict_k picks narrow/wide per bud from
+    # the previous ham histogram.
     SHORTLIST_K = 16
+    SHORTLIST_K_WIDE = 48
     # align-cache byte budget: must hold every final center's sweep or
     # finalize re-dispatches them (HBM is 16GB/chip; the multi-sample
     # driver shares it across ~6 concurrent backends)
@@ -832,24 +861,44 @@ class TpuBackend(CompareBackend):
 
         self._put = put
         self.d_lens = put(np.asarray(rawset.lens, np.int32))
-        # sequences travel 2-bit packed (codes are ACGT-only; the pad
-        # byte 255 is rebuilt on device), a 4x smaller upload than int8
-        W = rawset.seqs.shape[1]
-        sq = np.zeros((rawset.n, ((W + 3) // 4) * 4), np.uint8)
+        # the construction payload crosses as ONE concatenated upload
+        # (large transfers ride the tunnel at ~2x the bandwidth of
+        # several small ones): sequences 2-bit packed (ACGT-only; the
+        # pad byte 255 is rebuilt on device) and quals 6-bit packed
+        # when they fit (qmax < 64; PacBio's q93 rides uint8)
+        n, W = rawset.seqs.shape
+        Wp4 = (W + 3) // 4
+        sq = np.zeros((n, Wp4 * 4), np.uint8)
         sq[:, :W] = rawset.seqs & 3
         packed2 = (sq[:, 0::4] | (sq[:, 1::4] << 2)
                    | (sq[:, 2::4] << 4) | (sq[:, 3::4] << 6))
-        self.d_seqs = _unpack_seqs(put(packed2), self.d_lens, W=W)
+        self._use_quals_dev = use_quals and rawset.quals is not None
+        parts = [packed2.reshape(-1)]
+        q6 = False
+        if self._use_quals_dev:
+            q6 = int(rawset.quals.max()) < 64 if rawset.quals.size else True
+            if q6:
+                qq = np.zeros((n, Wp4 * 4), np.uint8)
+                qq[:, :W] = rawset.quals
+                g = qq.reshape(n, Wp4, 4).astype(np.uint16)
+                qpack = np.stack(
+                    [(g[..., 0] | (g[..., 1] << 6)) & 255,
+                     ((g[..., 1] >> 2) | (g[..., 2] << 4)) & 255,
+                     ((g[..., 2] >> 4) | (g[..., 3] << 2)) & 255],
+                    axis=2).astype(np.uint8)
+                parts.append(qpack.reshape(-1))
+            else:
+                parts.append(np.asarray(rawset.quals,
+                                        np.uint8).reshape(-1))
+        blob = put(np.concatenate(parts))
+        d_seqs, d_quals = _construct_dev(blob, self.d_lens, n=n, W=W,
+                                         q6=q6,
+                                         with_quals=self._use_quals_dev)
+        self.d_seqs = d_seqs
+        self.d_quals = (d_quals if self._use_quals_dev
+                        else put(np.zeros((1, W), np.uint8)))
         self.d_kmers, self.d_kords = _kmer_tables(self.d_seqs,
                                                   self.d_lens)
-        self._use_quals_dev = use_quals and rawset.quals is not None
-        # quals travel as uint8 (dada validates q <= 250) and widen on
-        # device — a 4x smaller construction upload at real scale
-        if self._use_quals_dev:
-            self.d_quals = put(np.asarray(rawset.quals, np.uint8))
-        else:
-            self.d_quals = put(
-                np.zeros((1, rawset.seqs.shape[1]), np.uint8))
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = rawset.max_len
         import os
@@ -1142,11 +1191,19 @@ class TpuBackend(CompareBackend):
         return out[:, :L]
 
     def _tvec_rows_cached(self, d_tvec, center: int, opts: DadaOptions,
-                          rows: np.ndarray) -> np.ndarray:
-        """Host-side cache of full-slab tvec row fetches. Alignments are
+                          rows: np.ndarray,
+                          hams: Optional[np.ndarray] = None,
+                          d_small=None) -> np.ndarray:
+        """Host-side cache of bulk tvec row fetches. Alignments are
         error-matrix-independent, and the selfConsist loop's init
         compare asks for the SAME (center, rows) every round — caching
-        the unpacked rows makes later rounds' biggest transfer free."""
+        the unpacked rows makes later rounds' biggest transfer free.
+
+        When the rows' substitution counts are known (hams), rows travel
+        as substitution tiles (2 bytes per substitution, see
+        _subs_tile_trace) with the tile width K chosen from the count
+        histogram to minimize transfer; only rows whose count exceeds
+        every menu K fall back to the dense ~L/2-byte gather."""
         key = (center, opts.BAND_SIZE, opts.MATCH, opts.MISMATCH,
                opts.GAP_PENALTY, len(rows), hash(rows.tobytes()))
         with self._cache_lock:
@@ -1155,7 +1212,35 @@ class TpuBackend(CompareBackend):
                 self._tvec_host_cache.pop(key)
                 self._tvec_host_cache[key] = hit   # refresh LRU order
                 return hit
-        out = self._fetch_tvec_rows(d_tvec, rows)
+        if hams is None:
+            out = self._fetch_tvec_rows(d_tvec, rows)
+        else:
+            dense_cost = (self.rs.seqs.shape[1] + 1) // 2
+            menu = [k for k in (8, 16, 32, 64, 128) if 2 * k < dense_cost]
+            best_k, best_cost = None, int(len(rows)) * dense_cost
+            for k in menu:
+                fit = int((hams <= k).sum())
+                cost = 2 * k * fit + (len(rows) - fit) * dense_cost
+                if cost < best_cost:
+                    best_k, best_cost = k, cost
+            out = np.empty((len(rows), self.rs.seqs.shape[1]), np.int64)
+            sparse = (hams <= best_k) if best_k is not None else \
+                np.zeros(len(rows), bool)
+            if sparse.any():
+                rs_idx = rows[sparse]
+                nb = _bucket(len(rs_idx))
+                pad = np.full(nb - len(rs_idx), rs_idx[0], np.int64)
+                dfull = self._put(
+                    np.concatenate([rs_idx, pad]).astype(np.int32))
+                subs = _fetch(_gather_subs(
+                    d_tvec, self.d_seqs, self.d_lens,
+                    self._center_dev(center), d_small, dfull,
+                    K=best_k))[: len(rs_idx)]
+                out[sparse] = self._tvec_from_subs(rs_idx, subs,
+                                                   hams[sparse])
+            if (~sparse).any():
+                out[~sparse] = self._fetch_tvec_rows(d_tvec,
+                                                     rows[~sparse])
         with self._cache_lock:
             self._tvec_host_cache[key] = out
             while len(self._tvec_host_cache) > 2:
@@ -1393,7 +1478,8 @@ class TpuBackend(CompareBackend):
                 lam[ng] = self._lambdas(ng, tvec, err)
             na = al_idx[need[al_idx]]
             if len(na):
-                tvec = self._tvec_rows_cached(res[1], center, opts, na)
+                tvec = self._tvec_rows_cached(res[1], center, opts, na,
+                                              ham_all[na], res[2])
                 lam[na] = self._lambdas(na, tvec, err)
             return lam, ham
 
@@ -1410,22 +1496,42 @@ class TpuBackend(CompareBackend):
         The true shortlist size m is only known after the fetch, so the
         buffer is sized from history: the same bud ordinal of the
         previous engine run on this backend (selfConsist rounds repeat
-        the same shrinking-m pattern), else half an order above the
-        previous bud's m. A fixed menu bounds compile diversity; a
-        too-small pick costs one follow-up fetch, a too-large one costs
-        only its own bytes. SHORTLIST_M0 forces a fixed size (tests)."""
+        the same shrinking-m pattern), else above the previous bud's m
+        (m shrinks as E_minmax tightens). A power-of-two menu bounds
+        compile diversity; a too-small pick costs one follow-up fetch, a
+        too-large one only its own bytes. SHORTLIST_M0 forces a fixed
+        size (tests)."""
         if self.SHORTLIST_M0 is not None:
             return min(self.SHORTLIST_M0, n)
-        pred = self._m_by_ordinal.get(self._bud_ordinal)
-        if pred is not None:
-            pred += pred // 2 + 16
+        hist = self._m_by_ordinal.get(self._bud_ordinal)
+        if hist is not None:
+            pred = hist[0] + hist[0] // 8 + 32
         else:
             last = self._m_by_ordinal.get(self._bud_ordinal - 1)
-            pred = 2 * last + 16 if last is not None else n // 3
+            pred = (last[0] + last[0] // 2 + 32 if last is not None
+                    else n // 6)
         M0 = 256
         while M0 < pred and M0 < n:
-            M0 *= 4
+            M0 *= 2
         return min(M0, n)
+
+    def _predict_k(self) -> int:
+        """Substitution-tile width for the next budded compare, from the
+        last ham histogram at this bud ordinal (same engine-run pattern
+        logic as _predict_m0): the wide tile wins when the narrow one
+        would overflow too many rows into dense re-fetches. Early buds
+        default wide — their weak E_minmax admits distant (high-ham)
+        rows."""
+        hist = (self._m_by_ordinal.get(self._bud_ordinal)
+                or self._m_by_ordinal.get(self._bud_ordinal - 1))
+        lo, hi = self.SHORTLIST_K, self.SHORTLIST_K_WIDE
+        if hist is None:
+            return hi if self._bud_ordinal < 2 else lo
+        m, fit_lo, fit_hi = hist
+        dense = (self.rs.seqs.shape[1] + 1) // 2 + 40  # + follow-up slack
+        cost_lo = 2 * lo * m + (m - fit_lo) * dense
+        cost_hi = 2 * hi * m + (m - fit_hi) * dense
+        return hi if cost_hi < cost_lo else lo
 
     def _tvec_from_subs(self, rows: np.ndarray, subs: np.ndarray,
                         counts: np.ndarray) -> np.ndarray:
@@ -1469,7 +1575,7 @@ class TpuBackend(CompareBackend):
         if n < self.SHORTLIST_MIN_N:
             return None
         ent = self._align_ent(center, opts, geom)
-        K = self.SHORTLIST_K
+        K = self._predict_k()
         M0 = self._predict_m0(n)
         # ONE packed upload: bf16 e_thresh lower bound + bit-packed skip
         nb = (n + 7) // 8
@@ -1488,23 +1594,24 @@ class TpuBackend(CompareBackend):
         buf = _fetch(buf_d)
         m, naligned, nshroud = buf[:16].copy().view(np.int32)[:3]
         m, naligned, nshroud = int(m), int(naligned), int(nshroud)
-        self._m_by_ordinal[self._bud_ordinal] = m
+        ordinal = self._bud_ordinal
         self._bud_ordinal += 1
         # no full-slab fallback: even at m == n the shortlist transport
-        # (17 + 2K bytes/row) undercuts the full path's 13B small slab
+        # (9 + 2K bytes/row) undercuts the full path's 13B small slab
         # plus ~L/2B dense tvec gathers
         lam = np.zeros(n)
         ham = np.full(n, -2, dtype=np.int64)
         ham[np.asarray(skip, bool)] = -1
         self.last_stats = (naligned, nshroud)
         if m == 0:
+            self._m_by_ordinal[ordinal] = (0, 0, 0)
             return lam, ham
         if m <= M0:
             o1 = 16 + 4 * M0
-            o2 = o1 + M0 * SMALL_PACK_BYTES
+            o2 = o1 + M0 * 5
             rows_idx = buf[16: o1].copy().view(
                 np.int32)[:m].astype(np.int64)
-            packed = buf[o1: o2].reshape(M0, SMALL_PACK_BYTES)[:m]
+            packed = buf[o1: o2].reshape(M0, 5)[:m]
             subs = buf[o2:].copy().view(np.uint16).reshape(M0, K)[:m]
         else:
             M = min(_bucket(m), n)
@@ -1512,16 +1619,22 @@ class TpuBackend(CompareBackend):
                                      self.d_lens, d_center, order,
                                      M=M, K=K))
             o1 = 4 * M
-            o2 = o1 + M * SMALL_PACK_BYTES
+            o2 = o1 + M * 5
             rows_idx = buf2[:o1].copy().view(
                 np.int32)[:m].astype(np.int64)
-            packed = buf2[o1: o2].reshape(M, SMALL_PACK_BYTES)[:m]
+            packed = buf2[o1: o2].reshape(M, 5)[:m]
             subs = buf2[o2:].copy().view(np.uint16).reshape(M, K)[:m]
-        (ham_all, ham_gl, _loglam, _abssum, ok, gl_bit,
-         _sh) = self._unpack_small(packed)
+        ints = packed[:, :4].copy().view(np.int16).astype(np.int64)
+        ham_all, ham_gl = ints[:, 0], ints[:, 1]
+        flags = packed[:, 4]
+        ok = (flags & 1) != 0
+        gl_bit = (flags & 2) != 0
         if (~gl_bit).any() and not ok[~gl_bit].all():
             raise RuntimeError("N-W Align out of range.")
         ham_sel = np.where(gl_bit, ham_gl, ham_all)
+        self._m_by_ordinal[ordinal] = (
+            m, int((ham_sel <= self.SHORTLIST_K).sum()),
+            int((ham_sel <= self.SHORTLIST_K_WIDE).sum()))
         ham[rows_idx] = ham_sel
         from ..trace import COUNTERS
 

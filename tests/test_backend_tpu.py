@@ -231,6 +231,12 @@ def test_device_construction_derivations():
     bk = TpuBackend(rs, use_quals=True)
     assert np.array_equal(np.asarray(bk.d_seqs),
                           np.asarray(rs.seqs, np.int8))
+    assert np.array_equal(np.asarray(bk.d_quals), rs.quals)  # q93: uint8
+    # 6-bit qual packing path (qmax < 64)
+    rs6 = make_rawset(seqs, np.arange(1, 301), None,
+                      np.minimum(quals, 41))
+    bk6 = TpuBackend(rs6, use_quals=True)
+    assert np.array_equal(np.asarray(bk6.d_quals), rs6.quals)
     from dada2_tpu.core.backend_tpu import _PallasBlocks
     pb = bk._pb or _PallasBlocks(rs, bk._put, d_seqs=bk.d_seqs,
                                  d_quals=bk.d_quals, d_lens=bk.d_lens)
