@@ -35,6 +35,29 @@ from ..ops import nw_batch as nwb
 from ..ops import nw_pallas as nwp
 
 
+def _pad_rows(n: int) -> int:
+    """Row-count bucket for the backend's device arrays: round n up in
+    ~1/8-granularity steps so samples of similar size share EVERY
+    compiled program (XLA programs are keyed by exact shapes; without
+    padding each sample of a multi-sample batch recompiles the whole
+    compare pipeline — minutes per sample on a remote-compile rig).
+    Pad rows repeat row 0 and are force-skipped, so results and
+    counters are unchanged; the cost is <= 1/8 extra kernel compute."""
+    if n <= 128:
+        return _bucket(n, 16)
+    q = 1 << max(7, n.bit_length() - 4)
+    return ((n + q - 1) // q) * q
+
+
+def _bucket15(n: int, lo: int = 16) -> int:
+    """Fetch-size bucket with 1.5x steps (16, 24, 32, 48, 64, ...):
+    pow2-only buckets waste up to half a gather fetch's bytes; the x1.5
+    intermediate halves that for a modest extra program count."""
+    b = _bucket(n, lo)
+    b34 = (3 * b) // 4
+    return b34 if b34 >= n else b
+
+
 def _bucket(n: int, lo: int = 16) -> int:
     return max(lo, 1 << (max(n, 1) - 1).bit_length())
 
@@ -423,12 +446,13 @@ def _budded_fused(tvec, small5, seqs, lens, center, qlerr, eth2, *, L,
     return buf, order, small
 
 
-@partial(jax.jit, static_argnames=("M", "K"))
-def _take_subs(small, tvec, seqs, lens, center, order, *, M, K):
+@partial(jax.jit, static_argnames=("M0", "M", "K"))
+def _take_subs(small, tvec, seqs, lens, center, order, *, M0, M, K):
     """Follow-up fetch when the shortlist overflows M0: indices, 5-byte
-    ham/flags rows and substitution tiles for the first M compacted
-    rows, in one buffer (M is bucketed so programs are reused)."""
-    idx = jax.lax.dynamic_slice_in_dim(order, 0, M)
+    ham/flags rows and substitution tiles for compacted rows
+    [M0, M0 + M) — the first M0 rows already rode the main fetch — in
+    one buffer (M is bucketed so programs are reused)."""
+    idx = jax.lax.dynamic_slice_in_dim(order, M0, M)
     rows = jnp.take(jnp.concatenate([small[:, :4], small[:, 12:13]],
                                     axis=1), idx, axis=0)
     subs = _subs_tile_trace(tvec, seqs, lens, center,
@@ -860,27 +884,43 @@ class TpuBackend(CompareBackend):
                     else jnp.asarray(x))
 
         self._put = put
-        self.d_lens = put(np.asarray(rawset.lens, np.int32))
-        # the construction payload crosses as ONE concatenated upload
-        # (large transfers ride the tunnel at ~2x the bandwidth of
-        # several small ones): sequences 2-bit packed (ACGT-only; the
-        # pad byte 255 is rebuilt on device) and quals 6-bit packed
-        # when they fit (qmax < 64; PacBio's q93 rides uint8)
+        # device arrays are row-padded to a coarse bucket (repeats of
+        # row 0, force-skipped everywhere) so similar-size samples share
+        # every compiled program; the construction payload crosses as
+        # ONE concatenated upload (large transfers ride the tunnel at
+        # ~2x the bandwidth of several small ones): sequences 2-bit
+        # packed (ACGT-only; the pad byte 255 is rebuilt on device) and
+        # quals 6-bit packed when they fit (qmax < 64; PacBio's q93
+        # rides uint8)
         n, W = rawset.seqs.shape
+        nd = _pad_rows(n)
+        self.nd = nd
+        seqs_p = rawset.seqs
+        lens_p = np.asarray(rawset.lens, np.int32)
+        quals_p = rawset.quals
+        if nd != n:
+            seqs_p = np.concatenate(
+                [seqs_p, np.broadcast_to(seqs_p[0], (nd - n, W))])
+            lens_p = np.concatenate(
+                [lens_p, np.full(nd - n, lens_p[0], np.int32)])
+            if quals_p is not None:
+                quals_p = np.concatenate(
+                    [quals_p, np.broadcast_to(quals_p[0], (nd - n, W))])
+        self.d_lens = put(lens_p)
         Wp4 = (W + 3) // 4
-        sq = np.zeros((n, Wp4 * 4), np.uint8)
-        sq[:, :W] = rawset.seqs & 3
+        sq = np.zeros((nd, Wp4 * 4), np.uint8)
+        sq[:, :W] = seqs_p & 3
         packed2 = (sq[:, 0::4] | (sq[:, 1::4] << 2)
                    | (sq[:, 2::4] << 4) | (sq[:, 3::4] << 6))
         self._use_quals_dev = use_quals and rawset.quals is not None
         parts = [packed2.reshape(-1)]
         q6 = False
         if self._use_quals_dev:
-            q6 = int(rawset.quals.max()) < 64 if rawset.quals.size else True
+            q6 = int(quals_p.max()) < 64 if quals_p.size else True
             if q6:
-                qq = np.zeros((n, Wp4 * 4), np.uint8)
-                qq[:, :W] = rawset.quals
-                g = qq.reshape(n, Wp4, 4).astype(np.uint16)
+                qq = np.zeros((nd, Wp4 * 4), np.uint8)
+                qq[:, :W] = quals_p
+                g = qq.reshape(nd, Wp4, 4).astype(np.uint16)
                 qpack = np.stack(
                     [(g[..., 0] | (g[..., 1] << 6)) & 255,
                      ((g[..., 1] >> 2) | (g[..., 2] << 4)) & 255,
@@ -888,10 +928,9 @@ class TpuBackend(CompareBackend):
                     axis=2).astype(np.uint8)
                 parts.append(qpack.reshape(-1))
             else:
-                parts.append(np.asarray(rawset.quals,
-                                        np.uint8).reshape(-1))
+                parts.append(np.asarray(quals_p, np.uint8).reshape(-1))
         blob = put(np.concatenate(parts))
-        d_seqs, d_quals = _construct_dev(blob, self.d_lens, n=n, W=W,
+        d_seqs, d_quals = _construct_dev(blob, self.d_lens, n=nd, W=W,
                                          q6=q6,
                                          with_quals=self._use_quals_dev)
         self.d_seqs = d_seqs
@@ -899,6 +938,9 @@ class TpuBackend(CompareBackend):
                         else put(np.zeros((1, W), np.uint8)))
         self.d_kmers, self.d_kords = _kmer_tables(self.d_seqs,
                                                   self.d_lens)
+        self._rs_pad = (rawset if nd == n else RawSet(
+            seqs=seqs_p, lens=lens_p, reads=rawset.reads,
+            priors=rawset.priors, quals=quals_p))
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = rawset.max_len
         import os
@@ -921,7 +963,7 @@ class TpuBackend(CompareBackend):
         self._pb: Optional[_PallasBlocks] = None
         if self.use_pallas:
             self._pb = _PallasBlocks(
-                rawset, put, d_seqs=self.d_seqs,
+                self._rs_pad, put, d_seqs=self.d_seqs,
                 d_quals=(self.d_quals if self._use_quals_dev else None),
                 d_lens=self.d_lens)
         # byte-budgeted LRU of per-center alignments; the finalize pass
@@ -990,8 +1032,9 @@ class TpuBackend(CompareBackend):
         minsum, kmatch = _screen_kernel(self.d_kmers, self.d_kords,
                                         self.d_lens,
                                         self._center_dev(center))
-        return (np.asarray(_fetch(minsum), np.int64),
-                np.asarray(kmatch, np.int64))
+        n = self.rs.n
+        return (np.asarray(_fetch(minsum), np.int64)[:n],
+                np.asarray(kmatch, np.int64)[:n])
 
     # ---- batched alignment --------------------------------------------
 
@@ -1180,7 +1223,7 @@ class TpuBackend(CompareBackend):
         power of two so gather programs are reused). Rows travel 4-bit
         packed — transition codes fit a nibble, and pad positions (code
         16) are masked by length downstream, so the low nibble suffices."""
-        nb = _bucket(len(rows))
+        nb = _bucket15(len(rows))
         pad = np.full(nb - len(rows), rows[0], np.int64)
         full = self._put(np.concatenate([rows, pad]).astype(np.int32))
         packed = _fetch(_gather_tvec_packed(d_tvec, full))[: len(rows)]
@@ -1228,7 +1271,7 @@ class TpuBackend(CompareBackend):
                 np.zeros(len(rows), bool)
             if sparse.any():
                 rs_idx = rows[sparse]
-                nb = _bucket(len(rs_idx))
+                nb = _bucket15(len(rs_idx))
                 pad = np.full(nb - len(rs_idx), rs_idx[0], np.int64)
                 dfull = self._put(
                     np.concatenate([rs_idx, pad]).astype(np.int32))
@@ -1257,7 +1300,7 @@ class TpuBackend(CompareBackend):
         if len(rows) == 0:
             return self._unpack_small(np.zeros((0, SMALL_PACK_BYTES),
                                                np.int8))
-        nb = _bucket(len(rows))
+        nb = _bucket15(len(rows))
         pad = np.full(nb - len(rows), rows[0], np.int64)
         full = self._put(np.concatenate([rows, pad]).astype(np.int32))
         packed = _fetch(_gather_rows(res[2], full))[: len(rows)]
@@ -1440,12 +1483,12 @@ class TpuBackend(CompareBackend):
                               and bool(np.any(e_thresh > 0)))
             if screen_applies:
                 (ham_all, ham_gl, loglam_sel, abssum_sel, ok, gl_bit,
-                 sh_bit) = self._unpack_small(_fetch(res[2]))
+                 sh_bit) = self._unpack_small(_fetch(res[2])[:n])
             else:
                 # the screen can't exclude anything (init compare /
                 # non-kmer configs): the loglam/abssum bytes are dead
                 # weight, fetch 5 bytes per row instead of 13
-                p5 = _fetch(_small_cols5(res[2]))
+                p5 = _fetch(_small_cols5(res[2]))[:n]
                 ints = p5[:, :4].copy().view(np.int16).astype(np.int64)
                 ham_all, ham_gl = ints[:, 0], ints[:, 1]
                 flags = p5[:, 4]
@@ -1509,11 +1552,11 @@ class TpuBackend(CompareBackend):
         else:
             last = self._m_by_ordinal.get(self._bud_ordinal - 1)
             pred = (last[0] + last[0] // 2 + 32 if last is not None
-                    else n // 6)
+                    else n // 4)
         M0 = 256
         while M0 < pred and M0 < n:
             M0 *= 2
-        return min(M0, n)
+        return min(M0, self.nd)
 
     def _predict_k(self) -> int:
         """Substitution-tile width for the next budded compare, from the
@@ -1578,13 +1621,17 @@ class TpuBackend(CompareBackend):
         K = self._predict_k()
         M0 = self._predict_m0(n)
         # ONE packed upload: bf16 e_thresh lower bound + bit-packed skip
-        nb = (n + 7) // 8
-        ethbuf = np.empty(2 * n + nb, np.uint8)
+        # (pad rows travel force-skipped, so they never reach the
+        # shortlist or the device naligned/nshroud counts)
+        nd = self.nd
+        nb = (nd + 7) // 8
+        ethbuf = np.zeros(2 * nd + nb, np.uint8)
         e32 = np.ascontiguousarray(e_thresh, np.float32)
         ethbuf[: 2 * n] = (e32.view(np.uint32) >> 16).astype(
             np.uint16).view(np.uint8)
-        ethbuf[2 * n:] = np.packbits(np.asarray(skip, bool),
-                                     bitorder="little")
+        skipd = np.ones(nd, bool)
+        skipd[:n] = skip
+        ethbuf[2 * nd:] = np.packbits(skipd, bitorder="little")
         d_center = self._center_dev(center)
         buf_d, order, small13 = _budded_fused(
             ent[1], ent[2], self.d_seqs, self.d_lens, d_center,
@@ -1606,24 +1653,27 @@ class TpuBackend(CompareBackend):
         if m == 0:
             self._m_by_ordinal[ordinal] = (0, 0, 0)
             return lam, ham
-        if m <= M0:
-            o1 = 16 + 4 * M0
-            o2 = o1 + M0 * 5
-            rows_idx = buf[16: o1].copy().view(
-                np.int32)[:m].astype(np.int64)
-            packed = buf[o1: o2].reshape(M0, 5)[:m]
-            subs = buf[o2:].copy().view(np.uint16).reshape(M0, K)[:m]
-        else:
-            M = min(_bucket(m), n)
+        o1 = 16 + 4 * M0
+        o2 = o1 + M0 * 5
+        m1 = min(m, M0)
+        rows_idx = buf[16: o1].copy().view(np.int32)[:m1].astype(np.int64)
+        packed = buf[o1: o2].reshape(M0, 5)[:m1]
+        subs = buf[o2:].copy().view(np.uint16).reshape(M0, K)[:m1]
+        if m > M0:
+            # rows [M0, m) in one follow-up (x1.5-step bucket)
+            M = min(_bucket15(m - M0), nd - M0)
             buf2 = _fetch(_take_subs(small13, ent[1], self.d_seqs,
                                      self.d_lens, d_center, order,
-                                     M=M, K=K))
-            o1 = 4 * M
-            o2 = o1 + M * 5
-            rows_idx = buf2[:o1].copy().view(
-                np.int32)[:m].astype(np.int64)
-            packed = buf2[o1: o2].reshape(M, 5)[:m]
-            subs = buf2[o2:].copy().view(np.uint16).reshape(M, K)[:m]
+                                     M0=M0, M=M, K=K))
+            o1b, o2b = 4 * M, 4 * M + M * 5
+            rows_idx = np.concatenate([
+                rows_idx,
+                buf2[:o1b].copy().view(np.int32)[:m - M0].astype(np.int64)])
+            packed = np.concatenate(
+                [packed, buf2[o1b: o2b].reshape(M, 5)[:m - M0]])
+            subs = np.concatenate(
+                [subs,
+                 buf2[o2b:].copy().view(np.uint16).reshape(M, K)[:m - M0]])
         ints = packed[:, :4].copy().view(np.int16).astype(np.int64)
         ham_all, ham_gl = ints[:, 0], ints[:, 1]
         flags = packed[:, 4]
@@ -1801,7 +1851,7 @@ class TpuBackend(CompareBackend):
         if len(al):
             idx = members[al]
             if res is not None:
-                nb = _bucket(len(idx))
+                nb = _bucket15(len(idx))
                 pad = np.full(nb - len(idx), idx[0], np.int64)
                 rows = self._put(
                     np.concatenate([idx, pad]).astype(np.int32))
@@ -1898,7 +1948,7 @@ class TpuBackend(CompareBackend):
         sm = self._small_rows(res, members)
         if not sm[4].all():
             raise RuntimeError("N-W Align out of range.")
-        nb = _bucket(m)
+        nb = _bucket15(m)
         pad = np.full(nb - m, members[0], np.int64)
         dfull = self._put(np.concatenate([members, pad]).astype(np.int32))
         W = _round_up(len0 + 2, 64)
@@ -1933,7 +1983,7 @@ class TpuBackend(CompareBackend):
                                          ncol, use_quals)
         res = self._align_all_pallas(center, opts, geom, None)
         m = len(members)
-        nb = _bucket(m)
+        nb = _bucket15(m)
         mem_pad = np.concatenate([members,
                                   np.zeros(nb - m, np.int64)])
         w_pad = np.zeros(nb, np.int32)
@@ -1974,7 +2024,7 @@ class TpuBackend(CompareBackend):
                 continue
             res = self._align_all_pallas(center, opts, geom, None)
             m = len(members)
-            nb = _bucket(m)
+            nb = _bucket15(m)
             mem_pad = np.zeros(nb, np.int32)
             mem_pad[:m] = members
             w_pad = np.zeros(nb, np.int32)

@@ -227,30 +227,34 @@ def test_device_construction_derivations():
     quals = np.full((300, 120), np.nan)
     for i, s in enumerate(seqs):
         quals[i, : len(s)] = rng.integers(2, 94, len(s))  # incl. q93
-    rs = make_rawset(seqs, np.arange(1, 301), None, quals)
+    n = 300
+    rs = make_rawset(seqs, np.arange(1, n + 1), None, quals)
     bk = TpuBackend(rs, use_quals=True)
-    assert np.array_equal(np.asarray(bk.d_seqs),
+    # device rows are padded to a coarse bucket; real rows bit-identical
+    assert np.array_equal(np.asarray(bk.d_seqs)[:n],
                           np.asarray(rs.seqs, np.int8))
-    assert np.array_equal(np.asarray(bk.d_quals), rs.quals)  # q93: uint8
+    assert np.array_equal(np.asarray(bk.d_quals)[:n], rs.quals)  # q93
     # 6-bit qual packing path (qmax < 64)
-    rs6 = make_rawset(seqs, np.arange(1, 301), None,
+    rs6 = make_rawset(seqs, np.arange(1, n + 1), None,
                       np.minimum(quals, 41))
     bk6 = TpuBackend(rs6, use_quals=True)
-    assert np.array_equal(np.asarray(bk6.d_quals), rs6.quals)
+    assert np.array_equal(np.asarray(bk6.d_quals)[:n], rs6.quals)
     from dada2_tpu.core.backend_tpu import _PallasBlocks
-    pb = bk._pb or _PallasBlocks(rs, bk._put, d_seqs=bk.d_seqs,
+    rsp = bk._rs_pad
+    pb = bk._pb or _PallasBlocks(rsp, bk._put, d_seqs=bk.d_seqs,
                                  d_quals=bk.d_quals, d_lens=bk.d_lens)
-    merged = ((rs.seqs & 3).astype(np.int32)
-              | (rs.quals.astype(np.int32) << 2))
-    host = nwp.pack_s2_blocks(merged, rs.lens, pb.block_idx, pb.L2R)
+    merged = ((rsp.seqs & 3).astype(np.int32)
+              | (rsp.quals.astype(np.int32) << 2))
+    host = nwp.pack_s2_blocks(merged, rsp.lens, pb.block_idx, pb.L2R)
     assert np.array_equal(host, np.asarray(pb.d_s2q))
     # quality-free variant (merged tile carries chars only)
-    rs2 = make_rawset(seqs, np.arange(1, 301))
+    rs2 = make_rawset(seqs, np.arange(1, n + 1))
     bk2 = TpuBackend(rs2, use_quals=False)
-    assert np.array_equal(np.asarray(bk2.d_seqs),
+    assert np.array_equal(np.asarray(bk2.d_seqs)[:n],
                           np.asarray(rs2.seqs, np.int8))
-    pb2 = bk2._pb or _PallasBlocks(rs2, bk2._put, d_seqs=bk2.d_seqs,
+    rsp2 = bk2._rs_pad
+    pb2 = bk2._pb or _PallasBlocks(rsp2, bk2._put, d_seqs=bk2.d_seqs,
                                    d_lens=bk2.d_lens)
-    host2 = nwp.pack_s2_blocks((rs2.seqs & 3).astype(np.int32),
-                               rs2.lens, pb2.block_idx, pb2.L2R)
+    host2 = nwp.pack_s2_blocks((rsp2.seqs & 3).astype(np.int32),
+                               rsp2.lens, pb2.block_idx, pb2.L2R)
     assert np.array_equal(host2, np.asarray(pb2.d_s2q))
