@@ -6,25 +6,10 @@ Exact ASV inference: filter/trim -> dereplicate -> learn error rates ->
 divisive partitioning -> merge pairs -> sequence table -> chimera removal ->
 taxonomy.
 """
-def _tune_malloc():
-    # Page faults cost tens of microseconds on sandboxed kernels, and
-    # glibc mmap()s every allocation above ~128KB-32MB, handing the pages
-    # back on free — so every large numpy temporary in the hot loops
-    # re-faults its whole extent (and faulting threads contend on the
-    # kernel's mmap lock under the multi-sample driver). Keeping big
-    # blocks on the main heap makes buffer reuse free. Measured on this
-    # rig: a fresh 43MB ndarray costs ~0.3s the first time and ~0.3ms
-    # once the heap retains the pages. MALLOC_* env vars are ignored
-    # here, so set it via mallopt(3) directly; silently skip on
-    # non-glibc platforms.
-    try:
-        import ctypes
-        libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
-        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
-    except Exception:
-        pass
-
+# Allocator policy first: large numpy temporaries must reuse heap pages
+# (page faults are ~100x compute cost on lazily-backed VM memory; see
+# utils/hostmem.py for the measurements and rationale).
+from .utils.hostmem import tune_malloc as _tune_malloc
 
 _tune_malloc()
 

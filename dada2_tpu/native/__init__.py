@@ -14,7 +14,8 @@ from typing import Optional
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "io_native.cpp"),
-         os.path.join(_HERE, "rmath_native.cpp")]
+         os.path.join(_HERE, "rmath_native.cpp"),
+         os.path.join(_HERE, "lambda_native.cpp")]
 _HDRS = [os.path.join(_HERE, "rmath_ppois.h")]
 _LIB = os.path.join(_HERE, "io_native.so")
 _lock = threading.Lock()
@@ -74,8 +75,95 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                 ctypes.c_void_p]
         lib.dr_free.restype = None
         lib.dr_free.argtypes = [ctypes.c_void_p]
+        V, I = ctypes.c_void_p, ctypes.c_int64
+        lib.lam_dense_i8.restype = None
+        lib.lam_dense_i8.argtypes = [I, I, V, V, V, I, V, V, I, V]
+        lib.lam_dense_i64.restype = None
+        lib.lam_dense_i64.argtypes = [I, I, V, V, V, I, V, V, I, V]
+        lib.lam_subs.restype = None
+        lib.lam_subs.argtypes = [I, V, V, V, I, V, V, I, V, V, I, V]
+        lib.lam_gapless.restype = None
+        lib.lam_gapless.argtypes = [I, I, V, V, V, I, V, V, I, V]
         _lib = lib
         return _lib
+
+
+def _ptr(a):
+    import ctypes as _ct
+
+    return a.ctypes.data_as(_ct.c_void_p)
+
+
+def lam_dense_native(tvec, idx, quals, lens, err):
+    """Native batch of the sequential-f64 lambda product over dense
+    transition rows; returns float64[m] or None if the library is
+    unavailable or tvec's dtype has no native entry."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    if tvec.dtype == np.int8:
+        fn = lib.lam_dense_i8
+    elif tvec.dtype == np.int64:
+        fn = lib.lam_dense_i64
+    else:
+        return None
+    m, L = tvec.shape
+    out = np.empty(m, np.float64)
+    tvec = np.ascontiguousarray(tvec)
+    idx = np.ascontiguousarray(idx, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    err = np.ascontiguousarray(err, np.float64)
+    if quals is None:
+        qp, W = None, 0
+    else:
+        qp, W = _ptr(quals), quals.shape[1]
+    fn(m, L, _ptr(tvec), _ptr(idx), qp, W, _ptr(lens), _ptr(err),
+       err.shape[1], _ptr(out))
+    return out
+
+
+def lam_subs_native(idx, seqs, quals, lens, subs, counts, err):
+    """Native lambda from substitution tiles (t = 5*s1 except tile
+    entries); returns float64[m] or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    m, K = subs.shape
+    out = np.empty(m, np.float64)
+    idx = np.ascontiguousarray(idx, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    subs = np.ascontiguousarray(subs, np.uint16)
+    counts = np.ascontiguousarray(counts, np.int64)
+    err = np.ascontiguousarray(err, np.float64)
+    qp = _ptr(quals) if quals is not None else None
+    lib.lam_subs(m, _ptr(idx), _ptr(seqs), qp, seqs.shape[1], _ptr(lens),
+                 _ptr(subs), K, _ptr(counts), _ptr(err), err.shape[1],
+                 _ptr(out))
+    return out
+
+
+def lam_gapless_native(center, idx, seqs, quals, lens, err):
+    """Native lambda for pad-to-length (gapless) pairs vs one center;
+    returns float64[m] or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = len(idx)
+    out = np.empty(m, np.float64)
+    idx = np.ascontiguousarray(idx, np.int64)
+    lens = np.ascontiguousarray(lens, np.int32)
+    err = np.ascontiguousarray(err, np.float64)
+    qp = _ptr(quals) if quals is not None else None
+    lib.lam_gapless(m, int(center), _ptr(idx), _ptr(seqs), qp,
+                    seqs.shape[1], _ptr(lens), _ptr(err), err.shape[1],
+                    _ptr(out))
+    return out
 
 
 def derep_fastq_native(path: str, chunk_size: int = 1_000_000,
