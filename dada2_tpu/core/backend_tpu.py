@@ -1018,8 +1018,10 @@ class TpuBackend(CompareBackend):
             hit = self._qlerr_cache.get(key)
             if hit is not None:
                 return hit
-        ql = _qlerr_table(self.d_quals,
-                          self._put(err.astype(np.float32)))
+        from ..trace import PHASES
+        with PHASES("be.qlerr"):
+            ql = _qlerr_table(self.d_quals,
+                              self._put(err.astype(np.float32)))
         with self._cache_lock:
             self._qlerr_cache[key] = ql
             while len(self._qlerr_cache) > 1:
@@ -1478,17 +1480,22 @@ class TpuBackend(CompareBackend):
             # the shroud/gapless decisions arrive as device-computed
             # flag bits (the thr table bakes opts.KDIST_CUTOFF, which is
             # what the engine always passes as kdist_cutoff)
-            res = self._align_all_pallas(center, opts, geom, err)
+            from ..trace import PHASES
+            with PHASES("be.align"):
+                res = self._align_all_pallas(center, opts, geom, err)
             screen_applies = (use_kmers and e_thresh is not None
                               and bool(np.any(e_thresh > 0)))
             if screen_applies:
+                with PHASES("be.small_fetch"):
+                    packed13 = _fetch(res[2])[:n]
                 (ham_all, ham_gl, loglam_sel, abssum_sel, ok, gl_bit,
-                 sh_bit) = self._unpack_small(_fetch(res[2])[:n])
+                 sh_bit) = self._unpack_small(packed13)
             else:
                 # the screen can't exclude anything (init compare /
                 # non-kmer configs): the loglam/abssum bytes are dead
                 # weight, fetch 5 bytes per row instead of 13
-                p5 = _fetch(_small_cols5(res[2]))[:n]
+                with PHASES("be.small_fetch"):
+                    p5 = _fetch(_small_cols5(res[2]))[:n]
                 ints = p5[:, :4].copy().view(np.int16).astype(np.int64)
                 ham_all, ham_gl = ints[:, 0], ints[:, 1]
                 flags = p5[:, 4]
@@ -1517,13 +1524,16 @@ class TpuBackend(CompareBackend):
             COUNTERS.gapless += len(gl_idx)
             ng = gl_idx[need[gl_idx]]
             if len(ng):
-                tvec, _ = self._gapless_tvec_ham(center, ng)
-                lam[ng] = self._lambdas(ng, tvec, err)
+                with PHASES("be.lambdas"):
+                    tvec, _ = self._gapless_tvec_ham(center, ng)
+                    lam[ng] = self._lambdas(ng, tvec, err)
             na = al_idx[need[al_idx]]
             if len(na):
-                tvec = self._tvec_rows_cached(res[1], center, opts, na,
-                                              ham_all[na], res[2])
-                lam[na] = self._lambdas(na, tvec, err)
+                with PHASES("be.tvec"):
+                    tvec = self._tvec_rows_cached(res[1], center, opts,
+                                                  na, ham_all[na], res[2])
+                with PHASES("be.lambdas"):
+                    lam[na] = self._lambdas(na, tvec, err)
             return lam, ham
 
         minsum = kmatch = None
@@ -1614,10 +1624,13 @@ class TpuBackend(CompareBackend):
         rows whose substitution count overflows the K-wide tile are
         re-fetched densely (gapless overflows rebuild on host for
         free)."""
+        from ..trace import PHASES
+
         n = self.rs.n
         if n < self.SHORTLIST_MIN_N:
             return None
-        ent = self._align_ent(center, opts, geom)
+        with PHASES("be.align"):
+            ent = self._align_ent(center, opts, geom)
         K = self._predict_k()
         M0 = self._predict_m0(n)
         # ONE packed upload: bf16 e_thresh lower bound + bit-packed skip
@@ -1633,12 +1646,14 @@ class TpuBackend(CompareBackend):
         skipd[:n] = skip
         ethbuf[2 * nd:] = np.packbits(skipd, bitorder="little")
         d_center = self._center_dev(center)
-        buf_d, order, small13 = _budded_fused(
-            ent[1], ent[2], self.d_seqs, self.d_lens, d_center,
-            self._get_qlerr(err), self._put(ethbuf.view(np.int8)),
-            L=self.maxlen, M0=M0, K=K)
-        small13 = self._small_insert(ent, err, small13)
-        buf = _fetch(buf_d)
+        with PHASES("be.bud_dispatch"):
+            buf_d, order, small13 = _budded_fused(
+                ent[1], ent[2], self.d_seqs, self.d_lens, d_center,
+                self._get_qlerr(err), self._put(ethbuf.view(np.int8)),
+                L=self.maxlen, M0=M0, K=K)
+            small13 = self._small_insert(ent, err, small13)
+        with PHASES("be.bud_fetch"):
+            buf = _fetch(buf_d)
         m, naligned, nshroud = buf[:16].copy().view(np.int32)[:3]
         m, naligned, nshroud = int(m), int(naligned), int(nshroud)
         ordinal = self._bud_ordinal

@@ -74,23 +74,36 @@ def dada_uniques(
 
     reference: src/Rmain.cpp:30-295 (dada_uniques).
     """
+    from .trace import PHASES
+
     n = len(sequences)
     if n == 0:
         raise ValueError("Zero input sequences.")
     lens = [len(s) for s in sequences]
     if min(lens) <= 5:
         raise ValueError("Input sequences must all be longer than the kmer-size (5).")
-    rawset = make_rawset(sequences, abundances, priors,
-                         quals if use_quals else None)
-    err = np.asarray(err, dtype=np.float64)
-    if err.shape[0] != 16:
-        raise ValueError("Error matrix must have 16 rows.")
-    if backend is None:
-        backend = _make_backend(rawset, opts, use_quals, err.shape[1],
-                                device=device)
-    eng = Engine(rawset, err, opts, backend, use_quals=use_quals)
+    with PHASES("dada.setup"):
+        if backend is None:
+            rawset = make_rawset(sequences, abundances, priors,
+                                 quals if use_quals else None)
+        else:
+            # the caller's backend already owns the identical rawset
+            # (same sequences/abundances/quals); rebuilding it costs
+            # real host time at production scale. Priors CAN change
+            # across selfConsist passes (pseudo-pooling), and only the
+            # engine reads them — refresh in place.
+            rawset = backend.rs
+            rawset.priors = np.asarray(priors, dtype=bool)
+        err = np.asarray(err, dtype=np.float64)
+        if err.shape[0] != 16:
+            raise ValueError("Error matrix must have 16 rows.")
+        if backend is None:
+            backend = _make_backend(rawset, opts, use_quals, err.shape[1],
+                                    device=device)
+        eng = Engine(rawset, err, opts, backend, use_quals=use_quals)
     eng.run(max_clust=max_clust)
-    return finalize(eng, opts, err.shape[1], opts.OMEGA_C)
+    with PHASES("finalize"):
+        return finalize(eng, opts, err.shape[1], opts.OMEGA_C)
 
 
 def dada(
@@ -255,12 +268,14 @@ def dada(
             # one backend per sample for the WHOLE selfConsist loop:
             # packed candidate tiles, kmer tables and geometry caches
             # are error-independent, so later rounds skip their rebuild
-            rawset = make_rawset(seqs, drpi.abundances, prior_flags,
-                                 drpi.quals if opts.USE_QUALS else None)
-            backends[i] = _make_backend(
-                rawset, opts, True, erri.shape[1],
-                device=(mesh_devs[i % len(mesh_devs)] if mesh_devs
-                        else None))
+            from .trace import PHASES
+            with PHASES("dada.backend_init"):
+                rawset = make_rawset(seqs, drpi.abundances, prior_flags,
+                                     drpi.quals if opts.USE_QUALS else None)
+                backends[i] = _make_backend(
+                    rawset, opts, True, erri.shape[1],
+                    device=(mesh_devs[i % len(mesh_devs)] if mesh_devs
+                            else None))
         res = dada_uniques(
             seqs, drpi.abundances, prior_flags, erri,
             drpi.quals if opts.USE_QUALS else None, opts,
@@ -340,11 +355,13 @@ def dada(
         else:
             cur = accumulate_trans(trans)
 
+        from .trace import PHASES as _PH
         if errorEstimationFunction is None:
             err = None
         else:
             try:
-                err = errorEstimationFunction(cur)
+                with _PH("dada.errfun"):
+                    err = errorEstimationFunction(cur)
             except Exception:
                 if selfConsist or verbose >= 2:
                     print("Error rates could not be estimated.")

@@ -29,6 +29,18 @@ class Counters:
     device_fetches: int = 0    # forcing device -> host reads
     put_bytes: int = 0
     fetch_bytes: int = 0
+    # speculative budded-compare transport (backend_tpu): hits consume a
+    # prefetched buffer with ZERO round-trips; misses pay one fetch and
+    # refill the speculation window; wasted counts prefetched segments
+    # invalidated unconsumed. followup_fetches = shortlist buffers that
+    # overflowed their predicted M0 (one extra fetch each);
+    # dense_refetches = shortlist rows whose substitution count
+    # overflowed the K-wide tile (re-fetched densely).
+    spec_hits: int = 0
+    spec_misses: int = 0
+    spec_wasted: int = 0
+    followup_fetches: int = 0
+    dense_refetches: int = 0
 
     def reset(self) -> None:
         self.compares = 0
@@ -40,6 +52,11 @@ class Counters:
         self.device_fetches = 0
         self.put_bytes = 0
         self.fetch_bytes = 0
+        self.spec_hits = 0
+        self.spec_misses = 0
+        self.spec_wasted = 0
+        self.followup_fetches = 0
+        self.dense_refetches = 0
 
     def alignments_per_sec(self) -> float:
         if self.compare_seconds == 0:
@@ -54,7 +71,10 @@ class Counters:
                 f"device ops: {self.device_puts} puts "
                 f"({self.put_bytes / 1e6:.1f}MB), "
                 f"{self.device_fetches} fetches "
-                f"({self.fetch_bytes / 1e6:.1f}MB)")
+                f"({self.fetch_bytes / 1e6:.1f}MB); "
+                f"spec {self.spec_hits}H/{self.spec_misses}M/"
+                f"{self.spec_wasted}W, {self.followup_fetches} follow-ups, "
+                f"{self.dense_refetches} dense re-fetches")
 
 
 COUNTERS = Counters()
