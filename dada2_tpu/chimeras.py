@@ -211,7 +211,47 @@ def _lr_stats_device(kinds, p0, p1, sq, sp, allow_one_off, max_shift):
     return jnp.stack([left, right, left_oo, right_oo, ham], axis=1)
 
 
+def _eval_stats_device(kinds, p0, p1, sq, sp):
+    """Device twin of eval_pair over a traceback-step batch:
+    (match, mismatch, indel) with leading/trailing end-gap runs trimmed
+    exactly like the scalar walk (reference: C_eval_pair,
+    src/evaluate.cpp:73-113 — the counted range is [max of the two
+    leading gap-run ends, last position of the longer trailing run's
+    first non-gap], both inclusive). Steps arrive reversed (end-first),
+    so the trailing trim reads straight off Ar/Br and the forward rows
+    come from one un-reversing gather. Only [P, 3] ints leave the
+    device."""
+    import jax.numpy as jnp
+
+    P, L = kinds.shape
+    live = kinds != PTR_NONE
+    m = live.sum(axis=1).astype(jnp.int32)
+    s1g = jnp.take_along_axis(
+        sq.astype(jnp.int32), jnp.clip(p0, 0, sq.shape[1] - 1), axis=1)
+    s2g = jnp.take_along_axis(
+        sp.astype(jnp.int32), jnp.clip(p1, 0, sp.shape[1] - 1), axis=1)
+    Ar = jnp.where(live, jnp.where(kinds != PTR_LEFT, s1g, GAP), _PAD)
+    Br = jnp.where(live, jnp.where(kinds != PTR_UP, s2g, GAP), _PAD)
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    J = m[:, None] - 1 - idx
+    Jc = jnp.clip(J, 0, L - 1)
+    A = jnp.where(J >= 0, jnp.take_along_axis(Ar, Jc, axis=1), _PAD)
+    B = jnp.where(J >= 0, jnp.take_along_axis(Br, Jc, axis=1), _PAD)
+    zero = jnp.zeros_like(m)
+    start = jnp.maximum(_jnp_first_false(A == GAP, zero, L),
+                        _jnp_first_false(B == GAP, zero, L))
+    rtrim = jnp.maximum(_jnp_first_false(Ar == GAP, zero, L),
+                        _jnp_first_false(Br == GAP, zero, L))
+    sel = (idx >= start[:, None]) & (idx < (m - rtrim)[:, None])
+    gap = (A == GAP) | (B == GAP)
+    indel = (gap & sel).sum(axis=1)
+    match = ((A == B) & sel).sum(axis=1)
+    mismatch = (sel & ~gap & (A != B)).sum(axis=1)
+    return jnp.stack([match, mismatch, indel], axis=1).astype(jnp.int32)
+
+
 _lr_stats_device_jit = None
+_eval_stats_device_jit = None
 
 
 def _get_lr_stats_jit():
@@ -223,6 +263,15 @@ def _get_lr_stats_jit():
             _lr_stats_device, static_argnames=("allow_one_off",
                                                "max_shift"))
     return _lr_stats_device_jit
+
+
+def _get_eval_stats_jit():
+    global _eval_stats_device_jit
+    if _eval_stats_device_jit is None:
+        import jax
+
+        _eval_stats_device_jit = jax.jit(_eval_stats_device)
+    return _eval_stats_device_jit
 
 
 def _batch_lr_stats(pairs, seqs, maxShift, match, mismatch, gap_p,
@@ -254,6 +303,42 @@ def _batch_lr_stats(pairs, seqs, maxShift, match, mismatch, gap_p,
             raise RuntimeError("N-W Align out of range.")
         stats = np.asarray(fn(kinds, p0, p1, mat[qi], mat[pi],
                               allow_one_off, maxShift))[: len(chunk)]
+        for k, o in enumerate(outs):
+            o[lo: lo + len(chunk)] = stats[:, k]
+    return tuple(outs)
+
+
+_CHUNK_PAIRS_UNBANDED = 4096  # full-width scalar DP: smaller chunks
+
+
+def _batch_eval_stats(pairs, seqs, match, mismatch, gap_p):
+    """eval_pair statistics for arbitrary (query, parent) index pairs:
+    device-aligned (unbanded ends-free scalar NW, the R nwalign
+    band=-1 configuration) and device-evaluated in chunks; each chunk
+    fetches [P, 3] ints. Returns (match, mismatch, indel) int64."""
+    from .ops.nw_batch import nw_batch
+
+    P = len(pairs)
+    outs = [np.zeros(P, np.int64) for _ in range(3)]
+    if P == 0:
+        return tuple(outs)
+    mat, lens = pack_sequences(seqs)
+    fn = _get_eval_stats_jit()
+    for lo in range(0, P, _CHUNK_PAIRS_UNBANDED):
+        chunk = pairs[lo: lo + _CHUNK_PAIRS_UNBANDED]
+        nb = 1 << (len(chunk) - 1).bit_length()
+        qi = np.fromiter((p[0] for p in chunk), np.int64, len(chunk))
+        pi = np.fromiter((p[1] for p in chunk), np.int64, len(chunk))
+        qi = np.concatenate([qi, np.full(nb - len(chunk), qi[0])])
+        pi = np.concatenate([pi, np.full(nb - len(chunk), pi[0])])
+        kinds, p0, p1, _, _, ok = nw_batch(
+            mat[qi], lens[qi], mat[pi], lens[pi], match=match,
+            mismatch=mismatch, gap_p=gap_p, end_gap_p=0, band=-1,
+            mode="scalar")
+        if not np.asarray(ok).all():
+            raise RuntimeError("N-W Align out of range.")
+        stats = np.asarray(fn(kinds, p0, p1, mat[qi],
+                              mat[pi]))[: len(chunk)]
         for k, o in enumerate(outs):
             o[lo: lo + len(chunk)] = stats[:, k]
     return tuple(outs)
@@ -390,59 +475,71 @@ def _table_bimera_stats(mat: np.ndarray, sqs: List[str],
     nsam = np.zeros(ncol, dtype=np.int64)
     ge_abund = mat >= minParentAbundance
 
+    # Union parent matrix U[j, k] = some sample has j present and k
+    # qualifying as j's parent there (reference lazily aligns each
+    # per-column parent once — the same union, src/chimera.cpp:120-146).
+    # Accumulated per SAMPLE in column chunks: the old per-column
+    # [nsam, ncol] mask was built TWICE per column — O(ncol^2 * nsam)
+    # numpy twice over; this is the same work done once, cache-friendly.
+    U = np.zeros((ncol, ncol), dtype=bool)
+    CHUNK_J = max(1, (64 << 20) // (8 * ncol))
+    for s in range(nsam_tot):
+        row = mat[s]
+        parentable = np.nonzero(ge_abund[s] & (row > 0))[0]
+        if not len(parentable):
+            continue
+        pv = row[parentable].astype(np.float64)
+        for j0 in range(0, ncol, CHUNK_J):
+            j1 = min(j0 + CHUNK_J, ncol)
+            thr = minFoldParentOverAbundance * row[j0:j1, None]
+            cond = pv[None, :] > thr          # [jchunk, |parentable|]
+            cond[row[j0:j1] == 0, :] = False
+            U[j0:j1, parentable] |= cond
+    np.fill_diagonal(U, False)
+
     # all (query, union-parent) alignments across all columns, batched
-    # in chunks (reference lazily aligns each per-column parent once —
-    # the same union, src/chimera.cpp:120-146)
+    # in chunks
     unions = []
     all_pairs = []
     offsets = []
     for j in range(ncol):
-        present = mat[:, j] > 0
-        if not present.any():
-            unions.append(np.zeros(0, np.int64))
-            offsets.append(len(all_pairs))
-            continue
-        parent_mask = (mat > (minFoldParentOverAbundance *
-                              mat[:, j][:, None])) & ge_abund
-        parent_mask[~present, :] = False
-        union = np.nonzero(parent_mask.any(axis=0))[0]
-        union = union[union != j]
-        unions.append(union)
         offsets.append(len(all_pairs))
+        if not (mat[:, j] > 0).any():
+            unions.append(np.zeros(0, np.int64))
+            continue
+        union = np.nonzero(U[j])[0]
+        unions.append(union)
         all_pairs.extend((j, int(k)) for k in union)
     l_all, r_all, lo_all, ro_all, ham_all = _batch_lr_stats(
         all_pairs, sqs, maxShift, opts.MATCH, opts.MISMATCH,
         opts.GAP_PENALTY, allowOneOff)
 
     for j in range(ncol):
-        present = mat[:, j] > 0
-        nsam[j] = int(present.sum())
+        present = np.nonzero(mat[:, j] > 0)[0]
+        nsam[j] = len(present)
         if nsam[j] == 0:
             continue
-        sqlen = len(sqs[j])
-        parent_mask = (mat > (minFoldParentOverAbundance *
-                              mat[:, j][:, None])) & ge_abund
-        parent_mask[~present, :] = False
         union = unions[j]
+        if not len(union):
+            continue
+        sqlen = len(sqs[j])
         sl = slice(offsets[j], offsets[j] + len(union))
-        lefts = np.zeros(ncol, dtype=np.int64)
-        rights = np.zeros(ncol, dtype=np.int64)
-        lefts_oo = np.zeros(ncol, dtype=np.int64)
-        rights_oo = np.zeros(ncol, dtype=np.int64)
-        allowed = np.zeros(ncol, dtype=bool)
         keep = l_all[sl] + r_all[sl] < sqlen  # toss id/shift parents
-        lefts[union[keep]] = l_all[sl][keep]
-        rights[union[keep]] = r_all[sl][keep]
-        if allowOneOff:
-            lefts_oo[union[keep]] = lo_all[sl][keep]
-            rights_oo[union[keep]] = ro_all[sl][keep]
-            allowed[union] = ham_all[sl] >= minOneOffParentDistance
-        # per-sample vote, all present samples at once
-        pm = parent_mask[present]        # [ns, ncol]
+        lefts = np.where(keep, l_all[sl], 0)
+        rights = np.where(keep, r_all[sl], 0)
+        # per-sample parent mask restricted to the union columns (tiny:
+        # [ns, |union|] instead of the old [ns, ncol])
+        mu = mat[np.ix_(present, union)]
+        pm = ((mu > minFoldParentOverAbundance
+               * mat[present, j][:, None])
+              & ge_abund[np.ix_(present, union)])
         max_left = np.where(pm, lefts[None, :], 0).max(axis=1)
         max_right = np.where(pm, rights[None, :], 0).max(axis=1)
         flag = max_left + max_right >= sqlen
         if allowOneOff:
+            lefts_oo = np.where(keep, lo_all[sl], 0)
+            rights_oo = np.where(keep, ro_all[sl], 0)
+            allowed = ham_all[sl] >= minOneOffParentDistance
             pa = pm & allowed[None, :]
             oo_l = np.where(pa, lefts[None, :], 0).max(axis=1)
             oo_r = np.where(pa, rights[None, :], 0).max(axis=1)
@@ -509,29 +606,41 @@ def is_shift_denovo(unqs, minOverlap: int = 20, flagSubseqs: bool = False,
                     verbose: bool = False) -> pd.Series:
     """Flag sequences identical to a more abundant sequence up to a shift.
 
-    reference: isShiftDenovo (R/chimeras.R:380-421)."""
-    from .paired import eval_pair, nwalign
+    reference: isShiftDenovo (R/chimeras.R:380-421). The reference runs
+    a scalar nwalign + C_eval_pair per (sequence, parent) pair; here
+    every pair rides one chunked device batch (_batch_eval_stats) — the
+    per-pair scalar walk remains the test oracle
+    (tests/test_chimeras.py)."""
+    from .options import current_options
     from .seqtab import get_sequences, get_uniques
 
+    opts = current_options()
     unqs_int = get_uniques(unqs)
     seqs = list(unqs_int.keys())
     abunds = np.array(list(unqs_int.values()))
+    n = len(seqs)
+    slen = np.array([len(s) for s in seqs], np.int64)
 
-    def is_shifted_pair(sq1, sq2):
-        a1, a2 = nwalign(sq1, sq2, band=-1)
-        match, mismatch, indel = eval_pair(a1, a2)
-        return ((match < len(sq1) or flagSubseqs)
-                and (match < len(sq2) or flagSubseqs)
-                and match >= minOverlap and mismatch == 0 and indel == 0)
-
-    shifts = np.zeros(len(seqs), dtype=bool)
-    for i, (sq, ab) in enumerate(zip(seqs, abunds)):
-        pars = [s for s, a in zip(seqs, abunds) if a > ab]
-        if not pars:
+    all_pairs = []
+    for i in range(n):
+        pars = np.nonzero(abunds > abunds[i])[0]
+        if not len(pars):
             if verbose:
                 print("No possible parents.")
             continue
-        shifts[i] = any(is_shifted_pair(sq, p) for p in pars)
+        all_pairs.extend((i, int(k)) for k in pars)
+    match, mism, ind = _batch_eval_stats(all_pairs, seqs, opts.MATCH,
+                                         opts.MISMATCH, opts.GAP_PENALTY)
+    shifts = np.zeros(n, dtype=bool)
+    if all_pairs:
+        qi = np.fromiter((p[0] for p in all_pairs), np.int64,
+                         len(all_pairs))
+        pi = np.fromiter((p[1] for p in all_pairs), np.int64,
+                         len(all_pairs))
+        ok = (((match < slen[qi]) | flagSubseqs)
+              & ((match < slen[pi]) | flagSubseqs)
+              & (match >= minOverlap) & (mism == 0) & (ind == 0))
+        shifts[qi[ok]] = True
     flagged = {s for s, b in zip(seqs, shifts) if b}
     seqs_input = get_sequences(unqs)
     return pd.Series([s in flagged for s in seqs_input], index=seqs_input)

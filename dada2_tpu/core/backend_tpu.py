@@ -417,9 +417,9 @@ def _subs_tile_trace(tvec, seqs, lens, center, flags, idx, *, K):
     return packed.astype(jnp.uint16)
 
 
-@partial(jax.jit, static_argnames=("L", "M0", "K"))
-def _budded_fused(tvec, small5, seqs, lens, center, qlerr, eth2, *, L,
-                  M0, K):
+@partial(jax.jit, static_argnames=("L", "M0", "K", "greedy"))
+def _budded_fused(tvec, small5, seqs, lens, reads, center, qlerr, eth2,
+                  *, L, M0, K, greedy):
     """The WHOLE error-dependent half of a budded compare in one device
     call: small pack + store-screen shortlist + substitution tiles,
     packed so the compare costs exactly ONE host fetch.
@@ -427,13 +427,18 @@ def _budded_fused(tvec, small5, seqs, lens, center, qlerr, eth2, *, L,
     Returns (buf, order, small13): buf = [16B header: m, naligned,
     nshroud, 0 | M0 x i32 indices | M0 x 5B ham/ham_gl/flags rows (the
     host never reads the screened loglam/abssum in this path) | M0 x K
-    u16 substitution entries]; order is the full compaction for a
-    follow-up _take_subs when m > M0; small13 stays on device for the
-    finalize paths (cached per error matrix, exactly what _fused_small
-    builds). See _shortlist_screen for the store-screen margin
-    soundness."""
+    u16 substitution entries | n/8 shroud bitmap (host-side count
+    correction for speculative consumes)]; order is the full compaction
+    for a follow-up _take_subs when m > M0; small13 stays on device for
+    the finalize paths (cached per error matrix, exactly what
+    _fused_small builds). See _shortlist_screen for the store-screen
+    margin soundness and the on-device greedy-skip reconstruction that
+    lets several centers share ONE eth2 upload (the speculative
+    multi-bud dispatch)."""
     small = _small_trace(tvec, seqs, lens, center, qlerr, small5)
-    header, order = _shortlist_screen(small, eth2, L=L)
+    header, order, shroud_pk = _shortlist_screen(small, eth2, reads,
+                                                 center, L=L,
+                                                 greedy=greedy)
     idx = order[:M0]
     rows = jnp.take(small5, idx, axis=0)
     subs = _subs_tile_trace(tvec, seqs, lens, center, small5[:, 4], idx,
@@ -442,7 +447,8 @@ def _budded_fused(tvec, small5, seqs, lens, center, qlerr, eth2, *, L,
         jax.lax.bitcast_convert_type(header, jnp.int8).reshape(-1),
         jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
         rows.reshape(-1),
-        jax.lax.bitcast_convert_type(subs, jnp.int8).reshape(-1)])
+        jax.lax.bitcast_convert_type(subs, jnp.int8).reshape(-1),
+        shroud_pk.astype(jnp.int8)])
     return buf, order, small
 
 
@@ -577,7 +583,7 @@ def _fetch(x):
     return np.asarray(x)
 
 
-def _shortlist_screen(small, eth2, *, L):
+def _shortlist_screen(small, eth2, reads, center, *, L, greedy):
     """Device store-screen + compaction for a budded compare.
 
     The engine stores a comparison iff lambda * total_reads > E_minmax
@@ -589,11 +595,17 @@ def _shortlist_screen(small, eth2, *, L):
     e_thresh as bf16 (f32 truncated toward zero — a sound LOWER bound
     on the store threshold, so rounding can only keep extra rows, never
     drop one; negatives/zeros land in the kept branch regardless) and
-    the greedy-skip mask bit-packed little-endian (4x less upload than
-    the old [2, n] f32, which costs real milliseconds per compare on a
-    remote-attached chip). Returns (header [4] i32: m, naligned,
-    nshroud, 0; order = the stable compaction putting shortlisted rows
-    first).
+    the skip mask's LOCK component bit-packed little-endian (pad rows
+    travel as locked). Under greedy the abundance component of the skip
+    (reads > center_reads, reference: src/cluster.cpp:56-59) is
+    reconstructed ON DEVICE from the resident reads vector and the
+    center row itself is force-unskipped — so one eth2 upload serves
+    the compare of ANY center, which is what lets the speculative
+    multi-bud dispatch ride a single upload + fetch. Returns
+    (header [4] i32: m, naligned, nshroud, 0; order = the stable
+    compaction putting shortlisted rows first; shroud bitmap u8 [n/8]
+    so a speculative consume can re-derive naligned/nshroud under the
+    engine's TRUE skip of a later bud).
 
     Margin soundness (all-f32 version of the host rule): device loglam
     differs from the exact log lambda by at most eps*(5L + (L+5)*S)
@@ -607,6 +619,9 @@ def _shortlist_screen(small, eth2, *, L):
     nskip = ((jnp.repeat(skip_bytes, 8)[:n]
               >> (jnp.arange(n, dtype=jnp.int32) % 8).astype(jnp.uint8))
              & 1) != 0
+    if greedy:
+        nskip = nskip | (reads > reads[center])
+        nskip = nskip & (jnp.arange(n, dtype=jnp.int32) != center)
     loglam = jax.lax.bitcast_convert_type(
         small[:, 4:8].reshape(n, 1, 4), jnp.float32).reshape(n)
     abssum = jax.lax.bitcast_convert_type(
@@ -627,7 +642,10 @@ def _shortlist_screen(small, eth2, *, L):
                         (shroud & ~nskip).sum(),
                         jnp.zeros((), jnp.int32)]).astype(jnp.int32)
     order = jnp.argsort(~need, stable=True).astype(jnp.int32)
-    return header, order
+    shroud_pk = (shroud.astype(jnp.int32).reshape(-1, 8)
+                 * (1 << jnp.arange(8, dtype=jnp.int32))[None, :]
+                 ).sum(axis=1).astype(jnp.uint8)
+    return header, order, shroud_pk
 
 
 @jax.jit
@@ -857,6 +875,13 @@ class TpuBackend(CompareBackend):
     # driver shares it across ~6 concurrent backends)
     ALIGN_CACHE_BYTES = int(os.environ.get(
         "DADA2_TPU_ALIGN_CACHE_BYTES", 1536 * 1024 * 1024))
+    # speculative multi-bud dispatch width: each budded-compare fetch
+    # additionally carries the shortlists of up to SPEC_K likely NEXT
+    # bud centers; a correct prediction makes the next compare cost
+    # ZERO round-trips (consumed from the stash with host-side skip/
+    # count correction — results are bit-identical either way, see
+    # _spec_consume). 0 disables speculation.
+    SPEC_K = int(os.environ.get("DADA2_TPU_SPEC_K", "8"))
 
     def __init__(self, rawset: RawSet, use_quals: bool = True, mesh=None,
                  device=None):
@@ -938,6 +963,15 @@ class TpuBackend(CompareBackend):
                         else put(np.zeros((1, W), np.uint8)))
         self.d_kmers, self.d_kords = _kmer_tables(self.d_seqs,
                                                   self.d_lens)
+        # resident abundance vector: lets the budded shortlist screen
+        # reconstruct the greedy abundance-skip for ANY center on device
+        # (one eth upload shared by the speculative multi-bud dispatch)
+        reads_p = np.asarray(rawset.reads, np.int64)
+        if nd != n:
+            reads_p = np.concatenate(
+                [reads_p, np.full(nd - n, reads_p[0] if n else 0,
+                                  np.int64)])
+        self.d_reads = put(reads_p.astype(np.int32))
         self._rs_pad = (rawset if nd == n else RawSet(
             seqs=seqs_p, lens=lens_p, reads=rawset.reads,
             priors=rawset.priors, quals=quals_p))
@@ -984,6 +1018,14 @@ class TpuBackend(CompareBackend):
         # round, so last round's m at the same ordinal is the predictor)
         self._bud_ordinal = 0
         self._m_by_ordinal: dict = {}
+        # speculative multi-bud transport (see _compare_shortlisted):
+        # prefetched shortlist segments keyed by candidate center, plus
+        # the bud-center sequence of the previous engine run on this
+        # backend (selfConsist rounds repeat nearly the same sequence —
+        # the strongest next-bud predictor for rounds >= 2)
+        self._spec: Optional[dict] = None
+        self._centers_prev: dict = {}
+        self._centers_cur: dict = {}
         import threading
         self._cache_lock = threading.Lock()
 
@@ -1472,8 +1514,10 @@ class TpuBackend(CompareBackend):
                 return out
         else:
             # engine run restarting (init compare): the adaptive
-            # shortlist sizing keys its history by bud ordinal
+            # shortlist sizing keys its history by bud ordinal, and the
+            # speculative stash/bud-sequence predictor rolls over
             self._bud_ordinal = 0
+            self._spec_reset()
 
         if geom is not None:
             # fast path: ONE fused device call + ONE small host fetch;
@@ -1543,8 +1587,9 @@ class TpuBackend(CompareBackend):
                                   use_kmers, kdist_cutoff, minsum, kmatch,
                                   l1)
 
-    def _predict_m0(self, n: int) -> int:
-        """Static shortlist buffer size for the next budded compare.
+    def _predict_m0(self, n: int, ordinal: Optional[int] = None) -> int:
+        """Static shortlist buffer size for the budded compare at the
+        given bud ordinal (default: the next one).
 
         The true shortlist size m is only known after the fetch, so the
         buffer is sized from history: the same bud ordinal of the
@@ -1554,32 +1599,49 @@ class TpuBackend(CompareBackend):
         compile diversity; a too-small pick costs one follow-up fetch, a
         too-large one only its own bytes. SHORTLIST_M0 forces a fixed
         size (tests)."""
+        if ordinal is None:
+            ordinal = self._bud_ordinal
         if self.SHORTLIST_M0 is not None:
             return min(self.SHORTLIST_M0, n)
-        hist = self._m_by_ordinal.get(self._bud_ordinal)
+        hist = self._m_by_ordinal.get(ordinal)
         if hist is not None:
             pred = hist[0] + hist[0] // 8 + 32
         else:
-            last = self._m_by_ordinal.get(self._bud_ordinal - 1)
-            pred = (last[0] + last[0] // 2 + 32 if last is not None
-                    else n // 4)
+            last = self._m_by_ordinal.get(ordinal - 1)
+            if last is not None:
+                pred = last[0] + last[0] // 2 + 32
+            elif not self._m_by_ordinal:
+                # run-one early buds: E_minmax is still weak (and the
+                # speculative segments screen with an even STALER one),
+                # so most rows survive the store screen — a follow-up
+                # fetch is near-certain at any partial size. Size the
+                # first buffers for everything up to a ~500KB/segment
+                # byte budget (beyond it a follow-up beats the extra
+                # wire bytes); history takes over from the next
+                # dispatch on.
+                pred = min(n, (512 << 10)
+                           // (9 + 2 * self.SHORTLIST_K_WIDE))
+            else:
+                pred = n // 4
         M0 = 256
         while M0 < pred and M0 < n:
             M0 *= 2
         return min(M0, self.nd)
 
-    def _predict_k(self) -> int:
-        """Substitution-tile width for the next budded compare, from the
-        last ham histogram at this bud ordinal (same engine-run pattern
-        logic as _predict_m0): the wide tile wins when the narrow one
-        would overflow too many rows into dense re-fetches. Early buds
-        default wide — their weak E_minmax admits distant (high-ham)
-        rows."""
-        hist = (self._m_by_ordinal.get(self._bud_ordinal)
-                or self._m_by_ordinal.get(self._bud_ordinal - 1))
+    def _predict_k(self, ordinal: Optional[int] = None) -> int:
+        """Substitution-tile width for the budded compare at the given
+        bud ordinal, from the last ham histogram at that ordinal (same
+        engine-run pattern logic as _predict_m0): the wide tile wins
+        when the narrow one would overflow too many rows into dense
+        re-fetches. Early buds default wide — their weak E_minmax
+        admits distant (high-ham) rows."""
+        if ordinal is None:
+            ordinal = self._bud_ordinal
+        hist = (self._m_by_ordinal.get(ordinal)
+                or self._m_by_ordinal.get(ordinal - 1))
         lo, hi = self.SHORTLIST_K, self.SHORTLIST_K_WIDE
         if hist is None:
-            return hi if self._bud_ordinal < 2 else lo
+            return hi if ordinal < 2 else lo
         m, fit_lo, fit_hi = hist
         dense = (self.rs.seqs.shape[1] + 1) // 2 + 40  # + follow-up slack
         cost_lo = 2 * lo * m + (m - fit_lo) * dense
@@ -1606,79 +1668,246 @@ class TpuBackend(CompareBackend):
             t[rv, pv] = 4 * (subs[vm] >> 14).astype(np.int64) + s1[rv, pv]
         return t
 
+    @staticmethod
+    def _budbuf_layout(M0: int, K: int, nb: int):
+        """Byte offsets inside one _budded_fused buffer: (end of the
+        index block, end of the 5B rows, end of the substitution tiles,
+        total length incl. the nb-byte shroud bitmap)."""
+        o1 = 16 + 4 * M0
+        o2 = o1 + 5 * M0
+        o3 = o2 + 2 * K * M0
+        return o1, o2, o3, o3 + nb
+
+    @staticmethod
+    def _opts_key(opts: DadaOptions):
+        """Options a cached speculative shortlist depends on."""
+        return (opts.BAND_SIZE, opts.MATCH, opts.MISMATCH,
+                opts.GAP_PENALTY, bool(opts.GAPLESS), opts.SSE < 1,
+                float(opts.KDIST_CUTOFF), bool(opts.GREEDY))
+
+    def _spec_reset(self):
+        """Engine run restarting: drop any unconsumed speculative
+        segments and roll the bud-center sequence into the predictor for
+        the next run (selfConsist rounds repeat nearly the same bud
+        order, so last round's center at the same ordinal is the
+        strongest next-bud hint)."""
+        sp = self._spec
+        if sp is not None and sp["segs"]:
+            from ..trace import COUNTERS
+            COUNTERS.spec_wasted += len(sp["segs"])
+        self._spec = None
+        if self._centers_cur:
+            self._centers_prev = self._centers_cur
+        self._centers_cur = {}
+
+    def _spec_candidates(self, center: int) -> list:
+        """Ranked likely-next-bud centers: previous run's bud sequence
+        at the upcoming ordinals first (near-exact in selfConsist rounds
+        >= 2), then the engine's current-state (p, -reads) ranking
+        (CompareBackend.spec_hint). Deduped, capped at SPEC_K."""
+        n = self.rs.n
+        o = self._bud_ordinal
+        cands = []
+        for j in range(1, self.SPEC_K + 5):
+            c = self._centers_prev.get(o + j)
+            if c is not None:
+                cands.append(c)
+        cands.extend(getattr(self, "spec_hint", ()) or ())
+        seen = {int(center)}
+        out = []
+        for c in cands:
+            c = int(c)
+            if c in seen or not (0 <= c < n):
+                continue
+            seen.add(c)
+            out.append(c)
+            if len(out) >= self.SPEC_K:
+                break
+        return out
+
+    def _spec_consume(self, center: int, skip: np.ndarray,
+                      opts: DadaOptions, err: np.ndarray):
+        """Consume a prefetched speculative shortlist for this center —
+        ZERO round-trips when it fits M0. Returns (lam, ham) or None.
+
+        Why a stale prefetch is exact: the segment was screened under an
+        OLDER E_minmax (monotonically nondecreasing within a run, so the
+        stale threshold keeps a superset of the rows the engine can
+        store) and an older skip whose lock component can only have
+        GROWN since (locks are only cleared for a freshly budded center,
+        reference: src/cluster.cpp:371-386 — and that center's row is
+        force-unskipped at dispatch). _finish_budded drops newly-skipped
+        rows and re-derives naligned/nshroud from the shroud bitmap
+        under the TRUE skip, so the result is bit-identical to a fresh
+        dispatch."""
+        from ..trace import COUNTERS
+        sp = self._spec
+        if sp is None or not sp["segs"]:
+            return None
+        if sp["key"] != (hash(err.tobytes()), self._opts_key(opts)):
+            COUNTERS.spec_wasted += len(sp["segs"])
+            self._spec = None
+            return None
+        seg = sp["segs"].pop(center, None)
+        if seg is None:
+            COUNTERS.spec_misses += 1
+            return None
+        COUNTERS.spec_hits += 1
+        from ..trace import PHASES
+        with PHASES("be.spec_consume"):
+            return self._finish_budded(
+                center, opts, err, skip, seg["buf"], seg["M0"], seg["K"],
+                seg["ent"], seg["order"], seg["small13"])
+
     def _compare_shortlisted(self, center: int, skip: np.ndarray,
                              opts: DadaOptions, err: np.ndarray,
                              e_thresh: np.ndarray, geom):
         """Shortlist variant of the fused compare: device store-screen +
-        compacted single-fetch. Returns (lam, ham) with ham == -2
-        marking rows that were aligned on device but provably never
-        stored by the engine (their exact lambda is irrelevant and never
-        computed); sets self.last_stats = (naligned, nshrouded) from the
-        device scalars so the engine's counters stay exact. Returns None
-        when the shortlist is so large that the full-slab fetch is
-        cheaper (the full path then reuses the small pack this call
-        already computed and cached).
+        compacted single-fetch + speculative multi-bud prefetch. Returns
+        (lam, ham) with ham == -2 marking rows that were aligned on
+        device but provably never stored by the engine (their exact
+        lambda is irrelevant and never computed); sets self.last_stats =
+        (naligned, nshrouded) so the engine's counters stay exact.
 
         The ONE fetch carries indices, small rows and substitution
         tiles for up to M0 rows; m > M0 takes one follow-up fetch, and
         rows whose substitution count overflows the K-wide tile are
         re-fetched densely (gapless overflows rebuild on host for
-        free)."""
-        from ..trace import PHASES
+        free). The same fetch ALSO carries the shortlists of up to
+        SPEC_K likely next-bud centers (same buffer format, same eth
+        upload — the greedy skip is reconstructed per-center on
+        device), so a correctly predicted next bud costs zero further
+        round-trips (_spec_consume)."""
+        from ..trace import COUNTERS, PHASES
 
         n = self.rs.n
         if n < self.SHORTLIST_MIN_N:
             return None
+        out = self._spec_consume(center, skip, opts, err)
+        if out is not None:
+            return out
         with PHASES("be.align"):
             ent = self._align_ent(center, opts, geom)
         K = self._predict_k()
         M0 = self._predict_m0(n)
-        # ONE packed upload: bf16 e_thresh lower bound + bit-packed skip
-        # (pad rows travel force-skipped, so they never reach the
-        # shortlist or the device naligned/nshroud counts)
+        # ONE packed upload shared by the main compare and every
+        # speculated center: bf16 e_thresh lower bound + the LOCK
+        # component of the skip bit-packed (pad rows travel locked; the
+        # abundance component reads > center_reads is reconstructed
+        # per-center on device from the resident reads vector)
         nd = self.nd
-        nb = (nd + 7) // 8
+        nb = nd // 8
+        greedy = bool(opts.GREEDY)
         ethbuf = np.zeros(2 * nd + nb, np.uint8)
         e32 = np.ascontiguousarray(e_thresh, np.float32)
         ethbuf[: 2 * n] = (e32.view(np.uint32) >> 16).astype(
             np.uint16).view(np.uint8)
-        skipd = np.ones(nd, bool)
-        skipd[:n] = skip
-        ethbuf[2 * nd:] = np.packbits(skipd, bitorder="little")
+        lockp = np.ones(nd, bool)
+        skiph = np.asarray(skip, bool)
+        lockp[:n] = (skiph & (self.rs.reads <= int(self.rs.reads[center]))
+                     if greedy else skiph)
+        ethbuf[2 * nd:] = np.packbits(lockp, bitorder="little")
         d_center = self._center_dev(center)
+        qlerr = self._get_qlerr(err)
         with PHASES("be.bud_dispatch"):
+            d_eth = self._put(ethbuf.view(np.int8))
             buf_d, order, small13 = _budded_fused(
-                ent[1], ent[2], self.d_seqs, self.d_lens, d_center,
-                self._get_qlerr(err), self._put(ethbuf.view(np.int8)),
-                L=self.maxlen, M0=M0, K=K)
+                ent[1], ent[2], self.d_seqs, self.d_lens, self.d_reads,
+                d_center, qlerr, d_eth, L=self.maxlen, M0=M0, K=K,
+                greedy=greedy)
             small13 = self._small_insert(ent, err, small13)
+            specs = []
+            cands = self._spec_candidates(center) if self.SPEC_K else []
+            if cands:
+                o = self._bud_ordinal
+                M0s = max(self._predict_m0(n, o + 1 + j)
+                          for j in range(len(cands)))
+                Ks = max(self._predict_k(o + 1 + j)
+                         for j in range(len(cands)))
+                for c in cands:
+                    geom_c = self._pallas_ok(int(self.lens[c]), opts)
+                    if geom_c is None:
+                        continue
+                    ent_c = self._align_ent(c, opts, geom_c)
+                    buf_c, order_c, small13_c = _budded_fused(
+                        ent_c[1], ent_c[2], self.d_seqs, self.d_lens,
+                        self.d_reads, self._center_dev(c), qlerr, d_eth,
+                        L=self.maxlen, M0=M0s, K=Ks, greedy=greedy)
+                    small13_c = self._small_insert(ent_c, err, small13_c)
+                    specs.append((c, buf_c, order_c, ent_c, small13_c))
         with PHASES("be.bud_fetch"):
-            buf = _fetch(buf_d)
-        m, naligned, nshroud = buf[:16].copy().view(np.int32)[:3]
-        m, naligned, nshroud = int(m), int(naligned), int(nshroud)
+            if specs:
+                big = _fetch(jnp.concatenate([buf_d]
+                                             + [s[1] for s in specs]))
+            else:
+                big = _fetch(buf_d)
+        len_main = self._budbuf_layout(M0, K, nb)[3]
+        buf = big[:len_main]
+        if specs:
+            sp = self._spec
+            if sp is not None and sp["segs"]:
+                COUNTERS.spec_wasted += len(sp["segs"])
+            seg_len = self._budbuf_layout(M0s, Ks, nb)[3]
+            segs = {}
+            for si, (c, _, order_c, ent_c, small13_c) in enumerate(specs):
+                a = len_main + si * seg_len
+                segs[c] = dict(buf=big[a: a + seg_len], M0=M0s, K=Ks,
+                               ent=ent_c, order=order_c,
+                               small13=small13_c)
+            self._spec = {
+                "key": (hash(err.tobytes()), self._opts_key(opts)),
+                "segs": segs}
+        return self._finish_budded(center, opts, err, skip, buf, M0, K,
+                                   ent, order, small13)
+
+    def _finish_budded(self, center: int, opts: DadaOptions,
+                       err: np.ndarray, skip: np.ndarray,
+                       buf: np.ndarray, M0: int, K: int, ent, order,
+                       small13):
+        """Host half of a budded compare from one fetched buffer (fresh
+        or speculative): recount naligned/nshroud under the TRUE skip
+        via the shroud bitmap, drop shortlist rows the true skip now
+        excludes (a speculative segment was dispatched under an older —
+        provably weaker — skip), rebuild lambdas from the substitution
+        tiles, and resolve tile/buffer overflows with at most one
+        follow-up fetch."""
+        from ..trace import COUNTERS
+
+        n = self.rs.n
+        nd = self.nd
+        nb = nd // 8
+        o1, o2, o3, _ = self._budbuf_layout(M0, K, nb)
+        m = int(buf[:16].copy().view(np.int32)[0])
         ordinal = self._bud_ordinal
         self._bud_ordinal += 1
+        self._centers_cur[ordinal] = int(center)
+        true_skip = np.asarray(skip, bool)
+        shroud = np.unpackbits(buf[o3: o3 + nb].view(np.uint8),
+                               bitorder="little",
+                               count=n).astype(bool)
+        naligned = int((~true_skip & ~shroud).sum())
+        nshroud = int((shroud & ~true_skip).sum())
+        self.last_stats = (naligned, nshroud)
         # no full-slab fallback: even at m == n the shortlist transport
         # (9 + 2K bytes/row) undercuts the full path's 13B small slab
         # plus ~L/2B dense tvec gathers
         lam = np.zeros(n)
         ham = np.full(n, -2, dtype=np.int64)
-        ham[np.asarray(skip, bool)] = -1
-        self.last_stats = (naligned, nshroud)
+        ham[true_skip] = -1
         if m == 0:
             self._m_by_ordinal[ordinal] = (0, 0, 0)
             return lam, ham
-        o1 = 16 + 4 * M0
-        o2 = o1 + M0 * 5
         m1 = min(m, M0)
         rows_idx = buf[16: o1].copy().view(np.int32)[:m1].astype(np.int64)
         packed = buf[o1: o2].reshape(M0, 5)[:m1]
-        subs = buf[o2:].copy().view(np.uint16).reshape(M0, K)[:m1]
+        subs = buf[o2: o3].copy().view(np.uint16).reshape(M0, K)[:m1]
         if m > M0:
             # rows [M0, m) in one follow-up (x1.5-step bucket)
+            COUNTERS.followup_fetches += 1
             M = min(_bucket15(m - M0), nd - M0)
             buf2 = _fetch(_take_subs(small13, ent[1], self.d_seqs,
-                                     self.d_lens, d_center, order,
+                                     self.d_lens,
+                                     self._center_dev(center), order,
                                      M0=M0, M=M, K=K))
             o1b, o2b = 4 * M, 4 * M + M * 5
             rows_idx = np.concatenate([
@@ -1694,15 +1923,20 @@ class TpuBackend(CompareBackend):
         flags = packed[:, 4]
         ok = (flags & 1) != 0
         gl_bit = (flags & 2) != 0
-        if (~gl_bit).any() and not ok[~gl_bit].all():
-            raise RuntimeError("N-W Align out of range.")
         ham_sel = np.where(gl_bit, ham_gl, ham_all)
+        # record BEFORE the live filter: the next dispatch (speculative
+        # or fresh) faces the same stale-threshold inflation
         self._m_by_ordinal[ordinal] = (
             m, int((ham_sel <= self.SHORTLIST_K).sum()),
             int((ham_sel <= self.SHORTLIST_K_WIDE).sum()))
+        live = ~true_skip[rows_idx]
+        if not live.all():
+            rows_idx = rows_idx[live]
+            ham_sel, ok, gl_bit = ham_sel[live], ok[live], gl_bit[live]
+            subs = subs[live]
+        if (~gl_bit).any() and not ok[~gl_bit].all():
+            raise RuntimeError("N-W Align out of range.")
         ham[rows_idx] = ham_sel
-        from ..trace import COUNTERS
-
         COUNTERS.gapless += int(gl_bit.sum())
         fits = ham_sel <= K
         if fits.any():
@@ -1716,6 +1950,7 @@ class TpuBackend(CompareBackend):
             lam[gl_over] = self._lambdas(gl_over, tvec, err)
         al_over = rows_idx[~fits & ~gl_bit]
         if len(al_over):
+            COUNTERS.dense_refetches += len(al_over)
             tvec = self._fetch_tvec_rows(ent[1], al_over)
             lam[al_over] = self._lambdas(al_over, tvec, err)
         return lam, ham

@@ -141,6 +141,7 @@ def dada(
 
     # --- derep argument handling (R/dada.R:171-180) ---
     single_input = False
+    input_names = None
     if isinstance(derep, Derep):
         derep = [derep]
         single_input = True
@@ -152,6 +153,9 @@ def dada(
         else:
             derep = list(d.values())
     elif isinstance(derep, dict):
+        # R keeps the input list's names on the result (R/dada.R:478);
+        # dict keys take precedence over each Derep's own name
+        input_names = list(derep.keys())
         derep = list(derep.values())
     else:
         derep = [get_derep(d) for d in derep]
@@ -490,5 +494,8 @@ def dada(
 
     if len(results) == 1 and single_input:
         return results[0]
-    names = [d.name or str(i) for i, d in enumerate(derep)]
+    if input_names is not None and len(input_names) == len(results):
+        names = input_names
+    else:
+        names = [d.name or str(i) for i, d in enumerate(derep)]
     return dict(zip(names, results))

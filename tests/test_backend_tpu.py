@@ -214,6 +214,64 @@ def test_compare_shortlist_path(sample, monkeypatch):
     assert naligned2 == int((ham_full >= 0) .sum() - (ham_full[skip2] >= 0).sum())
 
 
+def test_speculative_multibud_parity(sample, monkeypatch):
+    """The speculative multi-bud transport: an engine run that CONSUMES
+    prefetched shortlists (stale E_minmax/locks corrected on host) must
+    be bit-identical to one with speculation disabled — including the
+    nalign/nshroud counters — and speculation must actually hit."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    from dada2_tpu.trace import COUNTERS
+
+    err = tperr1()
+
+    def run(spec_k, m0=None):
+        seqs, ab, quals = sample
+        opts = DEFAULT_OPTIONS.normalized()
+        rs = make_rawset(seqs, ab, None, quals)
+        be = TpuBackend(rs, use_quals=True)
+        assert be.use_pallas
+        be.SHORTLIST_MIN_N = 0
+        be.SPEC_K = spec_k
+        if m0 is not None:
+            be.SHORTLIST_M0 = m0   # force m > M0 inside consumed segments
+        eng = Engine(rs, err, opts, be, use_quals=True)
+        eng.run()
+        return eng, finalize(eng, opts, err.shape[1], opts.OMEGA_C)
+
+    eng0, res0 = run(0)
+    h0 = COUNTERS.spec_hits
+    eng8, res8 = run(8)
+    assert COUNTERS.spec_hits > h0, "speculation never hit"
+    assert (eng0.nalign, eng0.nshroud) == (eng8.nalign, eng8.nshroud)
+    np.testing.assert_array_equal(eng0.cluster_of, eng8.cluster_of)
+    np.testing.assert_array_equal(eng0.comp_lam, eng8.comp_lam)
+    _assert_same(res0, res8)
+    # consumed segments overflowing their M0 take the follow-up fetch
+    f0 = COUNTERS.followup_fetches
+    engf, resf = run(8, m0=16)
+    assert COUNTERS.followup_fetches > f0
+    _assert_same(res0, resf)
+
+    # a second run on the SAME backend (the selfConsist shape) must roll
+    # the bud sequence into the predictor and still agree
+    seqs, ab, quals = sample
+    opts = DEFAULT_OPTIONS.normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+    be = TpuBackend(rs, use_quals=True)
+    be.SHORTLIST_MIN_N = 0
+    be.SPEC_K = 4
+    eng_a = Engine(rs, err, opts, be, use_quals=True)
+    eng_a.run()
+    assert be._centers_cur
+    h1 = COUNTERS.spec_hits
+    eng_b = Engine(rs, err, opts, be, use_quals=True)
+    eng_b.run()
+    assert be._centers_prev   # rolled over at the init compare
+    assert COUNTERS.spec_hits > h1
+    np.testing.assert_array_equal(eng_a.cluster_of, eng_b.cluster_of)
+    np.testing.assert_array_equal(eng_a.comp_lam, eng_b.comp_lam)
+
+
 def test_device_construction_derivations():
     """The 2-bit seq upload and the device-derived merged candidate tile
     must reproduce the host encodings bit-for-bit (the host
