@@ -184,18 +184,21 @@ def run_pair(lib, dereps, err, opts, dada, label, ref_subset=None):
 
     res = dada(dict(dereps), err=err, verbose=False,
                multithread=16)  # warm/compile
-    from dada2_tpu.trace import PHASES
+    from dada2_tpu.trace import COUNTERS, PHASES
 
     PHASES.reset()
+    COUNTERS.reset()
     t0 = time.time()
     res = dada(dict(dereps), err=err, verbose=False, multithread=16)
     t_tpu = time.time() - t0
     info(f"[{label}] dada() on one chip (threaded samples): {t_tpu:.2f}s")
     info(f"[{label}] phases (thread-summed): {PHASES.summary()}")
+    info(f"[{label}] counters: {COUNTERS.summary()}")
     for name in ref_names:
         info(f"  {name}: ref {ref_nclust[name]} clusters, "
              f"ours {len(res[name].denoised)} ASVs")
-    return t_ref, t_tpu, res
+    return t_ref, t_tpu, res, {"phases": PHASES.as_dict(),
+                               "counters": COUNTERS.as_dict()}
 
 
 def main():
@@ -242,7 +245,8 @@ def main():
             small[d.name] = d
     info(f"small workload: {len(small)} samples "
          f"({sum(len(d.uniques) for d in small.values())} uniques)")
-    t_ref_s, t_tpu_s, _ = run_pair(lib, small, err, opts, dada, "small")
+    t_ref_s, t_tpu_s, _, brk_s = run_pair(lib, small, err, opts, dada,
+                                          "small")
 
     # ---- workload 2: tutorial scale (simulated from the real ASVs) ----
     base = dada(derep_fastq(os.path.join(REPO, "tests/extdata",
@@ -260,8 +264,8 @@ def main():
         tut[d.name] = d
     info(f"tutorial workload: {NS} samples x {NREADS} reads, "
          f"{sum(len(d.uniques) for d in tut.values())} uniques total")
-    t_ref_t, t_tpu_t, _ = run_pair(lib, tut, err, opts, dada, "tutorial",
-                                   ref_subset=2)
+    t_ref_t, t_tpu_t, _, brk_t = run_pair(lib, tut, err, opts, dada,
+                                          "tutorial", ref_subset=2)
 
     # ---- workload 3: learnErrors (the selfConsist loop) ---------------
     # Our side runs the full learn_errors driver. The reference side
@@ -273,10 +277,17 @@ def main():
 
     learn_errors([tut[k] for k in list(tut)[:2]], nbases=1e12,
                  multithread=16, verbose=False)  # warm/compile
+    from dada2_tpu.trace import COUNTERS, PHASES
+
+    PHASES.reset()
+    COUNTERS.reset()
     t0 = time.time()
     learned = learn_errors(list(tut.values()), nbases=1e12,
                            multithread=16, verbose=False)
     t_tpu_l = time.time() - t0
+    brk_l = {"phases": PHASES.as_dict(), "counters": COUNTERS.as_dict()}
+    info(f"[learn] phases (thread-summed): {PHASES.summary()}")
+    info(f"[learn] counters: {COUNTERS.summary()}")
     err_hist = learned["err_in"]
     if isinstance(err_hist, np.ndarray):
         err_hist = [err_hist]
@@ -298,6 +309,8 @@ def main():
     info(f"[learn] reference engine core (1 core, extrapolated): "
          f"{t_ref_l:.2f}s")
 
+    import jax as _jax
+
     out = {
         "metric": "dada e2e wall-clock, tutorial-scale batch "
                   f"({NS}x{NREADS} reads)",
@@ -305,16 +318,20 @@ def main():
         "unit": "seconds/chip",
         "vs_baseline": round(t_ref_t / t_tpu_t, 3),
         "ref_core_seconds": round(t_ref_t, 3),
+        "platform": _jax.default_backend(),
         "small_batch": {
             "tpu_seconds": round(t_tpu_s, 3),
             "ref_core_seconds": round(t_ref_s, 3),
             "vs_baseline": round(t_ref_s / t_tpu_s, 3),
+            "breakdown": brk_s,
         },
+        "tutorial_breakdown": brk_t,
         "learn_errors": {
             "tpu_seconds": round(t_tpu_l, 3),
             "ref_core_seconds": round(t_ref_l, 3),
             "vs_baseline": round(t_ref_l / t_tpu_l, 3),
             "rounds": len(err_hist),
+            "breakdown": brk_l,
         },
     }
     with open(os.path.join(REPO, "BENCH_E2E.json"), "w") as fh:

@@ -34,6 +34,12 @@ selfConsist. Residual risk vs R: limited to R-specific interpolate
 quirks not implied by the published algorithm. Everything downstream of
 the error matrix is covered by the compiled-reference engine parity
 harness (tests/test_reference_parity.py).
+
+docs/loess_interpolate_audit.md is the step-by-step audit mapping every
+build/evaluation rule here to its published source (Cleveland & Grosse
+1991; the documented R 2.4.0 ehg124 tie fix) and to the test pinning
+it, plus the R script to generate a true golden if an R runtime ever
+becomes available.
 """
 from __future__ import annotations
 

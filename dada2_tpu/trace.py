@@ -63,6 +63,21 @@ class Counters:
             return 0.0
         return self.alignments / self.compare_seconds
 
+    def as_dict(self) -> dict:
+        return {
+            "compares": self.compares,
+            "alignments": self.alignments,
+            "device_puts": self.device_puts,
+            "device_fetches": self.device_fetches,
+            "put_bytes": self.put_bytes,
+            "fetch_bytes": self.fetch_bytes,
+            "spec_hits": self.spec_hits,
+            "spec_misses": self.spec_misses,
+            "spec_wasted": self.spec_wasted,
+            "followup_fetches": self.followup_fetches,
+            "dense_refetches": self.dense_refetches,
+        }
+
     def summary(self) -> str:
         return (f"{self.alignments} alignments ({self.shrouded} shrouded, "
                 f"{self.gapless} gapless) in {self.compares} compares, "
@@ -114,6 +129,12 @@ class PhaseTimer:
             items = sorted(self._t.items(), key=lambda kv: -kv[1])
             return " | ".join(f"{k}: {v:.2f}s/{self._n[k]}x"
                               for k, v in items) or "(no phases)"
+
+    def as_dict(self) -> Dict[str, float]:
+        """Thread-summed seconds per phase (for bench artifacts)."""
+        with self._lock:
+            return {k: round(v, 3) for k, v in
+                    sorted(self._t.items(), key=lambda kv: -kv[1])}
 
 
 PHASES = PhaseTimer()
