@@ -417,9 +417,63 @@ def _subs_tile_trace(tvec, seqs, lens, center, flags, idx, *, K):
     return packed.astype(jnp.uint16)
 
 
+@partial(jax.jit, static_argnames=("L", "greedy"))
+def _proj_update(proj, small, reads, center, logtotal, eth2, *, L,
+                 greedy):
+    """Fold one compare's contribution into the running E_minmax
+    projection (log(E_minmax/total) per row, f32 lower bound).
+
+    After the compare of `center`, E_minmax is EXACTLY
+    max(before, lambda * center_reads) elementwise over the rows that
+    compare actually processes: a row the engine does not store has
+    lambda * total <= E_minmax, hence lambda * center_reads <= E_minmax
+    too (center_reads <= total), so the unconditional max IS the true
+    update (reference: src/cluster.cpp:179-201) — and a row the compare
+    never processes (greedy-skipped or kmer-shrouded: lam = 0) makes NO
+    contribution, so those rows' terms are dropped here (skip
+    reconstructed exactly like _shortlist_screen's; shroud read off the
+    small pack's flag bits). Rows a compare screened OUT of its
+    shortlist also contribute nothing, but their would-be term is
+    provably below the then-current threshold (that is what the screen
+    proved), so including it cannot overshoot.
+
+    The one state this dispatch-time reconstruction cannot see is locks
+    added AFTER dispatch: such a row's term may overshoot, but the row
+    stays locked through every later consume — except a consuming
+    segment's own center (freshly unlocked at its bud) — so
+    _shortlist_screen applies the projection to every row EXCEPT the
+    segment's center. Every f32 term is lowered by its error margin,
+    so the result is a sound lower bound of the true threshold — the
+    same contract as the uploaded one. This is what lets a speculative
+    segment dispatched at bud t screen with bud t+j's (projected)
+    E_minmax instead of bud t's stale one."""
+    n = small.shape[0]
+    loglam = jax.lax.bitcast_convert_type(
+        small[:, 4:8].reshape(n, 1, 4), jnp.float32).reshape(n)
+    abssum = jax.lax.bitcast_convert_type(
+        small[:, 8:12].reshape(n, 1, 4), jnp.float32).reshape(n)
+    shroud = (small[:, 12] & 4) != 0
+    lock_bytes = eth2[2 * n:].astype(jnp.uint8)
+    nskip = ((jnp.repeat(lock_bytes, 8)[:n]
+              >> (jnp.arange(n, dtype=jnp.int32) % 8).astype(jnp.uint8))
+             & 1) != 0
+    if greedy:
+        nskip = nskip | (reads > reads[center])
+        nskip = nskip & (jnp.arange(n, dtype=jnp.int32) != center)
+    eps = jnp.float32(2.0 ** -23)
+    lower = loglam - (jnp.float32(1e-3)
+                      + eps * (jnp.float32(5.0 * L)
+                               + (L + 5.0) * abssum))
+    lr = jnp.log(reads[center].astype(jnp.float32)) - logtotal
+    lr = lr - (2.0 * eps * (jnp.abs(lr) + jnp.abs(logtotal)) + eps)
+    term = jnp.where(jnp.isfinite(lower) & ~nskip & ~shroud,
+                     lower + lr, -jnp.inf)
+    return jnp.maximum(proj, term)
+
+
 @partial(jax.jit, static_argnames=("L", "M0", "K", "greedy"))
 def _budded_fused(tvec, small5, seqs, lens, reads, center, qlerr, eth2,
-                  *, L, M0, K, greedy):
+                  proj, *, L, M0, K, greedy):
     """The WHOLE error-dependent half of a budded compare in one device
     call: small pack + store-screen shortlist + substitution tiles,
     packed so the compare costs exactly ONE host fetch.
@@ -434,10 +488,13 @@ def _budded_fused(tvec, small5, seqs, lens, reads, center, qlerr, eth2,
     _fused_small builds). See _shortlist_screen for the store-screen
     margin soundness and the on-device greedy-skip reconstruction that
     lets several centers share ONE eth2 upload (the speculative
-    multi-bud dispatch)."""
+    multi-bud dispatch). proj (optional f32 [n]) is the projected
+    log-threshold from compares predicted to happen before this segment
+    is consumed (_proj_update) — it keeps speculative segments as tight
+    as fresh dispatches instead of shipping the stale-threshold fat."""
     small = _small_trace(tvec, seqs, lens, center, qlerr, small5)
     header, order, shroud_pk = _shortlist_screen(small, eth2, reads,
-                                                 center, L=L,
+                                                 center, proj, L=L,
                                                  greedy=greedy)
     idx = order[:M0]
     rows = jnp.take(small5, idx, axis=0)
@@ -583,7 +640,7 @@ def _fetch(x):
     return np.asarray(x)
 
 
-def _shortlist_screen(small, eth2, reads, center, *, L, greedy):
+def _shortlist_screen(small, eth2, reads, center, proj, *, L, greedy):
     """Device store-screen + compaction for a budded compare.
 
     The engine stores a comparison iff lambda * total_reads > E_minmax
@@ -633,9 +690,19 @@ def _shortlist_screen(small, eth2, reads, center, *, L, greedy):
     pos = e_thresh > 0
     logthr = jnp.where(pos, jnp.log(jnp.where(pos, e_thresh, 1.0)),
                        -jnp.inf)
+    if proj is not None:
+        # projected contributions carry their own lowering margins
+        # (_proj_update); maxing a sound lower bound with another sound
+        # lower bound stays sound. The segment's own center row is
+        # exempt: it is the one row whose post-dispatch lock state can
+        # flip back by consume time (see _proj_update docstring).
+        logthr = jnp.maximum(
+            logthr, jnp.where(jnp.arange(n, dtype=jnp.int32) == center,
+                              -jnp.inf, proj))
+    finthr = jnp.isfinite(logthr)
     margin = (jnp.float32(1e-3)
               + eps * (jnp.float32(5.0 * L) + (L + 5.0) * abssum)
-              + 4.0 * eps * jnp.where(pos, jnp.abs(logthr),
+              + 4.0 * eps * jnp.where(finthr, jnp.abs(logthr),
                                       jnp.float32(0.0)))
     need = cand & ((loglam + margin >= logthr) | ~jnp.isfinite(loglam))
     header = jnp.stack([need.sum(), cand.sum(),
@@ -972,6 +1039,12 @@ class TpuBackend(CompareBackend):
                 [reads_p, np.full(nd - n, reads_p[0] if n else 0,
                                   np.int64)])
         self.d_reads = put(reads_p.astype(np.int32))
+        # constants for the speculative E_minmax projection: log(total
+        # reads) and the -inf projection seed (one put each per backend)
+        import math as _math
+        total = max(int(rawset.reads.sum()), 1)
+        self._d_logtotal = put(np.float32(_math.log(total)))
+        self._d_neginf = put(np.full(nd, -np.inf, np.float32))
         self._rs_pad = (rawset if nd == n else RawSet(
             seqs=seqs_p, lens=lens_p, reads=rawset.reads,
             priors=rawset.priors, quals=quals_p))
@@ -1701,26 +1774,33 @@ class TpuBackend(CompareBackend):
         self._centers_cur = {}
 
     def _spec_candidates(self, center: int) -> list:
-        """Ranked likely-next-bud centers: previous run's bud sequence
-        at the upcoming ordinals first (near-exact in selfConsist rounds
-        >= 2), then the engine's current-state (p, -reads) ranking
-        (CompareBackend.spec_hint). Deduped, capped at SPEC_K."""
+        """Ranked likely-next-bud centers as (index, from_prev) pairs:
+        previous run's bud sequence at the upcoming ordinals first
+        (near-exact in selfConsist rounds >= 2), then the engine's
+        current-state (p, -reads) ranking (CompareBackend.spec_hint).
+        from_prev gates the chained E_minmax projection: prev-sequence
+        candidates are predicted in consume ORDER (so conditioning each
+        on its predecessors is usually valid), while ranking candidates
+        are only predicted as a SET — conditioning them on each other
+        would fail the consume-order validation constantly. Deduped,
+        capped at SPEC_K."""
         n = self.rs.n
         o = self._bud_ordinal
         cands = []
         for j in range(1, self.SPEC_K + 5):
             c = self._centers_prev.get(o + j)
             if c is not None:
-                cands.append(c)
-        cands.extend(getattr(self, "spec_hint", ()) or ())
+                cands.append((c, True))
+        cands.extend((c, False)
+                     for c in (getattr(self, "spec_hint", ()) or ()))
         seen = {int(center)}
         out = []
-        for c in cands:
+        for c, fp in cands:
             c = int(c)
             if c in seen or not (0 <= c < n):
                 continue
             seen.add(c)
-            out.append(c)
+            out.append((c, fp))
             if len(out) >= self.SPEC_K:
                 break
         return out
@@ -1752,7 +1832,16 @@ class TpuBackend(CompareBackend):
         if seg is None:
             COUNTERS.spec_misses += 1
             return None
+        # the segment's screen projected E_minmax contributions from
+        # compares PREDICTED to precede this one; the projection is only
+        # a valid lower bound if they actually ran (the dispatch's main
+        # compare always did; hits are tracked in `consumed`)
+        if any(a != sp["main"] and a not in sp["consumed"]
+               for a in seg["assumed"]):
+            COUNTERS.spec_misses += 1
+            return None
         COUNTERS.spec_hits += 1
+        sp["consumed"].add(int(center))
         from ..trace import PHASES
         with PHASES("be.spec_consume"):
             return self._finish_budded(
@@ -1813,7 +1902,7 @@ class TpuBackend(CompareBackend):
             d_eth = self._put(ethbuf.view(np.int8))
             buf_d, order, small13 = _budded_fused(
                 ent[1], ent[2], self.d_seqs, self.d_lens, self.d_reads,
-                d_center, qlerr, d_eth, L=self.maxlen, M0=M0, K=K,
+                d_center, qlerr, d_eth, None, L=self.maxlen, M0=M0, K=K,
                 greedy=greedy)
             small13 = self._small_insert(ent, err, small13)
             specs = []
@@ -1824,17 +1913,37 @@ class TpuBackend(CompareBackend):
                           for j in range(len(cands)))
                 Ks = max(self._predict_k(o + 1 + j)
                          for j in range(len(cands)))
-                for c in cands:
+                # running E_minmax projection: each segment screens with
+                # the threshold as it will look AFTER the main compare
+                # and its predicted predecessors (sound lower bound;
+                # consume validates the assumptions actually happened)
+                proj = _proj_update(self._d_neginf, small13,
+                                    self.d_reads, d_center,
+                                    self._d_logtotal, d_eth,
+                                    L=self.maxlen, greedy=greedy)
+                assumed = [int(center)]
+                for c, from_prev in cands:
                     geom_c = self._pallas_ok(int(self.lens[c]), opts)
                     if geom_c is None:
                         continue
                     ent_c = self._align_ent(c, opts, geom_c)
+                    d_c = self._center_dev(c)
                     buf_c, order_c, small13_c = _budded_fused(
                         ent_c[1], ent_c[2], self.d_seqs, self.d_lens,
-                        self.d_reads, self._center_dev(c), qlerr, d_eth,
+                        self.d_reads, d_c, qlerr, d_eth, proj,
                         L=self.maxlen, M0=M0s, K=Ks, greedy=greedy)
                     small13_c = self._small_insert(ent_c, err, small13_c)
-                    specs.append((c, buf_c, order_c, ent_c, small13_c))
+                    specs.append((c, buf_c, order_c, ent_c, small13_c,
+                                  tuple(assumed)))
+                    if from_prev:
+                        # chain-extend only along the previous round's
+                        # bud order; ranking candidates are an unordered
+                        # set and would fail consume-order validation
+                        proj = _proj_update(proj, small13_c,
+                                            self.d_reads, d_c,
+                                            self._d_logtotal, d_eth,
+                                            L=self.maxlen, greedy=greedy)
+                        assumed.append(int(c))
         with PHASES("be.bud_fetch"):
             if specs:
                 big = _fetch(jnp.concatenate([buf_d]
@@ -1849,14 +1958,15 @@ class TpuBackend(CompareBackend):
                 COUNTERS.spec_wasted += len(sp["segs"])
             seg_len = self._budbuf_layout(M0s, Ks, nb)[3]
             segs = {}
-            for si, (c, _, order_c, ent_c, small13_c) in enumerate(specs):
+            for si, (c, _, order_c, ent_c, small13_c, asm) in \
+                    enumerate(specs):
                 a = len_main + si * seg_len
                 segs[c] = dict(buf=big[a: a + seg_len], M0=M0s, K=Ks,
                                ent=ent_c, order=order_c,
-                               small13=small13_c)
+                               small13=small13_c, assumed=asm)
             self._spec = {
                 "key": (hash(err.tobytes()), self._opts_key(opts)),
-                "segs": segs}
+                "segs": segs, "main": int(center), "consumed": set()}
         return self._finish_budded(center, opts, err, skip, buf, M0, K,
                                    ent, order, small13)
 
