@@ -509,6 +509,68 @@ def _budded_fused(tvec, small5, seqs, lens, reads, center, qlerr, eth2,
     return buf, order, small
 
 
+@partial(jax.jit, static_argnames=("L", "M0", "K", "screened"))
+def _full_fused(tvec, small, seqs, lens, center, eth2, *, L, M0, K,
+                screened):
+    """One-fetch transport for the FULL compare paths (the init compare
+    and screened non-default-cutoff sweeps): a 5-byte small row for
+    EVERY row (ham/ham_gl/flags — what the host needs to report ham and
+    partition gapless) plus need-compacted substitution tiles for the
+    rows whose exact host lambda requires the alignment (screen
+    survivors when screened, else every non-gapless row; gapless rows
+    rebuild on host for free). A need bitmap rides along so the host
+    knows which gapless rows passed the screen. Layout:
+    [16B header: m | n x 5B small | n/8 need bitmap | M0 x i32 idx |
+    M0 x K u16 subs]. No skip/shroud masking on device — extra rows
+    cost bytes only; the host applies the caller's cutoff semantics.
+    eth2 carries the bf16 thresholds (screened only) followed by the
+    bit-packed PAD-row mask, which must stay out of the compaction."""
+    n = small.shape[0]
+    flags = small[:, 12]
+    gl = (flags & 2) != 0
+    pad_bytes = (eth2[2 * n:] if screened else eth2).astype(jnp.uint8)
+    padr = ((jnp.repeat(pad_bytes, 8)[:n]
+             >> (jnp.arange(n, dtype=jnp.int32) % 8).astype(jnp.uint8))
+            & 1) != 0
+    if screened:
+        e_thresh = jax.lax.bitcast_convert_type(
+            eth2[: 2 * n].reshape(n, 2), jnp.bfloat16).astype(
+                jnp.float32)
+        loglam = jax.lax.bitcast_convert_type(
+            small[:, 4:8].reshape(n, 1, 4), jnp.float32).reshape(n)
+        abssum = jax.lax.bitcast_convert_type(
+            small[:, 8:12].reshape(n, 1, 4), jnp.float32).reshape(n)
+        eps = jnp.float32(2.0 ** -23)
+        pos = e_thresh > 0
+        logthr = jnp.where(pos, jnp.log(jnp.where(pos, e_thresh, 1.0)),
+                           -jnp.inf)
+        margin = (jnp.float32(1e-3)
+                  + eps * (jnp.float32(5.0 * L) + (L + 5.0) * abssum)
+                  + 4.0 * eps * jnp.where(pos, jnp.abs(logthr),
+                                          jnp.float32(0.0)))
+        need = (loglam + margin >= logthr) | ~jnp.isfinite(loglam)
+    else:
+        need = jnp.ones(n, bool)
+    sel = need & ~gl & ~padr
+    order = jnp.argsort(~sel, stable=True).astype(jnp.int32)
+    idx = order[:M0]
+    subs = _subs_tile_trace(tvec, seqs, lens, center, flags, idx, K=K)
+    small5 = jnp.concatenate([small[:, :4], small[:, 12:13]], axis=1)
+    need_pk = (need.astype(jnp.int32).reshape(-1, 8)
+               * (1 << jnp.arange(8, dtype=jnp.int32))[None, :]
+               ).sum(axis=1).astype(jnp.uint8)
+    header = jnp.stack([sel.sum(), jnp.zeros((), jnp.int32),
+                        jnp.zeros((), jnp.int32),
+                        jnp.zeros((), jnp.int32)]).astype(jnp.int32)
+    buf = jnp.concatenate([
+        jax.lax.bitcast_convert_type(header, jnp.int8).reshape(-1),
+        small5.reshape(-1),
+        need_pk.astype(jnp.int8),
+        jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
+        jax.lax.bitcast_convert_type(subs, jnp.int8).reshape(-1)])
+    return buf, order
+
+
 @partial(jax.jit, static_argnames=("M0", "M", "K"))
 def _take_subs(small, tvec, seqs, lens, center, order, *, M0, M, K):
     """Follow-up fetch when the shortlist overflows M0: indices, 5-byte
@@ -1099,6 +1161,15 @@ class TpuBackend(CompareBackend):
         self._spec: Optional[dict] = None
         self._centers_prev: dict = {}
         self._centers_cur: dict = {}
+        # one-fetch full-compare transport state (see
+        # _compare_full_fused): size history keyed by screened flag,
+        # the (center, opts) inits already shipped (rounds >= 2 prefer
+        # the host-cached tvec path), and a dummy eth operand for the
+        # unscreened variant
+        self._m_full: dict = {}
+        self._full_seen: set = set()
+        padbits = np.packbits(np.arange(nd) >= n, bitorder="little")
+        self._d_padbits = put(padbits.view(np.int8))
         import threading
         self._cache_lock = threading.Lock()
 
@@ -1598,10 +1669,17 @@ class TpuBackend(CompareBackend):
             # flag bits (the thr table bakes opts.KDIST_CUTOFF, which is
             # what the engine always passes as kdist_cutoff)
             from ..trace import PHASES
-            with PHASES("be.align"):
-                res = self._align_all_pallas(center, opts, geom, err)
+
             screen_applies = (use_kmers and e_thresh is not None
                               and bool(np.any(e_thresh > 0)))
+            out = self._compare_full_fused(
+                center, skip, opts, err,
+                e_thresh if screen_applies else None, geom, use_kmers,
+                kdist_cutoff)
+            if out is not None:
+                return out
+            with PHASES("be.align"):
+                res = self._align_all_pallas(center, opts, geom, err)
             if screen_applies:
                 with PHASES("be.small_fetch"):
                     packed13 = _fetch(res[2])[:n]
@@ -2063,6 +2141,174 @@ class TpuBackend(CompareBackend):
             COUNTERS.dense_refetches += len(al_over)
             tvec = self._fetch_tvec_rows(ent[1], al_over)
             lam[al_over] = self._lambdas(al_over, tvec, err)
+        return lam, ham
+
+    # only small inits ride the fused one-fetch transport: above this,
+    # the two-fetch exact-K tile path wins on bytes (the K prediction
+    # risk grows with n while the saved round-trip stays ~26ms)
+    FULL_FUSED_INIT_MAX_N = 4096
+
+    def _compare_full_fused(self, center: int, skip: np.ndarray,
+                            opts: DadaOptions, err: np.ndarray,
+                            e_thresh, geom, use_kmers: bool,
+                            kdist_cutoff: float):
+        """One-fetch variant of the full compare (_full_fused): the 5B
+        small slab, the need bitmap and the substitution tiles for every
+        row whose exact lambda the host computes, in a single buffer.
+        Returns (lam, ham) or None when the classic two-fetch path is
+        preferable (unscreened at large n, or an unscreened repeat
+        whose tvec rows are already host-cached — selfConsist rounds
+        >= 2 re-run the same init compare and should ship only the 5B
+        slab)."""
+        from ..trace import COUNTERS, PHASES
+
+        n = self.rs.n
+        nd = self.nd
+        screened = e_thresh is not None
+        if not use_kmers:
+            # without kmers the gapless shortcut is off (reference:
+            # raw_align computes it from the kmer tables), so the host
+            # needs tvec rows for DEVICE-gapless rows too — the classic
+            # path handles that; this transport assumes sel = need & ~gl
+            return None
+        okey = (center, self._opts_key(opts))
+        if not screened and (n > self.FULL_FUSED_INIT_MAX_N
+                             or okey in self._full_seen):
+            return None
+        with PHASES("be.align"):
+            res = self._align_all_pallas(center, opts, geom, err)
+        dense = (self.rs.seqs.shape[1] + 1) // 2 + 40
+        menu = [k for k in (8, 16, 32, 48, 64, 96, 128)
+                if 2 * k < dense]
+        hist = self._m_full.get(screened)
+        if hist is None:
+            pred = n if not screened else max(n // 4, 64)
+            # no history: inits see distant (high-ham) rows, screened
+            # steady-state sweeps mostly near ones
+            Kc = (64 if 64 in menu else menu[-1]) if not screened \
+                else self.SHORTLIST_K_WIDE
+        else:
+            m_last, fits = hist
+            pred = m_last + m_last // 8 + 32
+            Kc, best = menu[-1], None
+            for k, fit in zip(menu, fits):
+                cost = 2 * k * m_last + (m_last - fit) * dense
+                if best is None or cost < best:
+                    Kc, best = k, cost
+        if self.SHORTLIST_M0 is not None:
+            M0 = min(self.SHORTLIST_M0, n)
+        else:
+            M0 = 256
+            while M0 < pred and M0 < n:
+                M0 *= 2
+            M0 = min(M0, nd)
+        nb = nd // 8
+        if screened:
+            ethbuf = np.zeros(2 * nd + nb, np.uint8)
+            e32 = np.ascontiguousarray(e_thresh, np.float32)
+            ethbuf[: 2 * n] = (e32.view(np.uint32) >> 16).astype(
+                np.uint16).view(np.uint8)
+            ethbuf[2 * nd:] = np.packbits(np.arange(nd) >= n,
+                                          bitorder="little")
+            d_eth = self._put(ethbuf.view(np.int8))
+        else:
+            d_eth = self._d_padbits
+        with PHASES("be.full_dispatch"):
+            buf_d, order = _full_fused(
+                res[1], res[2], self.d_seqs, self.d_lens,
+                self._center_dev(center), d_eth, L=self.maxlen, M0=M0,
+                K=Kc, screened=screened)
+        with PHASES("be.full_fetch"):
+            buf = _fetch(buf_d)
+        o1 = 16 + 5 * nd
+        o2 = o1 + nb
+        o3 = o2 + 4 * M0
+        o4 = o3 + 2 * Kc * M0
+        m = int(buf[:16].copy().view(np.int32)[0])
+        slab = buf[16: o1].reshape(nd, 5)[:n]
+        ints = slab[:, :4].copy().view(np.int16).astype(np.int64)
+        ham_all_v, ham_gl_v = ints[:, 0], ints[:, 1]
+        flags = slab[:, 4]
+        okf = (flags & 1) != 0
+        glb = (flags & 2) != 0
+        shb = (flags & 4) != 0
+        need = (np.unpackbits(buf[o1:o2].view(np.uint8),
+                              bitorder="little", count=n).astype(bool)
+                if screened else np.ones(n, bool))
+        m1 = min(m, M0)
+        rows_idx = buf[o2:o3].copy().view(np.int32)[:m1].astype(np.int64)
+        subs = buf[o3:o4].copy().view(np.uint16).reshape(M0, Kc)[:m1]
+        if m > M0:
+            COUNTERS.followup_fetches += 1
+            M = min(_bucket15(m - M0), nd - M0)
+            buf2 = _fetch(_take_subs(res[2], res[1], self.d_seqs,
+                                     self.d_lens,
+                                     self._center_dev(center), order,
+                                     M0=M0, M=M, K=Kc))
+            o1b, o2b = 4 * M, 4 * M + M * 5
+            rows_idx = np.concatenate([
+                rows_idx,
+                buf2[:o1b].copy().view(np.int32)[:m - M0].astype(
+                    np.int64)])
+            subs = np.concatenate(
+                [subs,
+                 buf2[o2b:].copy().view(np.uint16).reshape(M, Kc)
+                 [:m - M0]])
+        hs = ham_all_v[rows_idx]
+        self._m_full[screened] = (
+            m, tuple(int((hs <= k).sum()) for k in menu))
+
+        # host semantics identical to the classic path
+        lam = np.zeros(n)
+        ham = np.full(n, -1, dtype=np.int64)
+        cand = ~np.asarray(skip, bool)
+        gapless = np.zeros(n, dtype=bool)
+        if use_kmers:
+            cand &= ~self._shrouded(center, kdist_cutoff, opts, shb)
+            gapless = glb
+        gl_idx = np.nonzero(cand & gapless)[0]
+        al_idx = np.nonzero(cand & ~gapless)[0]
+        if len(al_idx) and not okf[al_idx].all():
+            raise RuntimeError("N-W Align out of range.")
+        ham[gl_idx] = ham_gl_v[gl_idx]
+        ham[al_idx] = ham_all_v[al_idx]
+        COUNTERS.gapless += len(gl_idx)
+        ng = gl_idx[need[gl_idx]]
+        if len(ng):
+            with PHASES("be.lambdas"):
+                tvec, _ = self._gapless_tvec_ham(center, ng)
+                lam[ng] = self._lambdas(ng, tvec, err)
+        na = al_idx[need[al_idx]]
+        if len(na):
+            pos_of = np.full(n, -1, np.int64)
+            pos_of[rows_idx] = np.arange(len(rows_idx))
+            tp = pos_of[na]
+            if np.any(tp < 0):
+                raise RuntimeError("fused compare tile coverage hole")
+            tvec_na = np.empty((len(na), self.rs.seqs.shape[1]),
+                               np.int64)
+            fits = ham_all_v[na] <= Kc
+            if fits.any():
+                tvec_na[fits] = self._tvec_from_subs(
+                    na[fits], subs[tp[fits]], ham_all_v[na[fits]])
+            if (~fits).any():
+                COUNTERS.dense_refetches += int((~fits).sum())
+                tvec_na[~fits] = self._fetch_tvec_rows(res[1], na[~fits])
+            with PHASES("be.lambdas"):
+                lam[na] = self._lambdas(na, tvec_na, err)
+            if not screened:
+                # seed the host tvec cache with the classic path's key
+                # so selfConsist rounds >= 2 ship only the 5B slab
+                key = (center, opts.BAND_SIZE, opts.MATCH,
+                       opts.MISMATCH, opts.GAP_PENALTY, len(na),
+                       hash(na.tobytes()))
+                with self._cache_lock:
+                    self._tvec_host_cache[key] = tvec_na
+                    while len(self._tvec_host_cache) > 2:
+                        self._tvec_host_cache.pop(
+                            next(iter(self._tvec_host_cache)), None)
+        if not screened:
+            self._full_seen.add(okey)
         return lam, ham
 
     def _compare_slow(self, center, lam, ham, cand, opts, err, use_kmers,

@@ -73,8 +73,15 @@ def make_rawset(sequences, abundances, priors=None, quals=None) -> RawSet:
         quals = np.asarray(quals, dtype=np.float64)
         if quals.shape[1] < seqs.shape[1]:
             raise ValueError("quals must cover every sequence position")
-        q8 = np.floor(quals[:, : seqs.shape[1]] + 0.5)  # round half away from zero
-        q8 = np.where(np.isnan(q8), 0, q8).astype(np.uint8)
+        # round half away from zero, like raw_new's (uint8)(qual + 0.5):
+        # trunc(q + 0.5) == floor(q + 0.5) for q >= -0.5, and the uint8
+        # cast truncates — one add + one cast instead of the
+        # floor/where/astype chain (np.floor alone walks ~1s of large-
+        # temporary page faults per production-scale sample, see
+        # utils/hostmem.py)
+        qn = np.where(np.isnan(quals[:, : seqs.shape[1]]), -0.5,
+                      quals[:, : seqs.shape[1]])
+        q8 = (qn + 0.5).astype(np.uint8)
         pad = np.arange(seqs.shape[1])[None, :] >= lens[:, None]
         q8[pad] = 0
     return RawSet(seqs=seqs, lens=lens, reads=reads, priors=priors,
