@@ -46,10 +46,33 @@ class Cluster:
     birth_comp_i: int = 0
     birth_comp_lam: float = 0.0
     birth_comp_ham: int = 0
-    # comparisons stored for this cluster (parallel arrays, insertion order)
-    comp_index: list = field(default_factory=list)
-    comp_lam: list = field(default_factory=list)
-    comp_ham: list = field(default_factory=list)
+    # comparisons stored for this cluster: per-compare numpy chunks in
+    # insertion order, concatenated lazily (python float lists cost
+    # tens of ms per shuffle at production scale)
+    comp_chunks: list = field(default_factory=list)
+    _comp_cache: Optional[tuple] = field(default=None, repr=False)
+
+    def add_comps(self, idx: np.ndarray, lam: np.ndarray,
+                  ham: np.ndarray) -> None:
+        if len(idx):
+            self.comp_chunks.append((idx, lam, ham))
+
+    def comps(self):
+        """(index, lam, ham) arrays over all stored comparisons, in
+        insertion order."""
+        nch = len(self.comp_chunks)
+        if nch == 0:
+            return (np.zeros(0, np.int64), np.zeros(0),
+                    np.zeros(0, np.int64))
+        if nch == 1:
+            return self.comp_chunks[0]
+        if self._comp_cache is None or self._comp_cache[0] != nch:
+            self._comp_cache = (
+                nch,
+                np.concatenate([c[0] for c in self.comp_chunks]),
+                np.concatenate([c[1] for c in self.comp_chunks]),
+                np.concatenate([c[2] for c in self.comp_chunks]))
+        return self._comp_cache[1:]
 
 
 class CompareBackend:
@@ -295,9 +318,7 @@ class Engine:
         better = store & (lam * center_reads > self.E_minmax)
         self.E_minmax[better] = lam[better] * center_reads
         idx = np.nonzero(store)[0]
-        bi.comp_index.extend(idx.tolist())
-        bi.comp_lam.extend(lam[idx].tolist())
-        bi.comp_ham.extend(ham[idx].tolist())
+        bi.add_comps(idx, lam[idx], ham[idx])
         if i == 0:
             self.comp_i[idx] = i
             self.comp_lam[idx] = lam[idx]
@@ -313,24 +334,23 @@ class Engine:
         n = self.n
         # Initialize best-E from cluster 0, whose comp list has one entry per
         # raw in index order (full compare at init).
-        c0 = self.clusters[0]
-        emax = np.asarray(c0.comp_lam) * self.clusters[0].reads
+        _, c0lam, c0ham = self.clusters[0].comps()
+        emax = c0lam * self.clusters[0].reads
         best_i = np.zeros(n, dtype=np.int64)
-        best_lam = np.asarray(c0.comp_lam).copy()
-        best_ham = np.asarray(c0.comp_ham, dtype=np.int64).copy()
+        best_lam = c0lam.copy()
+        best_ham = np.asarray(c0ham, dtype=np.int64).copy()
         for i in range(1, len(self.clusters)):
             bi = self.clusters[i]
-            if not bi.comp_index:
+            idx, lam, ham_c = bi.comps()
+            if not len(idx):
                 continue
-            idx = np.asarray(bi.comp_index, dtype=np.int64)
-            lam = np.asarray(bi.comp_lam)
             e = lam * bi.reads
             upd = e > emax[idx]           # strict: ties keep earlier cluster
             uidx = idx[upd]
             emax[uidx] = e[upd]
             best_i[uidx] = i
             best_lam[uidx] = lam[upd]
-            best_ham[uidx] = np.asarray(bi.comp_ham, dtype=np.int64)[upd]
+            best_ham[uidx] = np.asarray(ham_c, dtype=np.int64)[upd]
 
         # Surgery only at mover positions. Reading movers off the
         # pre-loop slot arrays is exact: the reference's descending

@@ -155,14 +155,21 @@ def _clustering_df(eng: Engine, stats, birth_subs, has_quals) -> pd.DataFrame:
     # post-hoc pvalue from summed cross-cluster E (reference: error.cpp:99-119)
     from ..ops.subs import calc_pA
 
-    center_of = {bi.center: i for i, bi in enumerate(eng.clusters)}
+    center_map = np.full(rs.n, -1, np.int64)
+    for i, bi in enumerate(eng.clusters):
+        if bi.center >= 0:
+            center_map[bi.center] = i
     tot_e = np.zeros(nclust)
     for i, bi in enumerate(eng.clusters):
-        for cind in range(len(bi.comp_index)):
-            idx = bi.comp_index[cind]
-            j = center_of.get(idx)
-            if j is not None and j != i:
-                tot_e[j] += bi.comp_lam[cind] * bi.reads
+        cidx, clam, _ = bi.comps()
+        if not len(cidx):
+            continue
+        j = center_map[cidx]
+        keep = (j >= 0) & (j != i)
+        # np.add.at applies repeated indices in operand order, so the
+        # f64 accumulation order matches the reference's per-comparison
+        # walk exactly (src/error.cpp:99-119)
+        np.add.at(tot_e, j[keep], clam[keep] * bi.reads)
     pval = np.array([
         calc_pA(int(rs.reads[bi.center]), tot_e[i], True)
         for i, bi in enumerate(eng.clusters)
