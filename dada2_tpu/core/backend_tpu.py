@@ -1738,18 +1738,25 @@ class TpuBackend(CompareBackend):
                                   use_kmers, kdist_cutoff, minsum, kmatch,
                                   l1)
 
-    def _predict_m0(self, n: int, ordinal: Optional[int] = None) -> int:
+    def _predict_m0(self, n: int, ordinal: Optional[int] = None,
+                    spec: bool = False) -> int:
         """Static shortlist buffer size for the budded compare at the
         given bud ordinal (default: the next one).
 
         The true shortlist size m is only known after the fetch, so the
         buffer is sized from history: the same bud ordinal of the
         previous engine run on this backend (selfConsist rounds repeat
-        the same shrinking-m pattern), else above the previous bud's m
-        (m shrinks as E_minmax tightens). A power-of-two menu bounds
-        compile diversity; a too-small pick costs one follow-up fetch, a
-        too-large one only its own bytes. SHORTLIST_M0 forces a fixed
-        size (tests)."""
+        the same shrinking-m pattern), else from the nearest earlier
+        recorded ordinal (m shrinks as E_minmax tightens, so earlier m
+        bounds later ones). The buffer's FULL size crosses the wire
+        whatever m turns out to be, so overshooting costs real
+        bandwidth — speculative segments with no history at all start
+        small (the E_minmax projection keeps their true m near the
+        fresh-dispatch value) and let a follow-up fetch correct an
+        underestimate; the main compare of the very first dispatch
+        instead sizes for everything up to a ~500KB byte budget, since
+        its weak-threshold m really is huge. A power-of-two menu bounds
+        compile diversity. SHORTLIST_M0 forces a fixed size (tests)."""
         if ordinal is None:
             ordinal = self._bud_ordinal
         if self.SHORTLIST_M0 is not None:
@@ -1758,18 +1765,13 @@ class TpuBackend(CompareBackend):
         if hist is not None:
             pred = hist[0] + hist[0] // 8 + 32
         else:
-            last = self._m_by_ordinal.get(ordinal - 1)
-            if last is not None:
+            earlier = [k for k in self._m_by_ordinal if k < ordinal]
+            if earlier:
+                last = self._m_by_ordinal[max(earlier)]
                 pred = last[0] + last[0] // 2 + 32
+            elif spec:
+                pred = 256
             elif not self._m_by_ordinal:
-                # run-one early buds: E_minmax is still weak (and the
-                # speculative segments screen with an even STALER one),
-                # so most rows survive the store screen — a follow-up
-                # fetch is near-certain at any partial size. Size the
-                # first buffers for everything up to a ~500KB/segment
-                # byte budget (beyond it a follow-up beats the extra
-                # wire bytes); history takes over from the next
-                # dispatch on.
                 pred = min(n, (512 << 10)
                            // (9 + 2 * self.SHORTLIST_K_WIDE))
             else:
@@ -1987,7 +1989,7 @@ class TpuBackend(CompareBackend):
             cands = self._spec_candidates(center) if self.SPEC_K else []
             if cands:
                 o = self._bud_ordinal
-                M0s = max(self._predict_m0(n, o + 1 + j)
+                M0s = max(self._predict_m0(n, o + 1 + j, spec=True)
                           for j in range(len(cands)))
                 Ks = max(self._predict_k(o + 1 + j)
                          for j in range(len(cands)))
