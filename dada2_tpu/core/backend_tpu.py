@@ -1168,6 +1168,7 @@ class TpuBackend(CompareBackend):
         # unscreened variant
         self._m_full: dict = {}
         self._full_seen: set = set()
+        self._eth_cache: dict = {}   # content-addressed eth uploads
         padbits = np.packbits(np.arange(nd) >= n, bitorder="little")
         self._d_padbits = put(padbits.view(np.int8))
         import threading
@@ -1589,17 +1590,60 @@ class TpuBackend(CompareBackend):
         reference: src/pval.cpp:144-197 (compute_lambda_ts).
         """
         rs = self.rs
+        q8 = rs.quals if (self.use_quals and rs.quals is not None) \
+            else None
+        from ..native import lam_dense_native
+
+        tv = np.asarray(tvec)
+        if tv.dtype == np.uint8:
+            tv = tv.view(np.int8)     # codes <= 16, free reinterpret
+        out = lam_dense_native(tv, np.asarray(idx, np.int64), q8,
+                               self.lens, err)
+        if out is not None:
+            return out
         L = tvec.shape[1]
         lens = self.lens[idx]
         posmask = np.arange(L)[None, :] < lens[:, None]
         t = np.where(posmask, tvec, 0).astype(np.int64)
-        if self.use_quals and rs.quals is not None:
-            q = rs.quals[idx, :L].astype(np.int64)
+        if q8 is not None:
+            q = q8[idx, :L].astype(np.int64)
         else:
             q = np.zeros_like(t)
         factors = err[t, np.where(posmask, q, 0)]
         factors[~posmask] = 1.0
         return np.multiply.reduce(factors, axis=1)
+
+    def _lam_subs(self, rows: np.ndarray, subs: np.ndarray,
+                  counts: np.ndarray, err: np.ndarray) -> np.ndarray:
+        """Exact lambdas straight from substitution tiles — the native
+        path never materializes the [m, L] tvec (large host temporaries
+        walk first-touch page faults on this rig, see utils/hostmem)."""
+        from ..native import lam_subs_native
+
+        q8 = self.rs.quals if (self.use_quals
+                               and self.rs.quals is not None) else None
+        out = lam_subs_native(np.asarray(rows, np.int64), self.rs.seqs,
+                              q8, self.lens, subs,
+                              np.asarray(counts, np.int64), err)
+        if out is not None:
+            return out
+        return self._lambdas(rows, self._tvec_from_subs(rows, subs,
+                                                        counts), err)
+
+    def _lam_gapless(self, center: int, idx: np.ndarray,
+                     err: np.ndarray) -> np.ndarray:
+        """Exact lambdas for pad-to-length pairs vs one center (native
+        tvec-free path with the numpy construction as fallback)."""
+        from ..native import lam_gapless_native
+
+        q8 = self.rs.quals if (self.use_quals
+                               and self.rs.quals is not None) else None
+        out = lam_gapless_native(int(center), np.asarray(idx, np.int64),
+                                 self.rs.seqs, q8, self.lens, err)
+        if out is not None:
+            return out
+        tvec, _ = self._gapless_tvec_ham(center, idx)
+        return self._lambdas(idx, tvec, err)
 
     # ---- gapless pairs (no DP needed) ---------------------------------
 
@@ -2206,13 +2250,22 @@ class TpuBackend(CompareBackend):
             M0 = min(M0, nd)
         nb = nd // 8
         if screened:
-            ethbuf = np.zeros(2 * nd + nb, np.uint8)
             e32 = np.ascontiguousarray(e_thresh, np.float32)
-            ethbuf[: 2 * n] = (e32.view(np.uint32) >> 16).astype(
-                np.uint16).view(np.uint8)
-            ethbuf[2 * nd:] = np.packbits(np.arange(nd) >= n,
-                                          bitorder="little")
-            d_eth = self._put(ethbuf.view(np.int8))
+            ekey = hash(e32.tobytes())
+            with self._cache_lock:
+                d_eth = self._eth_cache.get(ekey)
+            if d_eth is None:
+                ethbuf = np.zeros(2 * nd + nb, np.uint8)
+                ethbuf[: 2 * n] = (e32.view(np.uint32) >> 16).astype(
+                    np.uint16).view(np.uint8)
+                ethbuf[2 * nd:] = np.packbits(np.arange(nd) >= n,
+                                              bitorder="little")
+                d_eth = self._put(ethbuf.view(np.int8))
+                with self._cache_lock:
+                    self._eth_cache[ekey] = d_eth
+                    while len(self._eth_cache) > 2:
+                        self._eth_cache.pop(next(iter(self._eth_cache)),
+                                            None)
         else:
             d_eth = self._d_padbits
         with PHASES("be.full_dispatch"):
