@@ -1764,8 +1764,7 @@ class TpuBackend(CompareBackend):
             ng = gl_idx[need[gl_idx]]
             if len(ng):
                 with PHASES("be.lambdas"):
-                    tvec, _ = self._gapless_tvec_ham(center, ng)
-                    lam[ng] = self._lambdas(ng, tvec, err)
+                    lam[ng] = self._lam_gapless(center, ng, err)
             na = al_idx[need[al_idx]]
             if len(na):
                 with PHASES("be.tvec"):
@@ -2175,13 +2174,10 @@ class TpuBackend(CompareBackend):
         fits = ham_sel <= K
         if fits.any():
             rf = rows_idx[fits]
-            lam[rf] = self._lambdas(
-                rf, self._tvec_from_subs(rf, subs[fits], ham_sel[fits]),
-                err)
+            lam[rf] = self._lam_subs(rf, subs[fits], ham_sel[fits], err)
         gl_over = rows_idx[~fits & gl_bit]
         if len(gl_over):
-            tvec, _ = self._gapless_tvec_ham(center, gl_over)
-            lam[gl_over] = self._lambdas(gl_over, tvec, err)
+            lam[gl_over] = self._lam_gapless(center, gl_over, err)
         al_over = rows_idx[~fits & ~gl_bit]
         if len(al_over):
             COUNTERS.dense_refetches += len(al_over)
@@ -2331,8 +2327,7 @@ class TpuBackend(CompareBackend):
         ng = gl_idx[need[gl_idx]]
         if len(ng):
             with PHASES("be.lambdas"):
-                tvec, _ = self._gapless_tvec_ham(center, ng)
-                lam[ng] = self._lambdas(ng, tvec, err)
+                lam[ng] = self._lam_gapless(center, ng, err)
         na = al_idx[need[al_idx]]
         if len(na):
             pos_of = np.full(n, -1, np.int64)
@@ -2340,18 +2335,32 @@ class TpuBackend(CompareBackend):
             tp = pos_of[na]
             if np.any(tp < 0):
                 raise RuntimeError("fused compare tile coverage hole")
-            tvec_na = np.empty((len(na), self.rs.seqs.shape[1]),
-                               np.int64)
             fits = ham_all_v[na] <= Kc
-            if fits.any():
-                tvec_na[fits] = self._tvec_from_subs(
-                    na[fits], subs[tp[fits]], ham_all_v[na[fits]])
-            if (~fits).any():
-                COUNTERS.dense_refetches += int((~fits).sum())
-                tvec_na[~fits] = self._fetch_tvec_rows(res[1], na[~fits])
-            with PHASES("be.lambdas"):
-                lam[na] = self._lambdas(na, tvec_na, err)
-            if not screened:
+            if screened:
+                # no cross-round reuse to seed: lambdas straight from
+                # the tiles, the [m, L] tvec never materializes
+                with PHASES("be.lambdas"):
+                    if fits.any():
+                        lam[na[fits]] = self._lam_subs(
+                            na[fits], subs[tp[fits]],
+                            ham_all_v[na[fits]], err)
+                    if (~fits).any():
+                        COUNTERS.dense_refetches += int((~fits).sum())
+                        tvd = self._fetch_tvec_rows(res[1], na[~fits])
+                        lam[na[~fits]] = self._lambdas(na[~fits], tvd,
+                                                       err)
+            else:
+                tvec_na = np.empty((len(na), self.rs.seqs.shape[1]),
+                                   np.int64)
+                if fits.any():
+                    tvec_na[fits] = self._tvec_from_subs(
+                        na[fits], subs[tp[fits]], ham_all_v[na[fits]])
+                if (~fits).any():
+                    COUNTERS.dense_refetches += int((~fits).sum())
+                    tvec_na[~fits] = self._fetch_tvec_rows(res[1],
+                                                           na[~fits])
+                with PHASES("be.lambdas"):
+                    lam[na] = self._lambdas(na, tvec_na, err)
                 # seed the host tvec cache with the classic path's key
                 # so selfConsist rounds >= 2 ship only the 5B slab
                 key = (center, opts.BAND_SIZE, opts.MATCH,

@@ -105,3 +105,64 @@ def test_env_var_forces_fallback_after_load(extdata):
     finally:
         os.environ.pop("DADA2_TPU_NATIVE", None)
     assert nat.get_lib() is not None
+
+
+def test_native_lambda_parity(extdata):
+    """The native lambda kernels (dense / substitution-tile / gapless)
+    must be bit-identical to the numpy fallback on real data — the
+    sequential-f64 product order is the contract (CLAUDE.md
+    invariant)."""
+    import numpy as np
+
+    from dada2_tpu.core.backend_tpu import TpuBackend
+    from dada2_tpu.core.raws import make_rawset
+    from dada2_tpu.data import tperr1
+    from dada2_tpu.derep import derep_fastq
+    from dada2_tpu.native import get_lib
+    from dada2_tpu.options import DEFAULT_OPTIONS
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    d = derep_fastq(str(extdata / "sam1F.fastq.gz"))
+    rs = make_rawset(d.sequences[:200], d.abundances[:200], None,
+                     d.quals[:200])
+    be = TpuBackend(rs, use_quals=True)
+    err = np.hstack([tperr1()] + [tperr1()[:, -1:]] * 10)
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, rs.n, 64).astype(np.int64)
+
+    def with_fallback(fn):
+        os.environ["DADA2_TPU_NATIVE"] = "0"
+        try:
+            return fn()
+        finally:
+            os.environ.pop("DADA2_TPU_NATIVE", None)
+
+    # gapless form
+    lam_n = be._lam_gapless(0, rows, err)
+    lam_p = with_fallback(lambda: be._lam_gapless(0, rows, err))
+    np.testing.assert_array_equal(lam_n, lam_p)
+
+    # dense form (int8-coded tvec straight from the gapless builder)
+    tvec, _ = be._gapless_tvec_ham(0, rows)
+    lam_n = be._lambdas(rows, tvec, err)
+    lam_p = with_fallback(lambda: be._lambdas(rows, tvec, err))
+    np.testing.assert_array_equal(lam_n, lam_p)
+
+    # substitution-tile form: synthesize tiles from the dense tvec
+    K = 24
+    subs = np.full((len(rows), K), 0xFFFF, np.uint16)
+    counts = np.zeros(len(rows), np.int64)
+    for r, row in enumerate(rows):
+        s1 = rs.seqs[row].astype(np.int64)
+        diff = np.nonzero((tvec[r] != 5 * s1)
+                          & (np.arange(rs.max_len) < rs.lens[row]))[0]
+        diff = diff[:K]
+        counts[r] = len(diff)
+        nt0 = (tvec[r][diff].astype(np.int64) - s1[diff]) // 4
+        subs[r, : len(diff)] = diff | (nt0.astype(np.uint16) << 14)
+    lam_n = be._lam_subs(rows, subs, counts, err)
+    lam_p = with_fallback(lambda: be._lam_subs(rows, subs, counts, err))
+    np.testing.assert_array_equal(lam_n, lam_p)
