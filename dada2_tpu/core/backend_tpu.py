@@ -1762,10 +1762,19 @@ class TpuBackend(CompareBackend):
             from ..trace import COUNTERS
             COUNTERS.gapless += len(gl_idx)
             ng = gl_idx[need[gl_idx]]
+            na = al_idx[need[al_idx]]
+            if (err == 1.0).all():
+                # the selfConsist initialization round (R/dada.R:296-299)
+                # runs under an all-ones error matrix: every factor of
+                # the sequential product is exactly 1.0, so lambda == 1.0
+                # bit-exactly for every aligned row — skip the tvec
+                # transport and the product entirely
+                lam[ng] = 1.0
+                lam[na] = 1.0
+                return lam, ham
             if len(ng):
                 with PHASES("be.lambdas"):
                     lam[ng] = self._lam_gapless(center, ng, err)
-            na = al_idx[need[al_idx]]
             if len(na):
                 with PHASES("be.tvec"):
                     tvec = self._tvec_rows_cached(res[1], center, opts,
@@ -2207,6 +2216,13 @@ class TpuBackend(CompareBackend):
         n = self.rs.n
         nd = self.nd
         screened = e_thresh is not None
+        if (err == 1.0).all():
+            # all-ones error matrix (the selfConsist init round): the
+            # classic path short-circuits every lambda to exactly 1.0
+            # with a single 5B-slab fetch — no tile bytes needed, and
+            # _full_seen stays unset so the first REAL-err round still
+            # gets the fused transport and seeds the tvec cache
+            return None
         if not use_kmers:
             # without kmers the gapless shortcut is off (reference:
             # raw_align computes it from the kmer tables), so the host
@@ -2325,10 +2341,10 @@ class TpuBackend(CompareBackend):
         ham[al_idx] = ham_all_v[al_idx]
         COUNTERS.gapless += len(gl_idx)
         ng = gl_idx[need[gl_idx]]
+        na = al_idx[need[al_idx]]
         if len(ng):
             with PHASES("be.lambdas"):
                 lam[ng] = self._lam_gapless(center, ng, err)
-        na = al_idx[need[al_idx]]
         if len(na):
             pos_of = np.full(n, -1, np.int64)
             pos_of[rows_idx] = np.arange(len(rows_idx))
