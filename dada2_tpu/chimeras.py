@@ -18,6 +18,7 @@ against them there.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Union
 
 import numpy as np
@@ -285,6 +286,18 @@ def _batch_lr_stats(pairs, seqs, maxShift, match, mismatch, gap_p,
     outs = [np.zeros(P, np.int64) for _ in range(5)]
     if P == 0:
         return tuple(outs)
+    # Pallas route (TPU, or interpret mode under DADA2_TPU_PALLAS=1):
+    # one wavefront-kernel sweep per distinct query — the XLA nw_batch
+    # scan's per-pair dynamic windows serialize on real TPU hardware
+    # (~500 pairs/s measured vs the kernel's millions)
+    if P >= 256 or os.environ.get("DADA2_TPU_PALLAS") == "1":
+        be, bopts = _chimera_backend(seqs, match, mismatch, gap_p,
+                                     maxShift)
+        if be is not None:
+            out = _batch_lr_stats_pallas(be, bopts, pairs, maxShift,
+                                         allow_one_off)
+            if out is not None:
+                return out
     mat, lens = pack_sequences(seqs)
     fn = _get_lr_stats_jit()
     for lo in range(0, P, _CHUNK_PAIRS):
@@ -306,6 +319,176 @@ def _batch_lr_stats(pairs, seqs, maxShift, match, mismatch, gap_p,
         for k, o in enumerate(outs):
             o[lo: lo + len(chunk)] = stats[:, k]
     return tuple(outs)
+
+
+def _lr_accum_trace(buf, mapq, seqs, lens, center, pidx, start, *, CNT,
+                    mL, allow_one_off, max_shift):
+    """Device lr/ham stats for one query's parent group, straight from
+    the wavefront kernel's merged map rows (backend_tpu._align_ent).
+
+    A map row gives, for every 1-based center (query) position i:
+    ``(qual << 17) | (member_pos << 3) | (nt1 + 2)`` for a diagonal
+    step, ``1`` for a query-char-vs-member-gap column, 0 past the end.
+    The full gapped alignment is reconstructed from it: the column of
+    center position i is (i-1) + members-consumed-before-i (j_i - 1 at
+    diagonal steps, else the running max of consumed j), member
+    insertions fill the remaining columns in order, and
+    m = len1 + len2 - ndiag. The reconstruction feeds the SAME
+    vectorized get_lr/ham scans as the nw_batch route, so the two
+    routes are interchangeable (fuzzed in tests/test_chimeras.py).
+
+    Writes stats [CNT, 5] into buf at ``start`` (buffer donated across
+    the per-query loop; padded tail rows are overwritten by later
+    groups)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = jax.lax.dynamic_slice(pidx, (start,), (CNT,))
+    L1 = mapq.shape[1] - 1
+    code = jnp.take(mapq, rows, axis=0)[:, 1:].astype(jnp.int32)
+    len1 = lens[center].astype(jnp.int32)
+    ipos = jnp.arange(1, L1 + 1, dtype=jnp.int32)[None, :]
+    on = (code != 0) & (ipos <= len1)
+    low = code & 7
+    cons = on & (low >= 2)
+    gapc = on & (low == 1)
+    j1 = jnp.where(cons, (code >> 3) & 0x3FFF, 0)
+    jmax = jax.lax.cummax(j1, axis=1)
+    jmax_excl = jnp.concatenate(
+        [jnp.zeros((CNT, 1), jnp.int32), jmax[:, :-1]], axis=1)
+    jbefore = jnp.where(cons, j1 - 1, jmax_excl)
+    ndiag_excl = jnp.concatenate(
+        [jnp.zeros((CNT, 1), jnp.int32),
+         jnp.cumsum(cons.astype(jnp.int32), axis=1)[:, :-1]], axis=1)
+    # column of center position i = (center cols before) + (insertion
+    # cols before) = (i-1) + (members consumed before i) - (members
+    # consumed AT earlier center columns)
+    col = jnp.where(on, (ipos - 1) + jbefore - ndiag_excl, mL)
+    l2 = jnp.take(lens, rows).astype(jnp.int32)
+    ndiag = cons.sum(axis=1).astype(jnp.int32)
+    m = len1 + l2 - ndiag
+
+    cidx = jnp.arange(mL, dtype=jnp.int32)[None, :]
+    inm = cidx < m[:, None]
+    r2 = jnp.arange(CNT, dtype=jnp.int32)[:, None]
+    # A: query chars at their columns, GAP at member insertions
+    W = seqs.shape[1]
+    csq = jnp.take(seqs, center, axis=0).astype(jnp.int32)
+    csq = jnp.pad(csq, (0, max(L1 - W, 0)))[:L1]
+    A0 = jnp.where(inm, jnp.int32(GAP), jnp.int32(_PAD))
+    A = A0.at[r2, jnp.where(on, col, mL)].set(
+        jnp.broadcast_to(csq[None, :], (CNT, L1)), mode="drop")
+    # B: member chars at every column except query-vs-gap ones
+    G = jnp.zeros((CNT, mL), bool).at[
+        r2, jnp.where(gapc, col, mL)].set(True, mode="drop")
+    consume = inm & ~G
+    bpos = jnp.cumsum(consume.astype(jnp.int32), axis=1) - 1
+    mch = jnp.take(seqs, rows, axis=0).astype(jnp.int32)
+    Bch = jnp.take_along_axis(mch, jnp.clip(bpos, 0, W - 1), axis=1)
+    B = jnp.where(consume, Bch, jnp.where(inm, jnp.int32(GAP),
+                                          jnp.int32(_PAD)))
+
+    left, left_oo = _jnp_lr_one_side(A, B, m, allow_one_off, max_shift)
+    J = m[:, None] - 1 - cidx
+    Jc = jnp.clip(J, 0, mL - 1)
+    Ar = jnp.where(J >= 0, jnp.take_along_axis(A, Jc, axis=1), _PAD)
+    Br = jnp.where(J >= 0, jnp.take_along_axis(B, Jc, axis=1), _PAD)
+    right, right_oo = _jnp_lr_one_side(Ar, Br, m, allow_one_off,
+                                       max_shift - 1)
+    zero = jnp.zeros_like(m)
+    startc = jnp.maximum(_jnp_first_false(A == GAP, zero, mL),
+                         _jnp_first_false(B == GAP, zero, mL))
+    rtrim = jnp.maximum(_jnp_first_false(Ar == GAP, zero, mL),
+                        _jnp_first_false(Br == GAP, zero, mL))
+    end = m - rtrim
+    ham = ((A != B) & (cidx >= startc[:, None])
+           & (cidx < end[:, None])).sum(axis=1).astype(jnp.int32)
+    stats = jnp.stack([left, right, left_oo, right_oo, ham],
+                      axis=1).astype(jnp.int32)
+    return jax.lax.dynamic_update_slice(buf, stats,
+                                        (start, jnp.int32(0)))
+
+
+_lr_accum_jit = None
+
+
+def _get_lr_accum_jit():
+    global _lr_accum_jit
+    if _lr_accum_jit is None:
+        import jax
+        from functools import partial
+
+        _lr_accum_jit = partial(
+            jax.jit, static_argnames=("CNT", "mL", "allow_one_off",
+                                      "max_shift"),
+            donate_argnums=(0,))(_lr_accum_trace)
+    return _lr_accum_jit
+
+
+def _chimera_backend(seqs, match, mismatch, gap_p, maxShift):
+    """A quals-free TpuBackend over the sequence set, or None when the
+    wavefront-kernel route is off (CPU default / geometry misfit) —
+    callers then use the XLA nw_batch route."""
+    import numpy as np
+
+    from .core.backend_tpu import TpuBackend
+    from .core.raws import make_rawset
+    from .options import DEFAULT_OPTIONS
+
+    opts = DEFAULT_OPTIONS.replace(
+        MATCH=match, MISMATCH=mismatch, GAP_PENALTY=gap_p,
+        BAND_SIZE=maxShift)
+    rs = make_rawset(seqs, np.ones(len(seqs), np.int64), None, None)
+    be = TpuBackend(rs, use_quals=False)
+    if not be.use_pallas:
+        return None, None
+    return be, opts
+
+
+def _batch_lr_stats_pallas(be, opts, pairs, maxShift, allow_one_off):
+    """lr/ham statistics through the Pallas wavefront kernel: ONE
+    kernel sweep per distinct query (reference: the per-column parent
+    alignments of src/chimera.cpp:120-146), stats computed on device
+    from the merged map rows, one final fetch. Returns the same five
+    arrays as the nw_batch route, in input pair order, or None if some
+    query has no kernel geometry."""
+    import jax.numpy as jnp
+
+    P = len(pairs)
+    qi = np.fromiter((p[0] for p in pairs), np.int64, P)
+    pi = np.fromiter((p[1] for p in pairs), np.int64, P)
+    order = np.argsort(qi, kind="stable")
+    qs, ps = qi[order], pi[order]
+    # group boundaries per query
+    bounds = np.nonzero(np.diff(qs))[0] + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [P]])
+    cmax = int((ends - starts).max())
+    # slack must cover the largest padded group: dynamic_slice CLAMPS
+    # out-of-range starts instead of erroring, which would silently
+    # read/write the wrong rows for tail groups
+    CNT_CAP = max(16, 1 << (cmax - 1).bit_length())
+    for q in qs[starts]:
+        if be._pallas_ok(int(be.lens[q]), opts) is None:
+            return None
+    pid_pad = np.concatenate([ps, np.zeros(CNT_CAP, np.int64)])
+    d_pi = be._put(pid_pad.astype(np.int32))
+    mL = ((2 * be.maxlen + 127) // 128) * 128
+    buf = jnp.zeros((len(pid_pad), 5), jnp.int32)
+    fn = _get_lr_accum_jit()
+    for s, e in zip(starts, ends):
+        q = int(qs[s])
+        cnt = int(e - s)
+        CNT = min(CNT_CAP, max(16, 1 << (cnt - 1).bit_length()))
+        geom = be._pallas_ok(int(be.lens[q]), opts)
+        ent = be._align_ent(q, opts, geom)
+        buf = fn(buf, ent[0], be.d_seqs, be.d_lens,
+                 be._center_dev(q), d_pi, s, CNT=CNT, mL=mL,
+                 allow_one_off=allow_one_off, max_shift=maxShift)
+    stats_sorted = np.asarray(buf)[:P]
+    stats = np.empty_like(stats_sorted)
+    stats[order] = stats_sorted
+    return tuple(stats[:, k].astype(np.int64) for k in range(5))
 
 
 _CHUNK_PAIRS_UNBANDED = 4096  # full-width scalar DP: smaller chunks

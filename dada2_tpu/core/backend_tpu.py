@@ -2253,6 +2253,14 @@ class TpuBackend(CompareBackend):
                 cost = 2 * k * m_last + (m_last - fit) * dense
                 if best is None or cost < best:
                     Kc, best = k, cost
+        if screened:
+            # shape stability over byte-optimality: every (M0, K)
+            # combination is a fresh XLA compile (~minutes over a
+            # remote-compile tunnel), and the screened sweep runs many
+            # centers whose m varies — a flapping size turns the steady
+            # state into a compile loop. One fixed K; M0 grows
+            # immediately and shrinks only on a 4x-persistent drop.
+            Kc = self.SHORTLIST_K_WIDE
         if self.SHORTLIST_M0 is not None:
             M0 = min(self.SHORTLIST_M0, n)
         else:
@@ -2260,6 +2268,11 @@ class TpuBackend(CompareBackend):
             while M0 < pred and M0 < n:
                 M0 *= 2
             M0 = min(M0, nd)
+            if screened:
+                prev = self._m_full.get("M0_screened")
+                if prev is not None and M0 < prev and M0 * 4 > prev:
+                    M0 = prev
+                self._m_full["M0_screened"] = M0
         nb = nd // 8
         if screened:
             e32 = np.ascontiguousarray(e_thresh, np.float32)
@@ -2718,28 +2731,67 @@ class TpuBackend(CompareBackend):
             CW = _round_up(len0 + 2, 64)
             prep.append((k, center, res, mem_pad, w_pad, CW, nb, m, len0))
         if prep:
-            memw = np.concatenate(
-                [np.concatenate([p[3], p[4]]) for p in prep])
-            cidx = np.fromiter((p[1] for p in prep), np.int32, len(prep))
-            packed = _fetch(_cluster_stats_multi(
-                tuple(p[2][0] for p in prep),
-                tuple(p[2][2] for p in prep),
-                self.d_seqs, self._put(cidx), self._put(memw),
-                CWs=tuple(p[5] for p in prep),
-                nbs=tuple(p[6] for p in prep), ncol=ncol))
+            # Shape discipline: the jit key of _cluster_stats_multi is
+            # the full (CWs, nbs) tuple — letting each round's cluster
+            # sizes through verbatim compiles a fresh program per
+            # engine run (~minutes each over a remote-compile tunnel).
+            # Small clusters ride a UNIFORM (CW, NB, pow2-count) batch;
+            # the few big ones (usually just cluster 0) go as
+            # individual stable-shape entries. Everything still lands
+            # in ONE concatenated fetch.
+            NB_CAP = 1024
+            smallp = [p for p in prep if p[6] <= NB_CAP]
+            bigp = [p for p in prep if p[6] > NB_CAP]
+            parts = []
+            lay = []  # (p, seg_len, CW_used, nb_used)
+            if smallp:
+                CW = max(p[5] for p in smallp)
+                NB = max(p[6] for p in smallp)
+                C = len(smallp)
+                CB = 1 << (C - 1).bit_length()
+                memw = np.zeros(CB * 2 * NB, np.int32)
+                for i, p in enumerate(smallp):
+                    nb_i = p[6]
+                    memw[i * 2 * NB: i * 2 * NB + nb_i] = p[3]
+                    memw[i * 2 * NB + NB: i * 2 * NB + NB + nb_i] = p[4]
+                cidx = np.zeros(CB, np.int32)
+                cidx[:C] = [p[1] for p in smallp]
+                ntq0, sm0 = smallp[0][2][0], smallp[0][2][2]
+                parts.append(_cluster_stats_multi(
+                    tuple(p[2][0] for p in smallp)
+                    + (ntq0,) * (CB - C),
+                    tuple(p[2][2] for p in smallp) + (sm0,) * (CB - C),
+                    self.d_seqs, self._put(cidx), self._put(memw),
+                    CWs=(CW,) * CB, nbs=(NB,) * CB, ncol=ncol))
+                lay.extend((p, 16 * ncol + 2 * CW + NB, CW, NB)
+                           for p in smallp)
+                pad_entries = CB - C
+            else:
+                pad_entries = 0
+            for p in bigp:
+                parts.append(_cluster_stats_dev(
+                    p[2][0], self.d_seqs[p[1]],
+                    self._put(p[3]), self._put(p[4]), p[2][2],
+                    CW=p[5], ncol=ncol))
+                lay.append((p, 16 * ncol + 2 * p[5] + p[6], p[5], p[6]))
+            packed = _fetch(jnp.concatenate(parts)
+                            if len(parts) > 1 else parts[0])
             off = 0
-            for k, center, res, mem_pad, w_pad, CW, nb, m, len0 in prep:
-                seg = packed[off: off + 16 * ncol + 2 * CW + nb]
-                off += 16 * ncol + 2 * CW + nb
+            for j, (p, seg_len, CWu, NBu) in enumerate(lay):
+                k, center, res, mem_pad, w_pad, CW0, nb, m, len0 = p
+                seg = packed[off: off + seg_len]
+                off += seg_len
                 trans = seg[: 16 * ncol].astype(np.int64).reshape(16,
                                                                   ncol)
                 qacc = seg[16 * ncol: 16 * ncol + len0].astype(np.int64)
-                qcnt = seg[16 * ncol + CW:
-                           16 * ncol + CW + len0].astype(np.int64)
-                nsubs = seg[16 * ncol + 2 * CW:][:m].astype(np.int64)
+                qcnt = seg[16 * ncol + CWu:
+                           16 * ncol + CWu + len0].astype(np.int64)
+                nsubs = seg[16 * ncol + 2 * CWu:][:m].astype(np.int64)
                 if (nsubs < 0).any():
                     raise RuntimeError("N-W Align out of range.")
                 out[k] = (trans, qacc, qcnt, nsubs)
+                if smallp and p is smallp[-1] and pad_entries:
+                    off += pad_entries * seg_len  # skip dummy clusters
         return out
 
     def subs_to_center(self, center: int, members: np.ndarray,

@@ -231,3 +231,42 @@ def test_device_lr_stats_match_host_scans():
         for k in range(5):
             np.testing.assert_array_equal(dev[k], host[k],
                                           err_msg=f"stat {k}")
+
+
+def test_lr_stats_pallas_route_parity(monkeypatch):
+    """The wavefront-kernel lr/ham route (alignment reconstructed on
+    device from the kernel's merged map rows) must match the nw_batch
+    route exactly — which is itself fuzzed against the scalar pointer
+    walks above."""
+    import numpy as np
+
+    from dada2_tpu.chimeras import (_batch_lr_stats, _batch_lr_stats_pallas,
+                                    _chimera_backend)
+
+    rng = np.random.default_rng(23)
+    nt = np.array(list("ACGT"))
+    base = ["".join(nt[rng.integers(0, 4, 60)]) for _ in range(6)]
+    seqs = []
+    for k in range(40):
+        s = list(base[k % 6])
+        for _ in range(int(rng.integers(0, 4))):
+            s[int(rng.integers(0, len(s)))] = nt[rng.integers(0, 4)]
+        if rng.random() < 0.3:   # shifts/indels across the band
+            cut = int(rng.integers(1, 8))
+            s = s[cut:] + list(nt[rng.integers(0, 4, cut)])
+        seqs.append("".join(s))
+    pairs = [(i, int(j)) for i in range(40)
+             for j in rng.integers(0, 40, 5) if int(j) != i]
+
+    monkeypatch.delenv("DADA2_TPU_PALLAS", raising=False)
+    ref = _batch_lr_stats(pairs, seqs, 16, 5, -4, -8, True)
+
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    be, bopts = _chimera_backend(seqs, 5, -4, -8, 16)
+    assert be is not None and be.use_pallas
+    got = _batch_lr_stats_pallas(be, bopts, pairs, 16, True)
+    assert got is not None
+    for a, b, name in zip(got, ref,
+                          ("left", "right", "left_oo", "right_oo",
+                           "ham")):
+        np.testing.assert_array_equal(a, b, err_msg=name)
