@@ -479,7 +479,12 @@ def _batch_lr_stats_pallas(be, opts, pairs, maxShift, allow_one_off):
     for s, e in zip(starts, ends):
         q = int(qs[s])
         cnt = int(e - s)
-        CNT = min(CNT_CAP, max(16, 1 << (cnt - 1).bit_length()))
+        # 4x bucket steps (16, 64, 256, ...): each distinct CNT is a
+        # compiled program; the padding is compute-only
+        CNT = 16
+        while CNT < cnt:
+            CNT *= 4
+        CNT = min(CNT_CAP, CNT)
         geom = be._pallas_ok(int(be.lens[q]), opts)
         ent = be._align_ent(q, opts, geom)
         buf = fn(buf, ent[0], be.d_seqs, be.d_lens,
