@@ -368,40 +368,56 @@ def _lr_accum_trace(buf, mapq, seqs, lens, center, pidx, start, *, CNT,
     ndiag = cons.sum(axis=1).astype(jnp.int32)
     m = len1 + l2 - ndiag
 
-    cidx = jnp.arange(mL, dtype=jnp.int32)[None, :]
-    inm = cidx < m[:, None]
-    r2 = jnp.arange(CNT, dtype=jnp.int32)[:, None]
-    # A: query chars at their columns, GAP at member insertions
+    # Column CLASS codes replace the A/B code matrices — the map row
+    # already carries the member char (nt1) at diagonal steps, so the
+    # only per-column facts the scans use are derivable without any
+    # B-side gather: 0 = member-insertion column (query gap),
+    # 1 = query-vs-gap column (member gap), 2 = substitution,
+    # 3 = match, 4 = past the alignment. ONE scatter builds it
+    # (default 0 inside m, 4 beyond).
     W = seqs.shape[1]
     csq = jnp.take(seqs, center, axis=0).astype(jnp.int32)
     csq = jnp.pad(csq, (0, max(L1 - W, 0)))[:L1]
-    A0 = jnp.where(inm, jnp.int32(GAP), jnp.int32(_PAD))
-    A = A0.at[r2, jnp.where(on, col, mL)].set(
-        jnp.broadcast_to(csq[None, :], (CNT, L1)), mode="drop")
-    # B: member chars at every column except query-vs-gap ones
-    G = jnp.zeros((CNT, mL), bool).at[
-        r2, jnp.where(gapc, col, mL)].set(True, mode="drop")
-    consume = inm & ~G
-    bpos = jnp.cumsum(consume.astype(jnp.int32), axis=1) - 1
-    mch = jnp.take(seqs, rows, axis=0).astype(jnp.int32)
-    Bch = jnp.take_along_axis(mch, jnp.clip(bpos, 0, W - 1), axis=1)
-    B = jnp.where(consume, Bch, jnp.where(inm, jnp.int32(GAP),
-                                          jnp.int32(_PAD)))
-
-    left, left_oo = _jnp_lr_one_side(A, B, m, allow_one_off, max_shift)
+    nt1 = low - 2
+    cls_i = jnp.where(gapc, 1,
+                      jnp.where(nt1 == csq[None, :], 3, 2))
+    cidx = jnp.arange(mL, dtype=jnp.int32)[None, :]
+    inm = cidx < m[:, None]
+    r2 = jnp.arange(CNT, dtype=jnp.int32)[:, None]
+    C0 = jnp.where(inm, jnp.int8(0), jnp.int8(4))
+    C = C0.at[r2, col].set(cls_i.astype(jnp.int8), mode="drop")
     J = m[:, None] - 1 - cidx
     Jc = jnp.clip(J, 0, mL - 1)
-    Ar = jnp.where(J >= 0, jnp.take_along_axis(A, Jc, axis=1), _PAD)
-    Br = jnp.where(J >= 0, jnp.take_along_axis(B, Jc, axis=1), _PAD)
-    right, right_oo = _jnp_lr_one_side(Ar, Br, m, allow_one_off,
-                                       max_shift - 1)
+    Cr = jnp.where(J >= 0, jnp.take_along_axis(C, Jc, axis=1),
+                   jnp.int8(4))
+
+    def one_side(Cs, shift_bound):
+        idx = cidx
+        inlen = idx < m[:, None]
+        zero = jnp.zeros_like(m)
+        q0 = _jnp_first_false((Cs == 0) & inlen, zero, mL)
+        s = _jnp_first_false((Cs == 1) & (idx < shift_bound), q0, mL)
+        eq = (Cs == 3) & inlen
+        e = _jnp_first_false(eq, s, mL)
+        credit = e - q0
+        if not allow_one_off:
+            return credit, credit
+        t = e + 1
+        tc = jnp.clip(t, 0, mL - 1)
+        bonus = ((t < m) & (jnp.take_along_axis(
+            Cs, tc[:, None], axis=1)[:, 0] != 0)).astype(jnp.int32)
+        f = _jnp_first_false(eq, jnp.minimum(t, mL), mL)
+        return credit, credit + bonus + jnp.maximum(f - t, 0)
+
+    left, left_oo = one_side(C, max_shift)
+    right, right_oo = one_side(Cr, max_shift - 1)
     zero = jnp.zeros_like(m)
-    startc = jnp.maximum(_jnp_first_false(A == GAP, zero, mL),
-                         _jnp_first_false(B == GAP, zero, mL))
-    rtrim = jnp.maximum(_jnp_first_false(Ar == GAP, zero, mL),
-                        _jnp_first_false(Br == GAP, zero, mL))
+    startc = jnp.maximum(_jnp_first_false(C == 0, zero, mL),
+                         _jnp_first_false(C == 1, zero, mL))
+    rtrim = jnp.maximum(_jnp_first_false(Cr == 0, zero, mL),
+                        _jnp_first_false(Cr == 1, zero, mL))
     end = m - rtrim
-    ham = ((A != B) & (cidx >= startc[:, None])
+    ham = ((C != 3) & (cidx >= startc[:, None])
            & (cidx < end[:, None])).sum(axis=1).astype(jnp.int32)
     stats = jnp.stack([left, right, left_oo, right_oo, ham],
                       axis=1).astype(jnp.int32)
@@ -473,18 +489,20 @@ def _batch_lr_stats_pallas(be, opts, pairs, maxShift, allow_one_off):
             return None
     pid_pad = np.concatenate([ps, np.zeros(CNT_CAP, np.int64)])
     d_pi = be._put(pid_pad.astype(np.int32))
-    mL = ((2 * be.maxlen + 127) // 128) * 128
+    # m = len1 + insertions; a banded path inserts at most band +
+    # length-difference members, so this bound is exact-safe
+    spread = int(be.lens.max() - be.lens.min())
+    mL = min(2 * be.maxlen, be.maxlen + maxShift + spread + 2)
+    mL = ((mL + 127) // 128) * 128
     buf = jnp.zeros((len(pid_pad), 5), jnp.int32)
     fn = _get_lr_accum_jit()
     for s, e in zip(starts, ends):
         q = int(qs[s])
         cnt = int(e - s)
-        # 4x bucket steps (16, 64, 256, ...): each distinct CNT is a
-        # compiled program; the padding is compute-only
-        CNT = 16
-        while CNT < cnt:
-            CNT *= 4
-        CNT = min(CNT_CAP, CNT)
+        # pow2 buckets: each distinct CNT is a compiled program, but
+        # the padding is real accum compute — 2x steps waste at most
+        # half, and group sizes cluster so few programs materialize
+        CNT = min(CNT_CAP, max(16, 1 << (cnt - 1).bit_length()))
         geom = be._pallas_ok(int(be.lens[q]), opts)
         ent = be._align_ent(q, opts, geom)
         buf = fn(buf, ent[0], be.d_seqs, be.d_lens,

@@ -671,6 +671,12 @@ def _gather_rows(arr, idx):
     return jnp.take(arr, idx.astype(jnp.int32), axis=0)
 
 
+@jax.jit
+def _index_scalar(iota, i):
+    """Device scalar iota[i] (no host->device transfer)."""
+    return jax.lax.dynamic_index_in_dim(iota, i, keepdims=False)
+
+
 # Optional tunnel simulator: DADA2_TPU_SIM_RTT_MS charges every device
 # put/fetch a fixed latency and DADA2_TPU_SIM_BW_MBPS charges its byte
 # volume, both under ONE global lock — modeling the remote rig's
@@ -1171,18 +1177,22 @@ class TpuBackend(CompareBackend):
         self._eth_cache: dict = {}   # content-addressed eth uploads
         padbits = np.packbits(np.arange(nd) >= n, bitorder="little")
         self._d_padbits = put(padbits.view(np.int8))
+        # resident index iota: _center_dev derives device scalars from
+        # it instead of paying a tunnel put per new center
+        self._d_iota = put(np.arange(nd, dtype=np.int32))
         import threading
         self._cache_lock = threading.Lock()
 
     def _center_dev(self, center: int):
-        """Cached device scalar for a center index — centers repeat
-        across selfConsist rounds and finalize passes, and every
-        host->device put is a tunnel round-trip on remote chips."""
+        """Cached device scalar for a center index, derived by indexing
+        a resident iota — a tiny host->device put costs ~3ms on the
+        tunnel (one per NEW center adds up fast in chimera sweeps and
+        speculative dispatches); a device index op costs ~60us."""
         with self._cache_lock:
             hit = self._center_cache.get(center)
         if hit is not None:
             return hit
-        d = self._put(np.int32(center))
+        d = _index_scalar(self._d_iota, center)
         with self._cache_lock:
             self._center_cache[center] = d
         return d
