@@ -167,9 +167,13 @@ def tpu_rate(rs, center: int):
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=nthreads) as ex:
-        list(ex.map(run, range(nthreads)))  # warm distinct centers
+        # two warm passes: the first settles adaptive transport sizes,
+        # the second absorbs any compile those sizes triggered — the
+        # timed loop must measure steady state, not XLA compiles
+        list(ex.map(run, range(nthreads)))
+        list(ex.map(run, range(nthreads)))
         reps, t0 = 0, time.time()
-        while reps < 2 * nthreads or time.time() - t0 < 2.0:
+        while reps < 4 * nthreads or time.time() - t0 < 6.0:
             futs = [ex.submit(run, c) for c in range(nthreads)]
             for f in futs:
                 f.result()

@@ -2263,26 +2263,22 @@ class TpuBackend(CompareBackend):
                 cost = 2 * k * m_last + (m_last - fit) * dense
                 if best is None or cost < best:
                     Kc, best = k, cost
-        if screened:
+        if self.SHORTLIST_M0 is not None:
+            M0 = min(self.SHORTLIST_M0, n)
+        elif screened:
             # shape stability over byte-optimality: every (M0, K)
             # combination is a fresh XLA compile (~minutes over a
             # remote-compile tunnel), and the screened sweep runs many
-            # centers whose m varies — a flapping size turns the steady
-            # state into a compile loop. One fixed K; M0 grows
-            # immediately and shrinks only on a 4x-persistent drop.
+            # centers whose m varies — ANY adaptive size ratchets
+            # across runs and lands compiles in the steady state. One
+            # fixed shape; an outlier center pays a follow-up fetch.
             Kc = self.SHORTLIST_K_WIDE
-        if self.SHORTLIST_M0 is not None:
-            M0 = min(self.SHORTLIST_M0, n)
+            M0 = min(1024, nd)
         else:
             M0 = 256
             while M0 < pred and M0 < n:
                 M0 *= 2
             M0 = min(M0, nd)
-            if screened:
-                prev = self._m_full.get("M0_screened")
-                if prev is not None and M0 < prev and M0 * 4 > prev:
-                    M0 = prev
-                self._m_full["M0_screened"] = M0
         nb = nd // 8
         if screened:
             e32 = np.ascontiguousarray(e_thresh, np.float32)
