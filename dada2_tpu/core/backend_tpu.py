@@ -2208,6 +2208,10 @@ class TpuBackend(CompareBackend):
     # the two-fetch exact-K tile path wins on bytes (the K prediction
     # risk grows with n while the saved round-trip stays ~26ms)
     FULL_FUSED_INIT_MAX_N = 4096
+    # the screened full compare's ONE fixed transport shape (see
+    # _compare_full_fused): overflow rows take a follow-up fetch
+    FULL_SCREENED_M0 = int(os.environ.get("DADA2_TPU_FULL_M0", "1024"))
+    FULL_SCREENED_K = int(os.environ.get("DADA2_TPU_FULL_K", "48"))
 
     def _compare_full_fused(self, center: int, skip: np.ndarray,
                             opts: DadaOptions, err: np.ndarray,
@@ -2272,8 +2276,8 @@ class TpuBackend(CompareBackend):
             # centers whose m varies — ANY adaptive size ratchets
             # across runs and lands compiles in the steady state. One
             # fixed shape; an outlier center pays a follow-up fetch.
-            Kc = self.SHORTLIST_K_WIDE
-            M0 = min(1024, nd)
+            Kc = self.FULL_SCREENED_K
+            M0 = min(self.FULL_SCREENED_M0, nd)
         else:
             M0 = 256
             while M0 < pred and M0 < n:
