@@ -112,7 +112,7 @@ def tpu_rate(rs, center: int):
                            band=BAND)
         return None, np.asarray(out[3])
 
-    nthreads = 32
+    nthreads = int(os.environ.get("DADA2_TPU_BENCH_THREADS", "32"))
     ninit = 8
     t0 = time.time()
     # init sweeps (exact lambda for every row, full fetch) over a few
