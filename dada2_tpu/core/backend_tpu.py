@@ -2225,7 +2225,71 @@ class TpuBackend(CompareBackend):
         whose tvec rows are already host-cached — selfConsist rounds
         >= 2 re-run the same init compare and should ship only the 5B
         slab)."""
-        from ..trace import COUNTERS, PHASES
+        from ..trace import PHASES
+
+        disp = self._full_dispatch(center, skip, opts, err, e_thresh,
+                                   geom, use_kmers, kdist_cutoff)
+        if disp is None:
+            return None
+        buf_d, ctx = disp
+        with PHASES("be.full_fetch"):
+            buf = _fetch(buf_d)
+        return self._full_finish(buf, ctx)
+
+    def compare_many(self, centers, skip, opts: DadaOptions,
+                     err: np.ndarray, use_kmers: bool,
+                     kdist_cutoff: float, e_thresh):
+        """Independent compare sweeps vs k centers in ONE device fetch.
+
+        Semantically identical to k compare() calls under the SAME
+        engine state (skip/e_thresh/err) — the reference's per-center
+        TBB sweep has no cross-center coupling either (reference:
+        src/cluster.cpp:90-204); coupling only enters through the
+        engine's E_minmax/skip updates BETWEEN compares, which is why
+        this entry is for states where those updates are absent: the
+        multi-sample init compares and the benchmark harness. All k
+        dispatches are async and share one e_thresh upload; the k
+        result buffers concatenate into a single fetch, so the whole
+        batch costs ~one tunnel round-trip instead of k."""
+        from ..trace import PHASES
+
+        disps = []
+        for c in centers:
+            geom = (self._pallas_ok(int(self.lens[c]), opts)
+                    if opts.BAND_SIZE != 0 else None)
+            d = None
+            if geom is not None and err is not None:
+                d = self._full_dispatch(c, skip, opts, err, e_thresh,
+                                        geom, use_kmers, kdist_cutoff)
+            disps.append(d)
+        live = [d for d in disps if d is not None]
+        big = None
+        if live:
+            with PHASES("be.full_fetch"):
+                if len(live) == 1:
+                    big = _fetch(live[0][0])
+                else:
+                    big = _fetch(jnp.concatenate([d[0] for d in live]))
+        out, off = [], 0
+        for c, d in zip(centers, disps):
+            if d is None:
+                out.append(self.compare(c, skip, opts, err, use_kmers,
+                                        kdist_cutoff, e_thresh))
+                continue
+            _, ctx = d
+            out.append(self._full_finish(big[off: off + ctx["blen"]],
+                                         ctx))
+            off += ctx["blen"]
+        return out
+
+    def _full_dispatch(self, center: int, skip: np.ndarray,
+                       opts: DadaOptions, err: np.ndarray,
+                       e_thresh, geom, use_kmers: bool,
+                       kdist_cutoff: float):
+        """Async half of the fused full compare: every device op
+        enqueued, nothing fetched. Returns (device buffer, finish
+        context) or None when the classic path should handle it."""
+        from ..trace import PHASES
 
         n = self.rs.n
         nd = self.nd
@@ -2308,8 +2372,28 @@ class TpuBackend(CompareBackend):
                 res[1], res[2], self.d_seqs, self.d_lens,
                 self._center_dev(center), d_eth, L=self.maxlen, M0=M0,
                 K=Kc, screened=screened)
-        with PHASES("be.full_fetch"):
-            buf = _fetch(buf_d)
+        blen = 16 + 5 * nd + nb + 4 * M0 + 2 * Kc * M0
+        ctx = dict(center=center, res=res, order=order, M0=M0, Kc=Kc,
+                   screened=screened, skip=skip, opts=opts, err=err,
+                   use_kmers=use_kmers, kdist_cutoff=kdist_cutoff,
+                   blen=blen, menu=menu, okey=okey)
+        return buf_d, ctx
+
+    def _full_finish(self, buf: np.ndarray, ctx: dict):
+        """Host half of the fused full compare from its fetched buffer
+        (semantics identical to the classic path)."""
+        from ..trace import COUNTERS, PHASES
+
+        n = self.rs.n
+        nd = self.nd
+        nb = nd // 8
+        center = ctx["center"]
+        res, order = ctx["res"], ctx["order"]
+        M0, Kc = ctx["M0"], ctx["Kc"]
+        screened = ctx["screened"]
+        opts, err = ctx["opts"], ctx["err"]
+        use_kmers, kdist_cutoff = ctx["use_kmers"], ctx["kdist_cutoff"]
+        skip, menu = ctx["skip"], ctx["menu"]
         o1 = 16 + 5 * nd
         o2 = o1 + nb
         o3 = o2 + 4 * M0
@@ -2411,7 +2495,7 @@ class TpuBackend(CompareBackend):
                         self._tvec_host_cache.pop(
                             next(iter(self._tvec_host_cache)), None)
         if not screened:
-            self._full_seen.add(okey)
+            self._full_seen.add(ctx["okey"])
         return lam, ham
 
     def _compare_slow(self, center, lam, ham, cand, opts, err, use_kmers,

@@ -316,3 +316,61 @@ def test_device_construction_derivations():
     host2 = nwp.pack_s2_blocks((rsp2.seqs & 3).astype(np.int32),
                                rsp2.lens, pb2.block_idx, pb2.L2R)
     assert np.array_equal(host2, np.asarray(pb2.d_s2q))
+
+
+def test_compare_many_parity(sample, monkeypatch):
+    """compare_many(k centers, one fetch) must be bit-identical to k
+    independent compare() calls under the same engine state — screened,
+    unscreened, and the per-center fallback path."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    seqs, ab, quals = sample
+    err = tperr1()
+    opts = DEFAULT_OPTIONS.replace(GAPLESS=False).normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+    skip = np.zeros(rs.n, bool)
+    total = int(rs.reads.sum())
+    centers = [0, 3, 7, 11]
+
+    from dada2_tpu.trace import COUNTERS
+    ref = TpuBackend(rs, use_quals=True)
+    assert ref.use_pallas
+    e_minmax = np.full(rs.n, -999.0)
+    for c in range(4):
+        lam_c, _ = ref.compare(c, skip, opts, err, True, 1.0)
+        e_minmax = np.maximum(e_minmax, lam_c * int(rs.reads[c]))
+    eth = e_minmax / total
+    f0 = COUNTERS.device_fetches
+    singles = [ref.compare(c, skip, opts, err, True, 1.0, eth)
+               for c in centers]
+    n_single = COUNTERS.device_fetches - f0
+
+    be = TpuBackend(rs, use_quals=True)
+    for c in range(4):          # same warm state as the singles run
+        be.compare(c, skip, opts, err, True, 1.0)
+    f0 = COUNTERS.device_fetches
+    many = be.compare_many(centers, skip, opts, err, True, 1.0, eth)
+    # the batch shares ONE main fetch where singles paid one each
+    assert COUNTERS.device_fetches - f0 <= n_single - (len(centers) - 1)
+    for (lam_s, ham_s), (lam_m, ham_m) in zip(singles, many):
+        np.testing.assert_array_equal(ham_s, ham_m)
+        np.testing.assert_array_equal(lam_s, lam_m)
+
+    # unscreened batch (init-compare shape): e_thresh=None
+    ref2 = TpuBackend(rs, use_quals=True)
+    singles2 = [ref2.compare(c, skip, opts, err, True, 1.0)
+                for c in centers]
+    be2 = TpuBackend(rs, use_quals=True)
+    many2 = be2.compare_many(centers, skip, opts, err, True, 1.0, None)
+    for (lam_s, ham_s), (lam_m, ham_m) in zip(singles2, many2):
+        np.testing.assert_array_equal(ham_s, ham_m)
+        np.testing.assert_array_equal(lam_s, lam_m)
+
+    # fallback path: BAND_SIZE=0 routes every center through compare()
+    opts0 = DEFAULT_OPTIONS.replace(BAND_SIZE=0).normalized()
+    be3 = TpuBackend(rs, use_quals=True)
+    many3 = be3.compare_many(centers, skip, opts0, err, True, 1.0, eth)
+    ref3 = TpuBackend(rs, use_quals=True)
+    for c, (lam_m, ham_m) in zip(centers, many3):
+        lam_s, ham_s = ref3.compare(c, skip, opts0, err, True, 1.0, eth)
+        np.testing.assert_array_equal(ham_s, ham_m)
+        np.testing.assert_array_equal(lam_s, lam_m)
