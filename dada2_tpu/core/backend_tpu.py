@@ -383,17 +383,13 @@ def _small_trace(tvec, seqs, lens, center, qlerr, small5):
 _fused_small = jax.jit(_small_trace)
 
 
-def _subs_tile_trace(tvec, seqs, lens, center, flags, idx, *, K):
-    """[M, K] uint16 substitution tile for the given rows: the final
-    tvec of a row is 5*nt1 (the self transition) at EVERY query position
-    except substitutions, which hold 4*nt0+nt1 (reference:
-    src/pval.cpp:104-130) — so (position, nt0) pairs are the ONLY
-    device information the host lambda product needs. Entries are
-    ``pos | nt0 << 14`` in ascending position order; a row's first
-    ham entries are valid (ham > K rows overflow and are re-fetched
-    densely by the host). The device gapless flag selects between the
-    aligned traceback tvec and the pad-to-length construction, exactly
-    like the dense fetch paths."""
+def _sel_tv(tvec, seqs, lens, center, flags, idx):
+    """Per-row FINAL transition vector + substitution mask for selected
+    rows: the device gapless flag picks between the aligned traceback
+    tvec and the pad-to-length construction, exactly like the dense
+    fetch paths. tvec is 5*nt1 (the self transition) at every query
+    position except substitutions, which hold 4*nt0+nt1 (reference:
+    src/pval.cpp:104-130)."""
     W = seqs.shape[1]
     s0 = seqs[center].astype(jnp.int32)
     s1 = jnp.take(seqs, idx, axis=0).astype(jnp.int32)       # [M, W]
@@ -408,6 +404,16 @@ def _subs_tile_trace(tvec, seqs, lens, center, flags, idx, *, K):
     tv = jnp.where(gl[:, None], gtv,
                    jnp.take(tvec, idx, axis=0).astype(jnp.int32))
     is_sub = validp & (tv != 5 * s1)
+    return tv, is_sub
+
+
+def _subs_tile_trace(tvec, seqs, lens, center, flags, idx, *, K):
+    """[M, K] uint16 substitution tile for the given rows:
+    (position, nt0) pairs are the ONLY device information the host
+    lambda product needs (see _sel_tv). Entries are ``pos | nt0 << 14``
+    in ascending position order; a row's first ham entries are valid
+    (ham > K rows overflow and are re-fetched densely by the host)."""
+    tv, is_sub = _sel_tv(tvec, seqs, lens, center, flags, idx)
     order2 = jnp.argsort(~is_sub, axis=1, stable=True).astype(jnp.int32)
     posK = order2[:, :K]                                     # [M, K]
     codeK = jnp.take_along_axis(tv, posK, axis=1)
@@ -415,6 +421,44 @@ def _subs_tile_trace(tvec, seqs, lens, center, flags, idx, *, K):
     packed = jnp.where(subK, posK | ((codeK >> 2) << 14),
                        jnp.int32(0xFFFF))
     return packed.astype(jnp.uint16)
+
+
+def _subs_bits_trace(tvec, seqs, lens, center, flags, idx, *, K):
+    """Bitmap variant of the substitution transport: per row a
+    little-endian sub-POSITION bitmap over all query positions
+    (ceil(W/8) bytes — complete whatever the substitution count)
+    followed by the 2-bit nt0 stream of the first K substitutions in
+    ascending position order (K/4 bytes). 4x denser than the 2-byte
+    tile entries on substitution-heavy rows (the all-ones selfConsist
+    init round, distant singletons), and the same host-side
+    ``pos | nt0 << 14`` records after _subs_from_bits. Returns
+    [M, ceil(W/8) + K/4] uint8."""
+    W = seqs.shape[1]
+    tv, is_sub = _sel_tv(tvec, seqs, lens, center, flags, idx)
+    M = is_sub.shape[0]
+    W8 = ((W + 7) // 8) * 8
+    bm = jnp.zeros((M, W8), jnp.int32).at[:, :W].set(
+        is_sub.astype(jnp.int32))
+    bitmap = (bm.reshape(M, W8 // 8, 8)
+              * (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :]
+              ).sum(axis=2).astype(jnp.uint8)
+    order2 = jnp.argsort(~is_sub, axis=1, stable=True).astype(jnp.int32)
+    Ke = min(K, W)          # a row has at most W substitutions
+    posK = order2[:, :Ke]
+    codeK = jnp.take_along_axis(tv, posK, axis=1)
+    subK = jnp.take_along_axis(is_sub, posK, axis=1)
+    nt0 = jnp.where(subK, (codeK >> 2) & 3, 0)
+    if Ke < K:
+        nt0 = jnp.pad(nt0, ((0, 0), (0, K - Ke)))
+    stream = (nt0.reshape(M, K // 4, 4)
+              * (1 << (2 * jnp.arange(4, dtype=jnp.int32)))[None, None, :]
+              ).sum(axis=2).astype(jnp.uint8)
+    return jnp.concatenate([bitmap, stream], axis=1)
+
+
+def _subs_trace_any(tvec, seqs, lens, center, flags, idx, *, K, kind):
+    fn = _subs_bits_trace if kind == "bits" else _subs_tile_trace
+    return fn(tvec, seqs, lens, center, flags, idx, K=K)
 
 
 @partial(jax.jit, static_argnames=("L", "greedy"))
@@ -471,9 +515,9 @@ def _proj_update(proj, small, reads, center, logtotal, eth2, *, L,
     return jnp.maximum(proj, term)
 
 
-@partial(jax.jit, static_argnames=("L", "M0", "K", "greedy"))
+@partial(jax.jit, static_argnames=("L", "M0", "K", "greedy", "kind"))
 def _budded_fused(tvec, small5, seqs, lens, reads, center, qlerr, eth2,
-                  proj, *, L, M0, K, greedy):
+                  proj, *, L, M0, K, greedy, kind="tiles"):
     """The WHOLE error-dependent half of a budded compare in one device
     call: small pack + store-screen shortlist + substitution tiles,
     packed so the compare costs exactly ONE host fetch.
@@ -498,8 +542,8 @@ def _budded_fused(tvec, small5, seqs, lens, reads, center, qlerr, eth2,
                                                  greedy=greedy)
     idx = order[:M0]
     rows = jnp.take(small5, idx, axis=0)
-    subs = _subs_tile_trace(tvec, seqs, lens, center, small5[:, 4], idx,
-                            K=K)
+    subs = _subs_trace_any(tvec, seqs, lens, center, small5[:, 4], idx,
+                           K=K, kind=kind)
     buf = jnp.concatenate([
         jax.lax.bitcast_convert_type(header, jnp.int8).reshape(-1),
         jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
@@ -571,8 +615,9 @@ def _full_fused(tvec, small, seqs, lens, center, eth2, *, L, M0, K,
     return buf, order
 
 
-@partial(jax.jit, static_argnames=("M0", "M", "K"))
-def _take_subs(small, tvec, seqs, lens, center, order, *, M0, M, K):
+@partial(jax.jit, static_argnames=("M0", "M", "K", "kind"))
+def _take_subs(small, tvec, seqs, lens, center, order, *, M0, M, K,
+               kind="tiles"):
     """Follow-up fetch when the shortlist overflows M0: indices, 5-byte
     ham/flags rows and substitution tiles for compacted rows
     [M0, M0 + M) — the first M0 rows already rode the main fetch — in
@@ -580,8 +625,8 @@ def _take_subs(small, tvec, seqs, lens, center, order, *, M0, M, K):
     idx = jax.lax.dynamic_slice_in_dim(order, M0, M)
     rows = jnp.take(jnp.concatenate([small[:, :4], small[:, 12:13]],
                                     axis=1), idx, axis=0)
-    subs = _subs_tile_trace(tvec, seqs, lens, center,
-                            small[:, 12], idx, K=K)
+    subs = _subs_trace_any(tvec, seqs, lens, center,
+                           small[:, 12], idx, K=K, kind=kind)
     return jnp.concatenate([
         jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
         rows.reshape(-1),
@@ -772,7 +817,24 @@ def _shortlist_screen(small, eth2, reads, center, proj, *, L, greedy):
               + eps * (jnp.float32(5.0 * L) + (L + 5.0) * abssum)
               + 4.0 * eps * jnp.where(finthr, jnp.abs(logthr),
                                       jnp.float32(0.0)))
-    need = cand & ((loglam + margin >= logthr) | ~jnp.isfinite(loglam))
+    # e_thresh == 0 (E_minmax pinned at 0 by an earlier lam-underflow
+    # store, the permanent state of distant singletons): the store rule
+    # degenerates to ``host f64 lambda > 0``. The host product is a
+    # sequential product of factors in (0, 1]; it ends NONZERO only if
+    # every step avoids rounding to 0, and each nonzero rounding step
+    # inflates the computed value over the true product by at most 2x
+    # (a nonzero result is >= 2^-1074 while the pre-rounding value was
+    # >= 2^-1075; normal-range steps only by 1+2^-52). So computed > 0
+    # implies true log-lambda >= ln(2^-1074) - L*ln(2) - 1
+    # = -(1074 + L)*ln(2) - 1; rows provably below that bound underflow
+    # to exactly 0.0 on the host and can never be stored.
+    # (e_thresh < 0 — the -999 init state — stores ANY lambda
+    # including 0, so those rows always ship.)
+    und = jnp.float32(-(1074.0 + L) * 0.6931471805599453 - 1.0)
+    logthr2 = jnp.where(pos, logthr,
+                        jnp.where(e_thresh == 0, und, -jnp.inf))
+    need = cand & ((loglam + margin >= logthr2)
+                   | (~jnp.isfinite(loglam) & (e_thresh < 0)))
     header = jnp.stack([need.sum(), cand.sum(),
                         (shroud & ~nskip).sum(),
                         jnp.zeros((), jnp.int32)]).astype(jnp.int32)
@@ -1005,6 +1067,14 @@ class TpuBackend(CompareBackend):
     # the previous ham histogram.
     SHORTLIST_K = 16
     SHORTLIST_K_WIDE = 48
+    # bitmap-transport nt0-stream widths (2 bits/entry; the per-row
+    # position bitmap is complete regardless, so only the nt0 stream
+    # can overflow into a dense re-fetch)
+    BITS_K = 32
+    BITS_K_WIDE = 128
+    # fixed (kind, K) override for the substitution transport (None =
+    # adaptive via _predict_k; the bench pins one shape)
+    SHORTLIST_FORCE = None
     # align-cache byte budget: must hold every final center's sweep or
     # finalize re-dispatches them (HBM is 16GB/chip; the multi-sample
     # driver shares it across ~6 concurrent backends)
@@ -1118,6 +1188,9 @@ class TpuBackend(CompareBackend):
             priors=rawset.priors, quals=quals_p))
         self.lens = np.asarray(rawset.lens, np.int64)
         self.maxlen = rawset.max_len
+        # bitmap-transport row width (see _subs_bits_trace); the kind
+        # choice itself is per-dispatch (_predict_k / _k_menu)
+        self._sub_bmb = (W + 7) // 8
         import os
         # the platform this backend actually computes on: the pinned
         # device / mesh devices if given (a CPU-mesh dry run can coexist
@@ -1843,25 +1916,49 @@ class TpuBackend(CompareBackend):
             M0 *= 2
         return min(M0, self.nd)
 
-    def _predict_k(self, ordinal: Optional[int] = None) -> int:
-        """Substitution-tile width for the budded compare at the given
-        bud ordinal, from the last ham histogram at that ordinal (same
-        engine-run pattern logic as _predict_m0): the wide tile wins
-        when the narrow one would overflow too many rows into dense
-        re-fetches. Early buds default wide — their weak E_minmax
-        admits distant (high-ham) rows."""
+    def _subw(self, K: int, kind: str) -> int:
+        """Per-row substitution-transport bytes: 2-byte tile entries, or
+        the complete position bitmap + 2-bit nt0 stream."""
+        if kind == "bits":
+            return self._sub_bmb + K // 4
+        return 2 * K
+
+    def _k_menu(self):
+        """(kind, K) substitution-transport candidates. The bitmap kind
+        is only offered when the per-row bitmap undercuts the wide tile
+        (short-read widths; a PacBio-width bitmap costs more than the
+        tiles it replaces)."""
+        menu = [("tiles", self.SHORTLIST_K),
+                ("tiles", self.SHORTLIST_K_WIDE)]
+        if self._sub_bmb + self.BITS_K // 4 < 2 * self.SHORTLIST_K_WIDE:
+            menu += [("bits", self.BITS_K), ("bits", self.BITS_K_WIDE)]
+        return menu
+
+    def _predict_k(self, ordinal: Optional[int] = None):
+        """Substitution-transport (kind, width) for the budded compare
+        at the given bud ordinal, from the last ham histogram at that
+        ordinal (same engine-run pattern logic as _predict_m0): the
+        wide/bitmap variants win when the narrow tile would overflow
+        too many rows into dense re-fetches. Early buds default wide —
+        their weak E_minmax admits distant (high-ham) rows."""
+        if self.SHORTLIST_FORCE is not None:
+            return self.SHORTLIST_FORCE
         if ordinal is None:
             ordinal = self._bud_ordinal
         hist = (self._m_by_ordinal.get(ordinal)
                 or self._m_by_ordinal.get(ordinal - 1))
-        lo, hi = self.SHORTLIST_K, self.SHORTLIST_K_WIDE
+        menu = self._k_menu()
         if hist is None:
-            return hi if ordinal < 2 else lo
-        m, fit_lo, fit_hi = hist
+            return menu[-1] if ordinal < 2 else menu[0]
+        m, fits = hist
         dense = (self.rs.seqs.shape[1] + 1) // 2 + 40  # + follow-up slack
-        cost_lo = 2 * lo * m + (m - fit_lo) * dense
-        cost_hi = 2 * hi * m + (m - fit_hi) * dense
-        return hi if cost_hi < cost_lo else lo
+        best, best_cost = menu[0], None
+        for kind, k in menu:
+            cost = (self._subw(k, kind) * m
+                    + (m - fits.get(k, 0)) * dense)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (kind, k), cost
+        return best
 
     def _tvec_from_subs(self, rows: np.ndarray, subs: np.ndarray,
                         counts: np.ndarray) -> np.ndarray:
@@ -1883,15 +1980,40 @@ class TpuBackend(CompareBackend):
             t[rv, pv] = 4 * (subs[vm] >> 14).astype(np.int64) + s1[rv, pv]
         return t
 
-    @staticmethod
-    def _budbuf_layout(M0: int, K: int, nb: int):
+    def _budbuf_layout(self, M0: int, K: int, kind: str):
         """Byte offsets inside one _budded_fused buffer: (end of the
-        index block, end of the 5B rows, end of the substitution tiles,
-        total length incl. the nb-byte shroud bitmap)."""
+        index block, end of the 5B rows, end of the substitution
+        records, total length incl. the shroud bitmap)."""
         o1 = 16 + 4 * M0
         o2 = o1 + 5 * M0
-        o3 = o2 + 2 * K * M0
-        return o1, o2, o3, o3 + nb
+        o3 = o2 + self._subw(K, kind) * M0
+        return o1, o2, o3, o3 + self.nd // 8
+
+    def _subs_from_bits(self, sb: np.ndarray, K: int) -> np.ndarray:
+        """Host decode of _subs_bits_trace rows back to the uint16
+        ``pos | nt0 << 14`` records every lambda path consumes: unpack
+        the position bitmap, take the first K positions ascending, and
+        splice in the 2-bit nt0 stream (stream order IS ascending
+        position order by construction)."""
+        W = self.rs.seqs.shape[1]
+        bmb = self._sub_bmb
+        m = sb.shape[0]
+        if m == 0:
+            return np.zeros((0, K), np.uint16)
+        bits = np.unpackbits(sb[:, :bmb], axis=1,
+                             bitorder="little")[:, :W].astype(bool)
+        order = np.argsort(~bits, axis=1, kind="stable")[:, :K]
+        valid = np.take_along_axis(bits, order, axis=1)
+        if order.shape[1] < K:      # K > W: device stream was padded
+            pad = K - order.shape[1]
+            order = np.pad(order, ((0, 0), (0, pad)))
+            valid = np.pad(valid, ((0, 0), (0, pad)))
+        st = sb[:, bmb:]
+        i = np.arange(K)
+        nt0 = (st[:, i // 4] >> (2 * (i % 4)).astype(np.uint8)) & 3
+        return np.where(valid,
+                        order | (nt0.astype(np.int64) << 14),
+                        0xFFFF).astype(np.uint16)
 
     @staticmethod
     def _opts_key(opts: DadaOptions):
@@ -1988,7 +2110,7 @@ class TpuBackend(CompareBackend):
         with PHASES("be.spec_consume"):
             return self._finish_budded(
                 center, opts, err, skip, seg["buf"], seg["M0"], seg["K"],
-                seg["ent"], seg["order"], seg["small13"])
+                seg["ent"], seg["order"], seg["small13"], seg["kind"])
 
     def _compare_shortlisted(self, center: int, skip: np.ndarray,
                              opts: DadaOptions, err: np.ndarray,
@@ -2019,7 +2141,7 @@ class TpuBackend(CompareBackend):
             return out
         with PHASES("be.align"):
             ent = self._align_ent(center, opts, geom)
-        K = self._predict_k()
+        kind, K = self._predict_k()
         M0 = self._predict_m0(n)
         # ONE packed upload shared by the main compare and every
         # speculated center: bf16 e_thresh lower bound + the LOCK
@@ -2045,7 +2167,7 @@ class TpuBackend(CompareBackend):
             buf_d, order, small13 = _budded_fused(
                 ent[1], ent[2], self.d_seqs, self.d_lens, self.d_reads,
                 d_center, qlerr, d_eth, None, L=self.maxlen, M0=M0, K=K,
-                greedy=greedy)
+                greedy=greedy, kind=kind)
             small13 = self._small_insert(ent, err, small13)
             specs = []
             cands = self._spec_candidates(center) if self.SPEC_K else []
@@ -2053,8 +2175,13 @@ class TpuBackend(CompareBackend):
                 o = self._bud_ordinal
                 M0s = max(self._predict_m0(n, o + 1 + j, spec=True)
                           for j in range(len(cands)))
-                Ks = max(self._predict_k(o + 1 + j)
-                         for j in range(len(cands)))
+                # segments share the main compare's transport kind (one
+                # uniform segment layout); width = the widest same-kind
+                # prediction over the covered ordinals
+                Ks = max([K] + [k for kd, k in
+                                (self._predict_k(o + 1 + j)
+                                 for j in range(len(cands)))
+                                if kd == kind])
                 # running E_minmax projection: each segment screens with
                 # the threshold as it will look AFTER the main compare
                 # and its predicted predecessors (sound lower bound;
@@ -2073,7 +2200,8 @@ class TpuBackend(CompareBackend):
                     buf_c, order_c, small13_c = _budded_fused(
                         ent_c[1], ent_c[2], self.d_seqs, self.d_lens,
                         self.d_reads, d_c, qlerr, d_eth, proj,
-                        L=self.maxlen, M0=M0s, K=Ks, greedy=greedy)
+                        L=self.maxlen, M0=M0s, K=Ks, greedy=greedy,
+                        kind=kind)
                     small13_c = self._small_insert(ent_c, err, small13_c)
                     specs.append((c, buf_c, order_c, ent_c, small13_c,
                                   tuple(assumed)))
@@ -2092,43 +2220,44 @@ class TpuBackend(CompareBackend):
                                              + [s[1] for s in specs]))
             else:
                 big = _fetch(buf_d)
-        len_main = self._budbuf_layout(M0, K, nb)[3]
+        len_main = self._budbuf_layout(M0, K, kind)[3]
         buf = big[:len_main]
         if specs:
             sp = self._spec
             if sp is not None and sp["segs"]:
                 COUNTERS.spec_wasted += len(sp["segs"])
-            seg_len = self._budbuf_layout(M0s, Ks, nb)[3]
+            seg_len = self._budbuf_layout(M0s, Ks, kind)[3]
             segs = {}
             for si, (c, _, order_c, ent_c, small13_c, asm) in \
                     enumerate(specs):
                 a = len_main + si * seg_len
                 segs[c] = dict(buf=big[a: a + seg_len], M0=M0s, K=Ks,
-                               ent=ent_c, order=order_c,
+                               kind=kind, ent=ent_c, order=order_c,
                                small13=small13_c, assumed=asm)
             self._spec = {
                 "key": (hash(err.tobytes()), self._opts_key(opts)),
                 "segs": segs, "main": int(center), "consumed": set()}
         return self._finish_budded(center, opts, err, skip, buf, M0, K,
-                                   ent, order, small13)
+                                   ent, order, small13, kind)
 
     def _finish_budded(self, center: int, opts: DadaOptions,
                        err: np.ndarray, skip: np.ndarray,
                        buf: np.ndarray, M0: int, K: int, ent, order,
-                       small13):
+                       small13, kind: str = "tiles", follow=None):
         """Host half of a budded compare from one fetched buffer (fresh
         or speculative): recount naligned/nshroud under the TRUE skip
         via the shroud bitmap, drop shortlist rows the true skip now
         excludes (a speculative segment was dispatched under an older —
         provably weaker — skip), rebuild lambdas from the substitution
-        tiles, and resolve tile/buffer overflows with at most one
-        follow-up fetch."""
+        tiles/bitmaps, and resolve overflows with at most one follow-up
+        fetch."""
         from ..trace import COUNTERS
 
         n = self.rs.n
         nd = self.nd
         nb = nd // 8
-        o1, o2, o3, _ = self._budbuf_layout(M0, K, nb)
+        o1, o2, o3, _ = self._budbuf_layout(M0, K, kind)
+        subw = self._subw(K, kind)
         m = int(buf[:16].copy().view(np.int32)[0])
         ordinal = self._bud_ordinal
         self._bud_ordinal += 1
@@ -2141,26 +2270,31 @@ class TpuBackend(CompareBackend):
         nshroud = int((shroud & ~true_skip).sum())
         self.last_stats = (naligned, nshroud)
         # no full-slab fallback: even at m == n the shortlist transport
-        # (9 + 2K bytes/row) undercuts the full path's 13B small slab
+        # (9 + subw bytes/row) undercuts the full path's 13B small slab
         # plus ~L/2B dense tvec gathers
         lam = np.zeros(n)
         ham = np.full(n, -2, dtype=np.int64)
         ham[true_skip] = -1
         if m == 0:
-            self._m_by_ordinal[ordinal] = (0, 0, 0)
+            self._m_by_ordinal[ordinal] = (0, {})
             return lam, ham
         m1 = min(m, M0)
         rows_idx = buf[16: o1].copy().view(np.int32)[:m1].astype(np.int64)
         packed = buf[o1: o2].reshape(M0, 5)[:m1]
-        subs = buf[o2: o3].copy().view(np.uint16).reshape(M0, K)[:m1]
+        subs = buf[o2: o3].view(np.uint8).reshape(M0, subw)[:m1]
         if m > M0:
-            # rows [M0, m) in one follow-up (x1.5-step bucket)
-            COUNTERS.followup_fetches += 1
-            M = min(_bucket15(m - M0), nd - M0)
-            buf2 = _fetch(_take_subs(small13, ent[1], self.d_seqs,
-                                     self.d_lens,
-                                     self._center_dev(center), order,
-                                     M0=M0, M=M, K=K))
+            # rows [M0, m) in one follow-up (x1.5-step bucket);
+            # compare_many prefetches all its segments' follow-ups in
+            # one batched fetch and passes them in as (M, bytes)
+            if follow is not None:
+                M, buf2 = follow
+            else:
+                COUNTERS.followup_fetches += 1
+                M = min(_bucket15(m - M0), nd - M0)
+                buf2 = _fetch(_take_subs(small13, ent[1], self.d_seqs,
+                                         self.d_lens,
+                                         self._center_dev(center), order,
+                                         M0=M0, M=M, K=K, kind=kind))
             o1b, o2b = 4 * M, 4 * M + M * 5
             rows_idx = np.concatenate([
                 rows_idx,
@@ -2169,7 +2303,7 @@ class TpuBackend(CompareBackend):
                 [packed, buf2[o1b: o2b].reshape(M, 5)[:m - M0]])
             subs = np.concatenate(
                 [subs,
-                 buf2[o2b:].copy().view(np.uint16).reshape(M, K)[:m - M0]])
+                 buf2[o2b:].view(np.uint8).reshape(M, subw)[:m - M0]])
         ints = packed[:, :4].copy().view(np.int16).astype(np.int64)
         ham_all, ham_gl = ints[:, 0], ints[:, 1]
         flags = packed[:, 4]
@@ -2179,8 +2313,8 @@ class TpuBackend(CompareBackend):
         # record BEFORE the live filter: the next dispatch (speculative
         # or fresh) faces the same stale-threshold inflation
         self._m_by_ordinal[ordinal] = (
-            m, int((ham_sel <= self.SHORTLIST_K).sum()),
-            int((ham_sel <= self.SHORTLIST_K_WIDE).sum()))
+            m, {k: int((ham_sel <= k).sum())
+                for _, k in self._k_menu()})
         live = ~true_skip[rows_idx]
         if not live.all():
             rows_idx = rows_idx[live]
@@ -2193,7 +2327,10 @@ class TpuBackend(CompareBackend):
         fits = ham_sel <= K
         if fits.any():
             rf = rows_idx[fits]
-            lam[rf] = self._lam_subs(rf, subs[fits], ham_sel[fits], err)
+            su = (self._subs_from_bits(subs[fits], K) if kind == "bits"
+                  else np.ascontiguousarray(
+                      subs[fits]).view(np.uint16).reshape(-1, K))
+            lam[rf] = self._lam_subs(rf, su, ham_sel[fits], err)
         gl_over = rows_idx[~fits & gl_bit]
         if len(gl_over):
             lam[gl_over] = self._lam_gapless(center, gl_over, err)
@@ -2250,9 +2387,22 @@ class TpuBackend(CompareBackend):
         multi-sample init compares and the benchmark harness. All k
         dispatches are async and share one e_thresh upload; the k
         result buffers concatenate into a single fetch, so the whole
-        batch costs ~one tunnel round-trip instead of k."""
+        batch costs ~one tunnel round-trip instead of k.
+
+        When the engine's steady-state conditions hold (default kdist
+        cutoff + a live e_thresh) each center rides the budded
+        shortlist transport (_budded_fused — indices, small rows and
+        substitution tiles for the store-screen survivors only, no
+        per-row slab); otherwise the screened/unscreened full
+        transport."""
         from ..trace import PHASES
 
+        budded = (e_thresh is not None and use_kmers
+                  and float(kdist_cutoff) == float(opts.KDIST_CUTOFF)
+                  and bool(np.any(np.asarray(e_thresh) > 0)))
+        if budded:
+            return self._compare_many_budded(centers, skip, opts, err,
+                                             kdist_cutoff, e_thresh)
         disps = []
         for c in centers:
             geom = (self._pallas_ok(int(self.lens[c]), opts)
@@ -2280,6 +2430,121 @@ class TpuBackend(CompareBackend):
             out.append(self._full_finish(big[off: off + ctx["blen"]],
                                          ctx))
             off += ctx["blen"]
+        return out
+
+    def _compare_many_budded(self, centers, skip, opts: DadaOptions,
+                             err: np.ndarray, kdist_cutoff: float,
+                             e_thresh):
+        """Budded-transport half of compare_many: k independent
+        shortlist compares under the SAME (skip, e_thresh) state in one
+        fetch. No E_minmax projection is folded between segments — the
+        batch members are peers screened with the caller's CURRENT
+        threshold, not a predicted future one, so each is exactly a
+        fresh _compare_shortlisted dispatch. eth uploads are
+        content-deduplicated (identical whenever the lock component of
+        skip is, which for a batch under one state it always is unless
+        greedy splits it per center's abundance)."""
+        from ..trace import PHASES
+
+        n = self.rs.n
+        nd = self.nd
+        nb = nd // 8
+        greedy = bool(opts.GREEDY)
+        skiph = np.asarray(skip, bool)
+        qlerr = self._get_qlerr(err)
+        e32 = np.ascontiguousarray(e_thresh, np.float32)
+        eth16 = (e32.view(np.uint32) >> 16).astype(np.uint16).view(
+            np.uint8)
+        kind, K = self._predict_k()
+        M0 = self._predict_m0(n)
+        disps = []
+        with PHASES("be.bud_dispatch"):
+            for c in centers:
+                geom = (self._pallas_ok(int(self.lens[c]), opts)
+                        if opts.BAND_SIZE != 0 else None)
+                if geom is None:
+                    disps.append(None)
+                    continue
+                lockp = np.ones(nd, bool)
+                lockp[:n] = (skiph
+                             & (self.rs.reads <= int(self.rs.reads[c]))
+                             if greedy else skiph)
+                ethbuf = np.zeros(2 * nd + nb, np.uint8)
+                ethbuf[: 2 * n] = eth16
+                ethbuf[2 * nd:] = np.packbits(lockp, bitorder="little")
+                ekey = ("bud", hash(ethbuf.tobytes()))
+                with self._cache_lock:
+                    d_eth = self._eth_cache.get(ekey)
+                if d_eth is None:
+                    d_eth = self._put(ethbuf.view(np.int8))
+                    with self._cache_lock:
+                        self._eth_cache[ekey] = d_eth
+                        while len(self._eth_cache) > 4:
+                            self._eth_cache.pop(
+                                next(iter(self._eth_cache)), None)
+                ent = self._align_ent(c, opts, geom)
+                buf_d, order, small13 = _budded_fused(
+                    ent[1], ent[2], self.d_seqs, self.d_lens,
+                    self.d_reads, self._center_dev(c), qlerr, d_eth,
+                    None, L=self.maxlen, M0=M0, K=K, greedy=greedy,
+                    kind=kind)
+                small13 = self._small_insert(ent, err, small13)
+                disps.append((buf_d, ent, order, small13))
+        live = [d for d in disps if d is not None]
+        big = None
+        if live:
+            with PHASES("be.bud_fetch"):
+                if len(live) == 1:
+                    big = _fetch(live[0][0])
+                else:
+                    big = _fetch(jnp.concatenate([d[0] for d in live]))
+        blen = self._budbuf_layout(M0, K, kind)[3]
+        # batch-amortized follow-ups: read every segment's shortlist
+        # size from its header first, dispatch ALL the overflow
+        # _take_subs asynchronously, and fetch them as one buffer — an
+        # overflowing batch costs one extra round-trip total instead of
+        # one per overflowing center (which lets M0 sit near the median
+        # shortlist size instead of the max)
+        follows = {}
+        if big is not None:
+            fdisp, off = [], 0
+            for ci, d in enumerate(disps):
+                if d is None:
+                    continue
+                m = int(big[off: off + 4].copy().view(np.int32)[0])
+                if m > M0:
+                    from ..trace import COUNTERS
+
+                    COUNTERS.followup_fetches += 1
+                    M = min(_bucket15(m - M0), nd - M0)
+                    fdisp.append((ci, M, _take_subs(
+                        d[3], d[1][1], self.d_seqs, self.d_lens,
+                        self._center_dev(centers[ci]), d[2],
+                        M0=M0, M=M, K=K, kind=kind)))
+                off += blen
+            if fdisp:
+                with PHASES("be.bud_fetch"):
+                    if len(fdisp) == 1:
+                        fbig = _fetch(fdisp[0][2])
+                    else:
+                        fbig = _fetch(jnp.concatenate(
+                            [f[2] for f in fdisp]))
+                foff = 0
+                for ci, M, d2 in fdisp:
+                    flen = M * (9 + self._subw(K, kind))
+                    follows[ci] = (M, fbig[foff: foff + flen])
+                    foff += flen
+        out, off = [], 0
+        for ci, (c, d) in enumerate(zip(centers, disps)):
+            if d is None:
+                out.append(self.compare(c, skip, opts, err, True,
+                                        kdist_cutoff, e_thresh))
+                continue
+            _, ent, order, small13 = d
+            out.append(self._finish_budded(
+                c, opts, err, skip, big[off: off + blen], M0, K, ent,
+                order, small13, kind, follow=follows.get(ci)))
+            off += blen
         return out
 
     def _full_dispatch(self, center: int, skip: np.ndarray,

@@ -374,3 +374,155 @@ def test_compare_many_parity(sample, monkeypatch):
         lam_s, ham_s = ref3.compare(c, skip, opts0, err, True, 1.0, eth)
         np.testing.assert_array_equal(ham_s, ham_m)
         np.testing.assert_array_equal(lam_s, lam_m)
+
+
+def test_compare_many_budded_parity(sample, monkeypatch):
+    """compare_many under the engine's steady-state conditions (default
+    kdist cutoff + live e_thresh) rides the budded shortlist transport:
+    one fetch, bit-identical to k independent compare() calls."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    seqs, ab, quals = sample
+    err = tperr1()
+    opts = DEFAULT_OPTIONS.normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+    skip = np.zeros(rs.n, bool)
+    total = int(rs.reads.sum())
+    centers = [0, 3, 7, 11, 19]
+
+    ref = TpuBackend(rs, use_quals=True)
+    e_minmax = np.full(rs.n, -999.0)
+    for c in range(8):
+        lam_c, _ = ref.compare(c, skip, opts, err, True, 1.0)
+        e_minmax = np.maximum(e_minmax, lam_c * int(rs.reads[c]))
+    eth = e_minmax / total
+    singles = [ref.compare(c, skip, opts, err, True,
+                           opts.KDIST_CUTOFF, eth) for c in centers]
+
+    from dada2_tpu.trace import COUNTERS
+    be = TpuBackend(rs, use_quals=True)
+    be.SPEC_K = 0
+    for c in range(8):
+        be.compare(c, skip, opts, err, True, 1.0)
+    f0 = COUNTERS.device_fetches
+    many = be.compare_many(centers, skip, opts, err, True,
+                           opts.KDIST_CUTOFF, eth)
+    assert COUNTERS.device_fetches - f0 <= 2   # one main + rare overflow
+    for (lam_s, ham_s), (lam_m, ham_m) in zip(singles, many):
+        np.testing.assert_array_equal(ham_s, ham_m)
+        np.testing.assert_array_equal(lam_s, lam_m)
+
+    # greedy skip state: lock bits + per-center abundance reconstruction
+    lock = np.zeros(rs.n, bool)
+    lock[5::13] = True
+    ref2 = TpuBackend(rs, use_quals=True)
+    be2 = TpuBackend(rs, use_quals=True)
+    be2.SPEC_K = 0
+    for c in range(4):
+        ref2.compare(c, skip, opts, err, True, 1.0)
+        be2.compare(c, skip, opts, err, True, 1.0)
+    for c in centers:
+        sk = (rs.reads > int(rs.reads[c])) | lock
+        lam_s, ham_s = ref2.compare(c, sk, opts, err, True,
+                                    opts.KDIST_CUTOFF, eth)
+        lam_m, ham_m = be2.compare_many([c], sk, opts, err, True,
+                                        opts.KDIST_CUTOFF, eth)[0]
+        np.testing.assert_array_equal(ham_s, ham_m)
+        np.testing.assert_array_equal(lam_s, lam_m)
+
+
+def test_full_run_parity_bits_transport(sample, monkeypatch):
+    """Engine run with the bitmap substitution transport forced tiny
+    (nt0 stream K=8, buffer M0=16): exercises the bits decode, the
+    follow-up fetch and the dense-refetch overflow branch; results must
+    match the oracle bit-for-bit."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    seqs, ab, quals = sample
+    err = tperr1()
+    opts = DEFAULT_OPTIONS.normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+    eng_o, res_o = _run(OracleBackend, sample, err)
+    backend = TpuBackend(rs, use_quals=True)
+    backend.SHORTLIST_M0 = 16
+    backend.SHORTLIST_FORCE = ("bits", 8)
+    eng_t = Engine(rs, err, opts, backend, use_quals=True)
+    eng_t.run(max_clust=opts.MAX_CLUST)
+    res_t = finalize(eng_t, opts, err.shape[1], opts.OMEGA_C)
+    _assert_same(res_o, res_t)
+
+
+def test_compare_many_bits_followup_parity(sample, monkeypatch):
+    """compare_many under forced-tiny bits shapes: every segment
+    overflows M0, so the batched follow-up fetch path runs; results
+    must equal unforced single compares."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    seqs, ab, quals = sample
+    err = tperr1()
+    opts = DEFAULT_OPTIONS.normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+    skip = np.zeros(rs.n, bool)
+    total = int(rs.reads.sum())
+    centers = [0, 3, 7, 11]
+    ref = TpuBackend(rs, use_quals=True)
+    e_minmax = np.full(rs.n, -999.0)
+    for c in range(4):
+        lam_c, _ = ref.compare(c, skip, opts, err, True, 1.0)
+        e_minmax = np.maximum(e_minmax, lam_c * int(rs.reads[c]))
+    eth = e_minmax / total
+    singles = [ref.compare(c, skip, opts, err, True,
+                           opts.KDIST_CUTOFF, eth) for c in centers]
+    be = TpuBackend(rs, use_quals=True)
+    be.SPEC_K = 0
+    be.SHORTLIST_M0 = 16
+    be.SHORTLIST_FORCE = ("bits", 8)
+    many = be.compare_many(centers, skip, opts, err, True,
+                           opts.KDIST_CUTOFF, eth)
+    for (lam_s, ham_s), (lam_m, ham_m) in zip(singles, many):
+        np.testing.assert_array_equal(ham_s, ham_m)
+        np.testing.assert_array_equal(lam_s, lam_m)
+
+
+def test_underflow_screen_soundness(monkeypatch):
+    """E_minmax == 0 (the permanent state of distant singletons after
+    their first lambda underflow): the device screen drops rows whose
+    host float64 lambda PROVABLY underflows to exactly 0.0 — verify
+    against the oracle that every dropped row's exact lambda is 0.0 and
+    every kept row matches bit-for-bit."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    rng = np.random.default_rng(7)
+    n = 60
+    seqs = ["".join(rng.choice(list("ACGT"), size=400))
+            for _ in range(n)]
+    ab = np.concatenate([[500], np.ones(n - 1)]).astype(np.int64)
+    quals = np.full((n, 400), 35.0)
+    rs = make_rawset(seqs, ab, None, quals)
+    err = tperr1()
+    # cutoff 1.0 so random-sequence pairs are not kmer-shrouded and the
+    # budded path still applies (cutoff == opts.KDIST_CUTOFF)
+    opts = DEFAULT_OPTIONS.replace(KDIST_CUTOFF=1.0).normalized()
+    skip = np.zeros(n, bool)
+    lam_o, ham_o = OracleBackend(rs).compare(0, skip, opts, err, True,
+                                             1.0)
+    be = TpuBackend(rs, use_quals=True)
+    assert be.use_pallas
+    # mixed threshold like a real run: a few rows carry live positive
+    # thresholds (the budded-path gate requires any > 0), the rest sit
+    # in the underflow-pinned E_minmax == 0 state
+    eth = np.zeros(n)
+    eth[:3] = 1e-12
+    lam_t, ham_t = be.compare(0, skip, opts, err, True, 1.0, eth)
+    dropped = ham_t == -2
+    # rows with a live positive threshold may be dropped by the normal
+    # store screen; rows at e_thresh == 0 may ONLY be dropped when
+    # their exact host lambda is exactly 0.0
+    dropped_z = dropped & (eth == 0)
+    assert dropped_z.any()                  # the underflow rule fired
+    assert (lam_o[dropped_z] == 0.0).all()  # soundly
+    kept = ~dropped
+    np.testing.assert_array_equal(lam_t[kept], lam_o[kept])
+    np.testing.assert_array_equal(ham_t[kept], ham_o[kept])
+    # the E_minmax < 0 init state must still ship lambda-0 rows (they
+    # ARE stored by the reference's rule: 0 * total > -999)
+    lam_t2, ham_t2 = be.compare(0, skip, opts, err, True, 1.0,
+                                np.full(n, -999.0 / int(rs.reads.sum())))
+    np.testing.assert_array_equal(ham_t2, ham_o)
+    np.testing.assert_array_equal(lam_t2, lam_o)
