@@ -198,6 +198,7 @@ def run_pair(lib, dereps, err, opts, dada, label, ref_subset=None):
         info(f"  {name}: ref {ref_nclust[name]} clusters, "
              f"ours {len(res[name].denoised)} ASVs")
     return t_ref, t_tpu, res, {"phases": PHASES.as_dict(),
+                               "phase_bytes": PHASES.bytes_dict(),
                                "counters": COUNTERS.as_dict()}
 
 
@@ -285,7 +286,9 @@ def main():
     learned = learn_errors(list(tut.values()), nbases=1e12,
                            multithread=16, verbose=False)
     t_tpu_l = time.time() - t0
-    brk_l = {"phases": PHASES.as_dict(), "counters": COUNTERS.as_dict()}
+    brk_l = {"phases": PHASES.as_dict(),
+             "phase_bytes": PHASES.bytes_dict(),
+             "counters": COUNTERS.as_dict()}
     info(f"[learn] phases (thread-summed): {PHASES.summary()}")
     info(f"[learn] counters: {COUNTERS.summary()}")
     err_hist = learned["err_in"]

@@ -515,9 +515,11 @@ def _proj_update(proj, small, reads, center, logtotal, eth2, *, L,
     return jnp.maximum(proj, term)
 
 
-@partial(jax.jit, static_argnames=("L", "M0", "K", "greedy", "kind"))
+@partial(jax.jit, static_argnames=("L", "M0", "M0U", "K", "greedy",
+                                   "kind", "cache_on"))
 def _budded_fused(tvec, small5, seqs, lens, reads, center, qlerr, eth2,
-                  proj, *, L, M0, K, greedy, kind="tiles"):
+                  proj, cbits=None, *, L, M0, K, greedy, kind="tiles",
+                  M0U=None, cache_on=False):
     """The WHOLE error-dependent half of a budded compare in one device
     call: small pack + store-screen shortlist + substitution tiles,
     packed so the compare costs exactly ONE host fetch.
@@ -537,20 +539,39 @@ def _budded_fused(tvec, small5, seqs, lens, reads, center, qlerr, eth2,
     is consumed (_proj_update) — it keeps speculative segments as tight
     as fresh dispatches instead of shipping the stale-threshold fat."""
     small = _small_trace(tvec, seqs, lens, center, qlerr, small5)
-    header, order, shroud_pk = _shortlist_screen(small, eth2, reads,
-                                                 center, proj, L=L,
-                                                 greedy=greedy)
-    idx = order[:M0]
-    rows = jnp.take(small5, idx, axis=0)
-    subs = _subs_trace_any(tvec, seqs, lens, center, small5[:, 4], idx,
-                           K=K, kind=kind)
+    header, order, shroud_pk, need = _shortlist_screen(
+        small, eth2, reads, center, proj, L=L, greedy=greedy)
+    n = small5.shape[0]
+    # shortlist MEMBERSHIP travels as a bitmap (the stable compaction
+    # is ascending-row, so the host reconstructs indices from it — no
+    # 4B index block); per-row payload (ham/ham_gl/flags + subs) ships
+    # only for rows the host does not already hold in its cross-round
+    # cache (ham and the substitution records are pure alignment facts,
+    # independent of the error matrix — selfConsist rounds repeat
+    # nearly the same shortlists, so cached rows cost ZERO bytes)
+    need_pk = (need.astype(jnp.int32).reshape(-1, 8)
+               * (1 << jnp.arange(8, dtype=jnp.int32))[None, :]
+               ).sum(axis=1).astype(jnp.uint8)
+    if cache_on:
+        cached = ((jnp.repeat(cbits.astype(jnp.uint8), 8)[:n]
+                   >> (jnp.arange(n, dtype=jnp.int32) % 8
+                       ).astype(jnp.uint8)) & 1) != 0
+        need_u = need & ~cached
+        order_u = jnp.argsort(~need_u, stable=True).astype(jnp.int32)
+        header = header.at[3].set(need_u.sum().astype(jnp.int32))
+    else:
+        order_u = order
+    idx_u = order_u[:M0U if cache_on else M0]
+    rows = jnp.take(small5, idx_u, axis=0)
+    subs = _subs_trace_any(tvec, seqs, lens, center, small5[:, 4],
+                           idx_u, K=K, kind=kind)
     buf = jnp.concatenate([
         jax.lax.bitcast_convert_type(header, jnp.int8).reshape(-1),
-        jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
+        need_pk.astype(jnp.int8),
         rows.reshape(-1),
         jax.lax.bitcast_convert_type(subs, jnp.int8).reshape(-1),
         shroud_pk.astype(jnp.int8)])
-    return buf, order, small
+    return buf, order, order_u, small
 
 
 @partial(jax.jit, static_argnames=("L", "M0", "K", "screened"))
@@ -618,17 +639,18 @@ def _full_fused(tvec, small, seqs, lens, center, eth2, *, L, M0, K,
 @partial(jax.jit, static_argnames=("M0", "M", "K", "kind"))
 def _take_subs(small, tvec, seqs, lens, center, order, *, M0, M, K,
                kind="tiles"):
-    """Follow-up fetch when the shortlist overflows M0: indices, 5-byte
-    ham/flags rows and substitution tiles for compacted rows
-    [M0, M0 + M) — the first M0 rows already rode the main fetch — in
-    one buffer (M is bucketed so programs are reused)."""
+    """Follow-up fetch when the shortlist overflows its buffer: 5-byte
+    ham/flags rows and substitution records for compacted rows
+    [M0, M0 + M) — the first M0 rows already rode the main fetch, and
+    the row indices are derivable host-side from the main fetch's
+    membership bitmap (the compaction is ascending-row) — in one
+    buffer (M is bucketed so programs are reused)."""
     idx = jax.lax.dynamic_slice_in_dim(order, M0, M)
     rows = jnp.take(jnp.concatenate([small[:, :4], small[:, 12:13]],
                                     axis=1), idx, axis=0)
     subs = _subs_trace_any(tvec, seqs, lens, center,
                            small[:, 12], idx, K=K, kind=kind)
     return jnp.concatenate([
-        jax.lax.bitcast_convert_type(idx, jnp.int8).reshape(-1),
         rows.reshape(-1),
         jax.lax.bitcast_convert_type(subs, jnp.int8).reshape(-1)])
 
@@ -744,11 +766,12 @@ def _sim_rtt(nbytes: int = 0):
 def _fetch(x):
     """Forcing device->host read, tallied (each is ~a tunnel round-trip
     on remote-attached chips; see trace.Counters.device_fetches)."""
-    from ..trace import COUNTERS
+    from ..trace import COUNTERS, PHASES
 
     COUNTERS.device_fetches += 1
     nb = int(getattr(x, "nbytes", 0))
     COUNTERS.fetch_bytes += nb
+    PHASES.add_bytes(nb)
     _sim_rtt(nb)
     return np.asarray(x)
 
@@ -842,7 +865,7 @@ def _shortlist_screen(small, eth2, reads, center, proj, *, L, greedy):
     shroud_pk = (shroud.astype(jnp.int32).reshape(-1, 8)
                  * (1 << jnp.arange(8, dtype=jnp.int32))[None, :]
                  ).sum(axis=1).astype(jnp.uint8)
-    return header, order, shroud_pk
+    return header, order, shroud_pk, need
 
 
 @jax.jit
@@ -1238,6 +1261,9 @@ class TpuBackend(CompareBackend):
         # backend (selfConsist rounds repeat nearly the same sequence —
         # the strongest next-bud predictor for rounds >= 2)
         self._spec: Optional[dict] = None
+        self._spec_run = [0, 0]        # per-run [hits, dispatched]
+        # cross-round substitution cache (see _subs_cache_ent)
+        self._subs_cache: dict = {}
         self._centers_prev: dict = {}
         self._centers_cur: dict = {}
         # one-fetch full-compare transport state (see
@@ -1907,8 +1933,9 @@ class TpuBackend(CompareBackend):
             elif spec:
                 pred = 256
             elif not self._m_by_ordinal:
-                pred = min(n, (512 << 10)
-                           // (9 + 2 * self.SHORTLIST_K_WIDE))
+                wide = min(2 * self.SHORTLIST_K_WIDE,
+                           self._sub_bmb + self.BITS_K_WIDE // 4)
+                pred = min(n, (512 << 10) // (9 + wide))
             else:
                 pred = n // 4
         M0 = 256
@@ -1924,14 +1951,18 @@ class TpuBackend(CompareBackend):
         return 2 * K
 
     def _k_menu(self):
-        """(kind, K) substitution-transport candidates. The bitmap kind
-        is only offered when the per-row bitmap undercuts the wide tile
+        """(kind, K) substitution-transport candidates, cheapest-first.
+        The last entry is the full-coverage bitmap (stream as wide as a
+        row can have substitutions — NOTHING can dense-refetch under
+        it), offered when the per-row bitmap undercuts the wide tile
         (short-read widths; a PacBio-width bitmap costs more than the
         tiles it replaces)."""
         menu = [("tiles", self.SHORTLIST_K),
                 ("tiles", self.SHORTLIST_K_WIDE)]
-        if self._sub_bmb + self.BITS_K // 4 < 2 * self.SHORTLIST_K_WIDE:
-            menu += [("bits", self.BITS_K), ("bits", self.BITS_K_WIDE)]
+        if (self._sub_bmb + self.BITS_K_WIDE // 4
+                < 2 * self.SHORTLIST_K_WIDE):
+            kfull = min(_round_up(self.rs.seqs.shape[1], 4), 508)
+            menu += [("bits", self.BITS_K_WIDE), ("bits", kfull)]
         return menu
 
     def _predict_k(self, ordinal: Optional[int] = None):
@@ -1949,13 +1980,27 @@ class TpuBackend(CompareBackend):
                 or self._m_by_ordinal.get(ordinal - 1))
         menu = self._k_menu()
         if hist is None:
-            return menu[-1] if ordinal < 2 else menu[0]
-        m, fits = hist
-        dense = (self.rs.seqs.shape[1] + 1) // 2 + 40  # + follow-up slack
+            # nearest earlier ordinal (same logic as _predict_m0): a
+            # fresh engine round's early buds look like last round's —
+            # defaulting narrow here cost learnErrors ~40k dense
+            # re-fetches of sub-heavy rows in round 1
+            earlier = [k for k in self._m_by_ordinal if k < ordinal]
+            if earlier:
+                hist = self._m_by_ordinal[max(earlier)]
+        if hist is None:
+            return menu[-1]
+        m, fits = hist[0], hist[1]
+        dense = (self.rs.seqs.shape[1] + 1) // 2 + 40
         best, best_cost = menu[0], None
         for kind, k in menu:
-            cost = (self._subw(k, kind) * m
-                    + (m - fits.get(k, 0)) * dense)
+            over = m - fits.get(k, 0)
+            cost = self._subw(k, kind) * m + over * dense
+            if over > 0:
+                # a dense re-fetch is a SYNCHRONOUS extra round-trip
+                # (~26ms ~ hundreds of KB of link time), not just its
+                # row bytes — any predicted overflow must outweigh a
+                # big fixed penalty before a narrow shape wins
+                cost += 200_000
             if best_cost is None or cost < best_cost:
                 best, best_cost = (kind, k), cost
         return best
@@ -1980,14 +2025,100 @@ class TpuBackend(CompareBackend):
             t[rv, pv] = 4 * (subs[vm] >> 14).astype(np.int64) + s1[rv, pv]
         return t
 
-    def _budbuf_layout(self, M0: int, K: int, kind: str):
+    def _budbuf_layout(self, M0: int, K: int, kind: str,
+                       M0U: Optional[int] = None):
         """Byte offsets inside one _budded_fused buffer: (end of the
-        index block, end of the 5B rows, end of the substitution
-        records, total length incl. the shroud bitmap)."""
-        o1 = 16 + 4 * M0
-        o2 = o1 + 5 * M0
-        o3 = o2 + self._subw(K, kind) * M0
-        return o1, o2, o3, o3 + self.nd // 8
+        membership bitmap, end of the 5B rows, end of the substitution
+        records, total length incl. the shroud bitmap). The per-row
+        blocks cover only UNCACHED shortlist rows (M0U) in cache mode;
+        membership itself is a bitmap, never per-row bytes."""
+        nb = self.nd // 8
+        mu = M0U if M0U is not None else M0
+        o1 = 16 + nb
+        o2 = o1 + 5 * mu
+        o3 = o2 + self._subw(K, kind) * mu
+        return o1, o2, o3, o3 + nb
+
+    # ---- cross-round alignment-fact cache ------------------------------
+    # ham/ham_gl/flags and the substitution records are ERR-INDEPENDENT
+    # (pure alignment facts), so a row fetched once for a center is
+    # known for the whole selfConsist loop; later dispatches upload a
+    # presence bitmap and the device ships per-row payload only for
+    # uncached shortlist rows — a cached row costs ZERO bytes. Entries
+    # are immutable once inserted (deterministic per center/row/opts),
+    # so dispatch-time snapshots stay valid across later inserts;
+    # segments hold direct object references, making eviction safe.
+
+    def _subs_cache_ent(self, center: int, opts: DadaOptions):
+        key = (int(center), self._opts_key(opts))
+        with self._cache_lock:
+            ent = self._subs_cache.get(key)
+            if ent is None:
+                nd = self.nd
+                ent = (np.zeros(nd, bool), np.zeros(nd, np.int16),
+                       np.zeros(nd, np.int16), np.zeros(nd, np.uint8),
+                       {})
+                self._subs_cache[key] = ent
+                while len(self._subs_cache) > 128:
+                    self._subs_cache.pop(next(iter(self._subs_cache)),
+                                         None)
+            else:
+                self._subs_cache.pop(key)
+                self._subs_cache[key] = ent      # refresh LRU order
+        return ent
+
+    @staticmethod
+    def _subs_cache_insert(ent, rows, ham_all, ham_gl, flags, counts,
+                           subs16):
+        """Insert complete alignment facts (small columns + uint16
+        pos|nt0<<14 records, counts[i] valid entries in row i) for rows
+        not yet cached."""
+        have, cham, chgl, cflg, d = ent
+        fresh = ~have[rows]
+        if not fresh.any():
+            return
+        rf = rows[fresh]
+        cham[rf] = ham_all[fresh]
+        chgl[rf] = ham_gl[fresh]
+        cflg[rf] = flags[fresh]
+        for i in np.nonzero(fresh)[0]:
+            d[int(rows[i])] = np.ascontiguousarray(
+                subs16[i, : int(counts[i])])
+        have[rf] = True
+
+    @staticmethod
+    def _subs_cache_assemble(ent, rows: np.ndarray, width: int):
+        """[len(rows), width] uint16 block (0xFFFF-padded) from cached
+        entries; every row must be present (guaranteed by the
+        dispatch-time snapshot the device screened with)."""
+        d = ent[4]
+        out = np.full((len(rows), width), 0xFFFF, np.uint16)
+        for i, r in enumerate(rows):
+            e = d[int(r)]
+            out[i, : len(e)] = e
+        return out
+
+    def _predict_m0u(self, ordinal: Optional[int], M0: int) -> int:
+        """Uncached-row buffer size in cache mode, from the recorded
+        m_u at this ordinal (selfConsist rounds repeat shortlists, so
+        uncached counts collapse after round 1)."""
+        if ordinal is None:
+            ordinal = self._bud_ordinal
+        hist = (self._m_by_ordinal.get(ordinal)
+                or self._m_by_ordinal.get(ordinal - 1))
+        mu = hist[2] if hist is not None and len(hist) > 2 else None
+        if mu is None:
+            # no cache-mode history yet (the first cached round): the
+            # cache snapshot covers ~the previous round's shortlist, so
+            # uncached counts are the shortlist DRIFT, a small fraction
+            # of m — start at M0/32 and let the follow-up fetch correct
+            # an underestimate (shipping a large subs block costs more
+            # than one extra round-trip at production sizes)
+            return max(64, M0 // 32)
+        # the drift SHRINKS as selfConsist converges (each round's cache
+        # covers more), so predict a quarter of the last observation and
+        # let the follow-up absorb the occasional overshoot
+        return min(_bucket(mu // 4 + 16, 64), M0)
 
     def _subs_from_bits(self, sb: np.ndarray, K: int) -> np.ndarray:
         """Host decode of _subs_bits_trace rows back to the uint16
@@ -2036,6 +2167,10 @@ class TpuBackend(CompareBackend):
         if self._centers_cur:
             self._centers_prev = self._centers_cur
         self._centers_cur = {}
+        # NOTE: _spec_run deliberately survives the reset — a single
+        # engine run dispatches too few segments to judge the ranking
+        # hint, but selfConsist reuses one backend across rounds and
+        # the hint's quality is a property of the dataset
 
     def _spec_candidates(self, center: int) -> list:
         """Ranked likely-next-bud centers as (index, from_prev) pairs:
@@ -2055,8 +2190,25 @@ class TpuBackend(CompareBackend):
             c = self._centers_prev.get(o + j)
             if c is not None:
                 cands.append((c, True))
-        cands.extend((c, False)
-                     for c in (getattr(self, "spec_hint", ()) or ()))
+        # ranking-based hints are dropped once this RUN's observed hit
+        # rate proves them cold (a first selfConsist round has no
+        # previous bud sequence, and the (p, -reads) ranking alone
+        # wasted 73% of prefetched segments in learnErrors) — the
+        # prev-sequence candidates stay, they are near-exact in
+        # rounds >= 2. Pure gating: results are bit-identical, only
+        # which segments get PREFETCHED changes.
+        hits, disp = getattr(self, "_spec_run", (0, 0))
+        cold = disp >= 8 and hits * 4 < disp
+        # prev-sequence end: the previous round stopped budding at this
+        # ordinal, so this run almost certainly stops here too — an
+        # end-of-run stash is ALWAYS wasted (the engine exits), and 24
+        # samples x 4 selfConsist rounds of 8-segment stashes was most
+        # of learnErrors' spec waste
+        ended = bool(self._centers_prev) and (o + 1) not in \
+            self._centers_prev
+        if not cold and not ended:
+            cands.extend((c, False)
+                         for c in (getattr(self, "spec_hint", ()) or ()))
         seen = {int(center)}
         out = []
         for c, fp in cands:
@@ -2105,12 +2257,15 @@ class TpuBackend(CompareBackend):
             COUNTERS.spec_misses += 1
             return None
         COUNTERS.spec_hits += 1
+        self._spec_run[0] += 1
         sp["consumed"].add(int(center))
         from ..trace import PHASES
         with PHASES("be.spec_consume"):
             return self._finish_budded(
                 center, opts, err, skip, seg["buf"], seg["M0"], seg["K"],
-                seg["ent"], seg["order"], seg["small13"], seg["kind"])
+                seg["ent"], seg["order"], seg["small13"], seg["kind"],
+                order_u=seg["order_u"], M0U=seg["M0U"],
+                cache=seg["cache"], csnap=seg["csnap"])
 
     def _compare_shortlisted(self, center: int, skip: np.ndarray,
                              opts: DadaOptions, err: np.ndarray,
@@ -2143,6 +2298,10 @@ class TpuBackend(CompareBackend):
             ent = self._align_ent(center, opts, geom)
         kind, K = self._predict_k()
         M0 = self._predict_m0(n)
+        cache = self._subs_cache_ent(center, opts)
+        cache_on = bool(cache[0].any())
+        csnap = cache[0].copy() if cache_on else None
+        M0U = self._predict_m0u(None, M0) if cache_on else None
         # ONE packed upload shared by the main compare and every
         # speculated center: bf16 e_thresh lower bound + the LOCK
         # component of the skip bit-packed (pad rows travel locked; the
@@ -2164,17 +2323,27 @@ class TpuBackend(CompareBackend):
         qlerr = self._get_qlerr(err)
         with PHASES("be.bud_dispatch"):
             d_eth = self._put(ethbuf.view(np.int8))
-            buf_d, order, small13 = _budded_fused(
+            d_cb = (self._put(np.packbits(
+                csnap, bitorder="little").view(np.int8))
+                if cache_on else self._d_padbits)
+            buf_d, order, order_u, small13 = _budded_fused(
                 ent[1], ent[2], self.d_seqs, self.d_lens, self.d_reads,
-                d_center, qlerr, d_eth, None, L=self.maxlen, M0=M0, K=K,
-                greedy=greedy, kind=kind)
+                d_center, qlerr, d_eth, None, d_cb, L=self.maxlen,
+                M0=M0, K=K, greedy=greedy, kind=kind, M0U=M0U,
+                cache_on=cache_on)
             small13 = self._small_insert(ent, err, small13)
             specs = []
             cands = self._spec_candidates(center) if self.SPEC_K else []
             if cands:
                 o = self._bud_ordinal
-                M0s = max(self._predict_m0(n, o + 1 + j, spec=True)
-                          for j in range(len(cands)))
+                # a segment's only job is to save the next compare's
+                # round-trip; cap its speculative byte risk — a consumed
+                # segment whose true shortlist overflows the cap pays
+                # one follow-up fetch, still strictly cheaper than the
+                # fresh dispatch it replaced
+                M0s = min(1024,
+                          max(self._predict_m0(n, o + 1 + j, spec=True)
+                              for j in range(len(cands))))
                 # segments share the main compare's transport kind (one
                 # uniform segment layout); width = the widest same-kind
                 # prediction over the covered ordinals
@@ -2190,21 +2359,41 @@ class TpuBackend(CompareBackend):
                                     self.d_reads, d_center,
                                     self._d_logtotal, d_eth,
                                     L=self.maxlen, greedy=greedy)
+                # shared uncached-row buffer size for cached segments
+                M0Us = max([64] + [self._predict_m0u(o + 1 + j, M0s)
+                                   for j in range(len(cands))])
+                M0Us = min(M0Us, M0s, 256)
                 assumed = [int(center)]
+                cb_rows = {}
+                for c, from_prev in cands:
+                    geom_c = self._pallas_ok(int(self.lens[c]), opts)
+                    if geom_c is None:
+                        continue
+                    cache_c = self._subs_cache_ent(c, opts)
+                    if cache_c[0].any():
+                        cb_rows[c] = cache_c[0].copy()
+                d_cbm = (self._put(np.packbits(
+                    np.stack(list(cb_rows.values())), axis=1,
+                    bitorder="little").view(np.int8))
+                    if cb_rows else None)
+                cb_i = {c: i for i, c in enumerate(cb_rows)}
                 for c, from_prev in cands:
                     geom_c = self._pallas_ok(int(self.lens[c]), opts)
                     if geom_c is None:
                         continue
                     ent_c = self._align_ent(c, opts, geom_c)
                     d_c = self._center_dev(c)
-                    buf_c, order_c, small13_c = _budded_fused(
+                    con_c = c in cb_rows
+                    buf_c, order_c, oru_c, small13_c = _budded_fused(
                         ent_c[1], ent_c[2], self.d_seqs, self.d_lens,
                         self.d_reads, d_c, qlerr, d_eth, proj,
+                        d_cbm[cb_i[c]] if con_c else self._d_padbits,
                         L=self.maxlen, M0=M0s, K=Ks, greedy=greedy,
-                        kind=kind)
+                        kind=kind, M0U=M0Us if con_c else None,
+                        cache_on=con_c)
                     small13_c = self._small_insert(ent_c, err, small13_c)
-                    specs.append((c, buf_c, order_c, ent_c, small13_c,
-                                  tuple(assumed)))
+                    specs.append((c, buf_c, order_c, oru_c, ent_c,
+                                  small13_c, tuple(assumed), con_c))
                     if from_prev:
                         # chain-extend only along the previous round's
                         # bud order; ranking candidates are an unordered
@@ -2220,45 +2409,68 @@ class TpuBackend(CompareBackend):
                                              + [s[1] for s in specs]))
             else:
                 big = _fetch(buf_d)
-        len_main = self._budbuf_layout(M0, K, kind)[3]
+        if os.environ.get("DADA2_TPU_DEBUG_BUD"):
+            import sys as _sys
+            print(f"[bud] n={n} ord={self._bud_ordinal} M0={M0} "
+                  f"M0U={M0U} kind={kind} K={K} nseg={len(specs)} "
+                  f"segM0={locals().get('M0s')} "
+                  f"segM0U={locals().get('M0Us')} "
+                  f"bytes={big.nbytes}", file=_sys.stderr, flush=True)
+        len_main = self._budbuf_layout(M0, K, kind, M0U)[3]
         buf = big[:len_main]
         if specs:
             sp = self._spec
             if sp is not None and sp["segs"]:
                 COUNTERS.spec_wasted += len(sp["segs"])
-            seg_len = self._budbuf_layout(M0s, Ks, kind)[3]
             segs = {}
-            for si, (c, _, order_c, ent_c, small13_c, asm) in \
-                    enumerate(specs):
-                a = len_main + si * seg_len
+            a = len_main
+            for (c, _, order_c, oru_c, ent_c, small13_c, asm,
+                 con_c) in specs:
+                seg_len = self._budbuf_layout(
+                    M0s, Ks, kind, M0Us if con_c else None)[3]
                 segs[c] = dict(buf=big[a: a + seg_len], M0=M0s, K=Ks,
                                kind=kind, ent=ent_c, order=order_c,
+                               order_u=oru_c,
+                               M0U=M0Us if con_c else None,
+                               cache=self._subs_cache_ent(c, opts),
+                               csnap=cb_rows.get(c),
                                small13=small13_c, assumed=asm)
+                a += seg_len
+            self._spec_run[1] += len(segs)
             self._spec = {
                 "key": (hash(err.tobytes()), self._opts_key(opts)),
                 "segs": segs, "main": int(center), "consumed": set()}
         return self._finish_budded(center, opts, err, skip, buf, M0, K,
-                                   ent, order, small13, kind)
+                                   ent, order, small13, kind,
+                                   order_u=order_u, M0U=M0U,
+                                   cache=cache, csnap=csnap)
 
     def _finish_budded(self, center: int, opts: DadaOptions,
                        err: np.ndarray, skip: np.ndarray,
                        buf: np.ndarray, M0: int, K: int, ent, order,
-                       small13, kind: str = "tiles", follow=None):
+                       small13, kind: str = "tiles", follow=None,
+                       order_u=None, M0U: Optional[int] = None,
+                       cache=None, csnap=None):
         """Host half of a budded compare from one fetched buffer (fresh
         or speculative): recount naligned/nshroud under the TRUE skip
         via the shroud bitmap, drop shortlist rows the true skip now
         excludes (a speculative segment was dispatched under an older —
         provably weaker — skip), rebuild lambdas from the substitution
-        tiles/bitmaps, and resolve overflows with at most one follow-up
-        fetch."""
+        records (fetched, or cross-round cached for csnap-marked rows),
+        and resolve overflows with follow-up fetches. Newly decoded
+        records are inserted into the cache for later rounds."""
         from ..trace import COUNTERS
 
         n = self.rs.n
         nd = self.nd
         nb = nd // 8
-        o1, o2, o3, _ = self._budbuf_layout(M0, K, kind)
+        cache_on = M0U is not None
+        MU = M0U if cache_on else M0
+        o1, o2, o3, _ = self._budbuf_layout(M0, K, kind, M0U)
         subw = self._subw(K, kind)
-        m = int(buf[:16].copy().view(np.int32)[0])
+        hdr = buf[:16].copy().view(np.int32)
+        m = int(hdr[0])
+        m_u = int(hdr[3]) if cache_on else m
         ordinal = self._bud_ordinal
         self._bud_ordinal += 1
         self._centers_cur[ordinal] = int(center)
@@ -2270,43 +2482,64 @@ class TpuBackend(CompareBackend):
         nshroud = int((shroud & ~true_skip).sum())
         self.last_stats = (naligned, nshroud)
         # no full-slab fallback: even at m == n the shortlist transport
-        # (9 + subw bytes/row) undercuts the full path's 13B small slab
-        # plus ~L/2B dense tvec gathers
+        # undercuts the full path's 13B small slab plus ~L/2B dense
+        # tvec gathers
         lam = np.zeros(n)
         ham = np.full(n, -2, dtype=np.int64)
         ham[true_skip] = -1
         if m == 0:
-            self._m_by_ordinal[ordinal] = (0, {})
+            self._m_by_ordinal[ordinal] = (
+                0, {}, 0 if cache_on else None)
             return lam, ham
-        m1 = min(m, M0)
-        rows_idx = buf[16: o1].copy().view(np.int32)[:m1].astype(np.int64)
-        packed = buf[o1: o2].reshape(M0, 5)[:m1]
-        subs = buf[o2: o3].view(np.uint8).reshape(M0, subw)[:m1]
-        if m > M0:
-            # rows [M0, m) in one follow-up (x1.5-step bucket);
-            # compare_many prefetches all its segments' follow-ups in
-            # one batched fetch and passes them in as (M, bytes)
+        # shortlist membership from the bitmap (ascending-row order ==
+        # the device compaction's stable order)
+        need_bm = np.unpackbits(buf[16: o1].view(np.uint8),
+                                bitorder="little", count=n).astype(bool)
+        rows_idx = np.nonzero(need_bm)[0].astype(np.int64)
+        if len(rows_idx) != m:
+            raise RuntimeError("shortlist bitmap/count mismatch")
+        cmask = (csnap[rows_idx] if cache_on
+                 else np.zeros(m, bool))
+        idx_u = rows_idx[~cmask]
+        if len(idx_u) != m_u:
+            raise RuntimeError("subs-cache compaction mismatch")
+        mu1 = min(m_u, MU)
+        packed = buf[o1: o2].reshape(MU, 5)[:mu1]
+        subs = buf[o2: o3].view(np.uint8).reshape(MU, subw)[:mu1]
+        if m_u > MU:
+            # uncached rows [MU, m_u) in one follow-up (x1.5-step
+            # bucket); compare_many prefetches its segments' follow-ups
+            # in one batched fetch and passes them in as (M, bytes)
             if follow is not None:
                 M, buf2 = follow
             else:
                 COUNTERS.followup_fetches += 1
-                M = min(_bucket15(m - M0), nd - M0)
+                M = min(_bucket15(m_u - MU), nd - MU)
                 buf2 = _fetch(_take_subs(small13, ent[1], self.d_seqs,
                                          self.d_lens,
-                                         self._center_dev(center), order,
-                                         M0=M0, M=M, K=K, kind=kind))
-            o1b, o2b = 4 * M, 4 * M + M * 5
-            rows_idx = np.concatenate([
-                rows_idx,
-                buf2[:o1b].copy().view(np.int32)[:m - M0].astype(np.int64)])
+                                         self._center_dev(center),
+                                         order_u if cache_on else order,
+                                         M0=MU, M=M, K=K, kind=kind))
+            o2b = M * 5
             packed = np.concatenate(
-                [packed, buf2[o1b: o2b].reshape(M, 5)[:m - M0]])
+                [packed, buf2[:o2b].reshape(M, 5)[:m_u - MU]])
             subs = np.concatenate(
                 [subs,
-                 buf2[o2b:].view(np.uint8).reshape(M, subw)[:m - M0]])
+                 buf2[o2b:].view(np.uint8).reshape(M, subw)[:m_u - MU]])
+        # per-shortlist-row alignment facts: fetched for uncached rows,
+        # straight from the cross-round cache for the rest
         ints = packed[:, :4].copy().view(np.int16).astype(np.int64)
-        ham_all, ham_gl = ints[:, 0], ints[:, 1]
-        flags = packed[:, 4]
+        ham_all = np.empty(m, np.int64)
+        ham_gl = np.empty(m, np.int64)
+        flags = np.empty(m, np.uint8)
+        ucm = ~cmask
+        ham_all[ucm], ham_gl[ucm] = ints[:, 0], ints[:, 1]
+        flags[ucm] = packed[:, 4]
+        if cmask.any():
+            cr = rows_idx[cmask]
+            ham_all[cmask] = cache[1][cr]
+            ham_gl[cmask] = cache[2][cr]
+            flags[cmask] = cache[3][cr]
         ok = (flags & 1) != 0
         gl_bit = (flags & 2) != 0
         ham_sel = np.where(gl_bit, ham_gl, ham_all)
@@ -2314,31 +2547,75 @@ class TpuBackend(CompareBackend):
         # or fresh) faces the same stale-threshold inflation
         self._m_by_ordinal[ordinal] = (
             m, {k: int((ham_sel <= k).sum())
-                for _, k in self._k_menu()})
+                for _, k in self._k_menu()},
+            m_u if cache_on else None)
         live = ~true_skip[rows_idx]
         if not live.all():
+            subs = subs[live[ucm]]
             rows_idx = rows_idx[live]
             ham_sel, ok, gl_bit = ham_sel[live], ok[live], gl_bit[live]
-            subs = subs[live]
+            ham_all, ham_gl = ham_all[live], ham_gl[live]
+            flags = flags[live]
+            cmask, ucm = cmask[live], ucm[live]
         if (~gl_bit).any() and not ok[~gl_bit].all():
             raise RuntimeError("N-W Align out of range.")
         ham[rows_idx] = ham_sel
         COUNTERS.gapless += int(gl_bit.sum())
-        fits = ham_sel <= K
+        # fetched (uncached) rows: decode; cached rows: complete
+        # records straight from the cache, no width limit
+        fits = (ham_sel <= K) | cmask
+        fit_u = ham_sel[ucm] <= K
+        dec = (self._subs_from_bits(subs, K) if kind == "bits"
+               else np.ascontiguousarray(subs).view(
+                   np.uint16).reshape(-1, K))
         if fits.any():
             rf = rows_idx[fits]
-            su = (self._subs_from_bits(subs[fits], K) if kind == "bits"
-                  else np.ascontiguousarray(
-                      subs[fits]).view(np.uint16).reshape(-1, K))
+            wid = max(int(ham_sel[fits].max()), 1)
+            su = np.full((int(fits.sum()), wid), 0xFFFF, np.uint16)
+            # positions of uncached/cached rows inside the fits subset
+            f_uc = ucm[fits]
+            if f_uc.any():
+                w2 = min(K, wid)
+                su[f_uc, :w2] = dec[fit_u][:, :w2]
+            if (~f_uc).any():
+                cr = rows_idx[fits][~f_uc]
+                su[~f_uc] = self._subs_cache_assemble(cache, cr, wid)
             lam[rf] = self._lam_subs(rf, su, ham_sel[fits], err)
-        gl_over = rows_idx[~fits & gl_bit]
+            # populate the cache with this round's decoded rows
+            if cache is not None and f_uc.any():
+                fu = ucm & fits
+                with self._cache_lock:
+                    self._subs_cache_insert(
+                        cache, rows_idx[fu], ham_all[fu], ham_gl[fu],
+                        flags[fu], ham_sel[fu], dec[fit_u])
+        over = ~fits
+        gl_over = rows_idx[over & gl_bit]
         if len(gl_over):
             lam[gl_over] = self._lam_gapless(center, gl_over, err)
-        al_over = rows_idx[~fits & ~gl_bit]
+        al_over = rows_idx[over & ~gl_bit]
         if len(al_over):
             COUNTERS.dense_refetches += len(al_over)
             tvec = self._fetch_tvec_rows(ent[1], al_over)
             lam[al_over] = self._lambdas(al_over, tvec, err)
+            if cache is not None:
+                # cache the dense rows too (complete records): repeated
+                # dense re-fetches across selfConsist rounds were the
+                # round-4 learnErrors tax
+                om = over & ~gl_bit
+                s1 = self.rs.seqs[al_over].astype(np.int64)
+                t = tvec[:, : s1.shape[1]]
+                is_s = (t != 5 * s1) & (t != 16)
+                ho = ham_sel[om]
+                wid2 = max(int(ho.max()), 1)
+                su2 = np.full((len(al_over), wid2), 0xFFFF, np.uint16)
+                for i in range(len(al_over)):
+                    p = np.nonzero(is_s[i])[0]
+                    su2[i, : len(p)] = (
+                        p | ((t[i, p] >> 2) << 14)).astype(np.uint16)
+                with self._cache_lock:
+                    self._subs_cache_insert(
+                        cache, al_over, ham_all[om], ham_gl[om],
+                        flags[om], ho, su2)
         return lam, ham
 
     # only small inits ride the fused one-fetch transport: above this,
@@ -2483,11 +2760,11 @@ class TpuBackend(CompareBackend):
                             self._eth_cache.pop(
                                 next(iter(self._eth_cache)), None)
                 ent = self._align_ent(c, opts, geom)
-                buf_d, order, small13 = _budded_fused(
+                buf_d, order, _, small13 = _budded_fused(
                     ent[1], ent[2], self.d_seqs, self.d_lens,
                     self.d_reads, self._center_dev(c), qlerr, d_eth,
-                    None, L=self.maxlen, M0=M0, K=K, greedy=greedy,
-                    kind=kind)
+                    None, self._d_padbits, L=self.maxlen, M0=M0, K=K,
+                    greedy=greedy, kind=kind)
                 small13 = self._small_insert(ent, err, small13)
                 disps.append((buf_d, ent, order, small13))
         live = [d for d in disps if d is not None]
@@ -2531,7 +2808,7 @@ class TpuBackend(CompareBackend):
                             [f[2] for f in fdisp]))
                 foff = 0
                 for ci, M, d2 in fdisp:
-                    flen = M * (9 + self._subw(K, kind))
+                    flen = M * (5 + self._subw(K, kind))
                     follows[ci] = (M, fbig[foff: foff + flen])
                     foff += flen
         out, off = [], 0
@@ -2684,11 +2961,13 @@ class TpuBackend(CompareBackend):
                                      self.d_lens,
                                      self._center_dev(center), order,
                                      M0=M0, M=M, K=Kc))
-            o1b, o2b = 4 * M, 4 * M + M * 5
+            # continuation row indices derive from the same sel rule the
+            # device compacted with (stable order == ascending row;
+            # pad rows sit beyond n and are already excluded)
+            rows_all = np.nonzero(need & ~glb)[0]
             rows_idx = np.concatenate([
-                rows_idx,
-                buf2[:o1b].copy().view(np.int32)[:m - M0].astype(
-                    np.int64)])
+                rows_idx, rows_all[M0: m].astype(np.int64)])
+            o2b = M * 5
             subs = np.concatenate(
                 [subs,
                  buf2[o2b:].copy().view(np.uint16).reshape(M, Kc)

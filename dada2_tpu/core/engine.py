@@ -499,11 +499,18 @@ class Engine:
         # ranked next-bud candidates for speculative prefetch (pure
         # prediction: tie order does not matter here). Raws captured by
         # the upcoming cluster drop out of contention, so rank by the
-        # CURRENT (p, -reads) — the same key bud() minimizes.
+        # CURRENT (p, -reads) — the same key bud() minimizes — and only
+        # raws whose current p could actually pass the OMEGA gates
+        # qualify (a hint that cannot bud is a guaranteed-wasted
+        # prefetch; p-values only rise as E_minmax tightens).
         if elig.any():
             pe = self.p[raws[elig]]
             re_ = reads[elig]
-            order = np.lexsort((-re_, pe))[:17]
+            passable = ((pe * self.n < opts.OMEGA_A)
+                        | (self.rs.priors[raws[elig]]
+                           & (pe < opts.OMEGA_P)))
+            order = np.lexsort((-re_, pe))
+            order = order[passable[order]][:17]
             self.bud_candidates = raws[elig][order]
         else:
             self.bud_candidates = np.zeros(0, np.int64)

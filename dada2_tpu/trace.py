@@ -106,23 +106,44 @@ class PhaseTimer:
 
         self._t = defaultdict(float)
         self._n = defaultdict(int)
+        self._b = defaultdict(int)       # fetch bytes per phase
+        self._tls = threading.local()
         self._lock = threading.Lock()
 
     @contextmanager
     def __call__(self, name: str):
+        stk = getattr(self._tls, "stack", None)
+        if stk is None:
+            stk = self._tls.stack = []
+        stk.append(name)
         t0 = time.time()
         try:
             yield
         finally:
+            stk.pop()
             dt = time.time() - t0
             with self._lock:
                 self._t[name] += dt
                 self._n[name] += 1
 
+    def add_bytes(self, nbytes: int) -> None:
+        """Attribute fetched bytes to the innermost active phase of the
+        calling thread (see backend_tpu._fetch)."""
+        stk = getattr(self._tls, "stack", None)
+        name = stk[-1] if stk else "(unphased)"
+        with self._lock:
+            self._b[name] += nbytes
+
+    def bytes_dict(self) -> Dict[str, int]:
+        with self._lock:
+            return {k: v for k, v in
+                    sorted(self._b.items(), key=lambda kv: -kv[1])}
+
     def reset(self) -> None:
         with self._lock:
             self._t.clear()
             self._n.clear()
+            self._b.clear()
 
     def summary(self) -> str:
         with self._lock:

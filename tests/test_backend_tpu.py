@@ -526,3 +526,56 @@ def test_underflow_screen_soundness(monkeypatch):
                                 np.full(n, -999.0 / int(rs.reads.sum())))
     np.testing.assert_array_equal(ham_t2, ham_o)
     np.testing.assert_array_equal(lam_t2, lam_o)
+
+
+def test_cross_round_subs_cache_parity(sample, monkeypatch):
+    """selfConsist reuses one backend across engine runs; round 2+
+    budded compares ship only UNCACHED rows' substitution records (the
+    rest rebuild from the cross-round host cache). Two consecutive
+    engine runs on one backend must match two oracle runs bit-for-bit,
+    and the second run must ship fewer substitution bytes."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    seqs, ab, quals = sample
+    err = tperr1()
+    err2 = err ** 1.1          # a second, equally valid error matrix
+    for b in range(4):
+        rows = [4 * b + j for j in range(4) if j != b]
+        err2[4 * b + b] = 1.0 - err2[rows].sum(axis=0)
+    opts = DEFAULT_OPTIONS.normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+
+    from dada2_tpu.trace import COUNTERS
+    outs = {}
+    for cls in (OracleBackend, TpuBackend):
+        backend = cls(rs, use_quals=True)
+        res = []
+        fb = []
+        for e in (err, err2, err):   # 3 rounds, same backend
+            f0 = COUNTERS.fetch_bytes
+            eng = Engine(rs, e, opts, backend, use_quals=True)
+            eng.run(max_clust=opts.MAX_CLUST)
+            res.append(finalize(eng, opts, e.shape[1], opts.OMEGA_C))
+            fb.append(COUNTERS.fetch_bytes - f0)
+        outs[cls] = (res, fb)
+    for a, b in zip(outs[OracleBackend][0], outs[TpuBackend][0]):
+        _assert_same(a, b)
+    tpu_bytes = outs[TpuBackend][1]
+    assert tpu_bytes[2] < tpu_bytes[0]    # cached round ships less
+
+
+def test_subs_cache_overflow_parity(sample, monkeypatch):
+    """Forced-tiny uncached buffer (M0U) drives the cache-mode
+    follow-up fetch; results stay bit-identical."""
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    seqs, ab, quals = sample
+    err = tperr1()
+    opts = DEFAULT_OPTIONS.normalized()
+    rs = make_rawset(seqs, ab, None, quals)
+    be = TpuBackend(rs, use_quals=True)
+    be._predict_m0u = lambda ordinal, M0: 16   # force m_u > M0U
+    eng_o, res_o = _run(OracleBackend, sample, err)
+    for _ in range(2):
+        eng_t = Engine(rs, err, opts, be, use_quals=True)
+        eng_t.run(max_clust=opts.MAX_CLUST)
+    res_t = finalize(eng_t, opts, err.shape[1], opts.OMEGA_C)
+    _assert_same(res_o, res_t)
