@@ -119,9 +119,12 @@ def main():
     info(f"reference C_table_bimera2 (1 core): {t_ref:.2f}s, "
          f"{int((nflag_ref >= nsam_ref).sum())} all-sample flags")
 
-    # warm (compile) then time ours
-    small = np.ascontiguousarray(mat[:, :64])
-    _table_bimera_stats(small, seqs[:64], 1.5, 2, False, 4, 16, opts)
+    # warm (compile) then time ours: the warm subset must be big enough
+    # to produce the SAME full-size pair chunks (CH=1024 blocks) the
+    # timed run uses, or the timed run pays the XLA compiles
+    nwarm = 1280
+    small = np.ascontiguousarray(mat[:, :nwarm])
+    _table_bimera_stats(small, seqs[:nwarm], 1.5, 2, False, 4, 16, opts)
     t0 = time.time()
     nflag, nsam_out = _table_bimera_stats(
         mat, seqs, 1.5, 2, False, 4, 16, opts)

@@ -115,42 +115,53 @@ def main():
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.PIPE, env=env)
 
-    # solo: one process, S samples, 2 devices + 2 threads, 2 cores
-    p = run(["solo", "0", "0", outdir, str(NREADS), str(S_PER_PROC)],
-            "0,1")
-    so, se = p.communicate(timeout=3000)
-    if p.returncode != 0:
-        info(se.decode()[-2000:])
-        raise SystemExit(1)
-    t_solo = json.load(open(os.path.join(outdir, "t_solo_0.json")))
-    info(f"solo: {t_solo['seconds']:.2f}s")
-
-    # distributed: two processes, S samples EACH (weak scaling)
-    port = _free_port()
-    procs = [run(["dist", str(pid), str(port), outdir, str(NREADS),
-                  str(S_PER_PROC)], ("0,1", "2,3")[pid])
-             for pid in (0, 1)]
-    outs = [q.communicate(timeout=3000) for q in procs]
-    for q, (so, se) in zip(procs, outs):
-        if q.returncode != 0:
+    # median of 3 interleaved draws: single runs on this 4-core host
+    # swing by tens of percent (a lucky 1.04 was recorded in round 4);
+    # interleaving solo/dist pairs keeps machine-state drift fair
+    draws = []
+    solos, dists = [], []
+    for rep in range(3):
+        # solo: one process, S samples, 2 devices + 2 threads, 2 cores
+        p = run(["solo", "0", "0", outdir, str(NREADS),
+                 str(S_PER_PROC)], "0,1")
+        so, se = p.communicate(timeout=3000)
+        if p.returncode != 0:
             info(se.decode()[-2000:])
             raise SystemExit(1)
-    t0 = json.load(open(os.path.join(outdir, "t_dist_0.json")))
-    t1 = json.load(open(os.path.join(outdir, "t_dist_1.json")))
-    # both hosts must have learned the identical error matrix
-    assert t0["err_sum"] == t1["err_sum"], "cross-host err divergence"
-    t_dist = max(t0["seconds"], t1["seconds"])
-    info(f"dist: {t0['seconds']:.2f}s / {t1['seconds']:.2f}s")
+        t_solo = json.load(open(os.path.join(outdir, "t_solo_0.json")))
 
-    eff = t_solo["seconds"] / t_dist
+        # distributed: two processes, S samples EACH (weak scaling)
+        port = _free_port()
+        procs = [run(["dist", str(pid), str(port), outdir, str(NREADS),
+                      str(S_PER_PROC)], ("0,1", "2,3")[pid])
+                 for pid in (0, 1)]
+        outs = [q.communicate(timeout=3000) for q in procs]
+        for q, (so, se) in zip(procs, outs):
+            if q.returncode != 0:
+                info(se.decode()[-2000:])
+                raise SystemExit(1)
+        t0 = json.load(open(os.path.join(outdir, "t_dist_0.json")))
+        t1 = json.load(open(os.path.join(outdir, "t_dist_1.json")))
+        # both hosts must have learned the identical error matrix
+        assert t0["err_sum"] == t1["err_sum"], "cross-host err divergence"
+        t_dist = max(t0["seconds"], t1["seconds"])
+        info(f"draw {rep + 1}: solo {t_solo['seconds']:.2f}s, dist "
+             f"{t0['seconds']:.2f}/{t1['seconds']:.2f}s -> "
+             f"eff {t_solo['seconds'] / t_dist:.3f}")
+        draws.append(t_solo["seconds"] / t_dist)
+        solos.append(t_solo["seconds"])
+        dists.append(t_dist)
+
+    eff = float(np.median(draws))
     out = {
         "metric": "2-process weak-scaling efficiency, "
                   f"dada selfConsist ({S_PER_PROC}x{NREADS} reads/proc)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "vs_baseline": round(eff / 0.8, 3),  # 1.0 = the 80% bar
-        "t_solo_seconds": round(t_solo["seconds"], 2),
-        "t_dist_seconds": round(t_dist, 2),
+        "draws": [round(d, 3) for d in draws],
+        "t_solo_seconds": [round(t, 2) for t in solos],
+        "t_dist_seconds": [round(t, 2) for t in dists],
     }
     with open(os.path.join(REPO, "BENCH_MULTIHOST.json"), "w") as fh:
         json.dump(out, fh, indent=1)

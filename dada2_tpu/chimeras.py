@@ -425,6 +425,299 @@ def _lr_accum_trace(buf, mapq, seqs, lens, center, pidx, start, *, CNT,
                                         (start, jnp.int32(0)))
 
 
+def _lr_accum_pairs_trace(cls_rows, *, allow_one_off, max_shift):
+    """lr/ham stats for arbitrary pairs straight from the kernel's
+    per-step alignment-column CLASS emission (emit_kinds="cls": 0 =
+    inactive diagonal, 1 = s2-insertion/A-gap, 2 = A-char-vs-B-gap,
+    3 = substitution, 4 = match, in forward diagonal order).
+
+    The column-space scans (_lr_one_side/_lr_ham_batch) run here in
+    DIAGONAL space with inactive steps transparent — a step's column
+    index is the running count of active steps before it, so every
+    column-bound predicate maps to a masked cumsum and the whole thing
+    is elementwise + argmax, with NO column scatter (a [CNT, mL]
+    scatter serializes on the TPU scalar core and dominated the first
+    implementation). Returns stats [CNT, 5] int32."""
+    import jax.numpy as jnp
+
+    CNT, D = cls_rows.shape
+    cls_f = cls_rows.astype(jnp.int32)
+    a_f = cls_f != 0
+    m = a_f.sum(axis=1).astype(jnp.int32)
+
+    def colof(cv, d_idx):
+        # column index of the active step at diagonal d_idx (clamped
+        # gather); d_idx == D (not found) maps to column m
+        got = jnp.take_along_axis(
+            cv, jnp.clip(d_idx, 0, D - 1)[:, None], axis=1)[:, 0]
+        return jnp.where(d_idx >= D, m, got)
+
+    def one_side(cls_, shift_bound):
+        act = cls_ != 0
+        cv = jnp.cumsum(act.astype(jnp.int32), axis=1) - 1
+        zero = jnp.zeros_like(m)
+        # leading A-gap (class 1) run, inactive steps transparent
+        q0_d = _jnp_first_false(~act | (cls_ == 1), zero, D)
+        q0 = colof(cv, q0_d)
+        # B-gap (class 2) overhang while column < shift_bound
+        s_d = _jnp_first_false(~act | ((cls_ == 2)
+                                       & (cv < shift_bound)), q0_d, D)
+        # match run
+        eqmask = ~act | (cls_ == 4)
+        e_d = _jnp_first_false(eqmask, s_d, D)
+        e = colof(cv, e_d)
+        credit = e - q0
+        if not allow_one_off:
+            return credit, credit
+        # one-off: the single column after the run must exist and not
+        # be an A-gap, then the match run continues
+        n_d = _jnp_first_false(~act, e_d + 1, D)
+        ncls = jnp.take_along_axis(
+            cls_, jnp.clip(n_d, 0, D - 1)[:, None], axis=1)[:, 0]
+        bonus = ((n_d < D) & (ncls != 1)).astype(jnp.int32)
+        f_d = _jnp_first_false(eqmask, n_d, D)
+        f = jnp.where(n_d >= D, e + 1, colof(cv, f_d))
+        return credit, credit + bonus + jnp.maximum(f - (e + 1), 0)
+
+    cls_r = jnp.flip(cls_f, axis=1)
+    left, left_oo = one_side(cls_f, max_shift)
+    right, right_oo = one_side(cls_r, max_shift - 1)
+
+    # ends-free hamming: trim the max of the two leading gap runs on
+    # each side, count non-match columns in between
+    cv_f = jnp.cumsum(a_f.astype(jnp.int32), axis=1) - 1
+    a_r = cls_r != 0
+    cv_r = jnp.cumsum(a_r.astype(jnp.int32), axis=1) - 1
+    zero = jnp.zeros_like(m)
+    startc = jnp.maximum(
+        colof(cv_f, _jnp_first_false(~a_f | (cls_f == 1), zero, D)),
+        colof(cv_f, _jnp_first_false(~a_f | (cls_f == 2), zero, D)))
+    rtrim = jnp.maximum(
+        colof(cv_r, _jnp_first_false(~a_r | (cls_r == 1), zero, D)),
+        colof(cv_r, _jnp_first_false(~a_r | (cls_r == 2), zero, D)))
+    end = m - rtrim
+    ham = (a_f & (cls_f != 4) & (cv_f >= startc[:, None])
+           & (cv_f < end[:, None])).sum(axis=1).astype(jnp.int32)
+    return jnp.stack([left, right, left_oo, right_oo, ham],
+                     axis=1).astype(jnp.int32)
+
+
+_lr_accum_pairs_jit = None
+
+
+def _get_lr_accum_pairs_jit():
+    global _lr_accum_pairs_jit
+    if _lr_accum_pairs_jit is None:
+        import jax
+        from functools import partial
+
+        _lr_accum_pairs_jit = partial(
+            jax.jit, static_argnames=("allow_one_off",
+                                      "max_shift"))(_lr_accum_pairs_trace)
+    return _lr_accum_pairs_jit
+
+
+_pairs_params_jit = None
+
+
+def _get_pairs_params_jit():
+    global _pairs_params_jit
+    if _pairs_params_jit is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        def _pairs_params(pblk, scal_c, lens, *, band):
+            """[CH, 8, LANES] per-lane kernel params (l2, lb, rb rows)
+            built on device from the resident lengths."""
+            l2 = jnp.take(lens, pblk, axis=0).astype(jnp.int32)
+            len1 = scal_c[:, 0][:, None]
+            lb = band + jnp.maximum(0, len1 - l2)
+            rb = band + jnp.maximum(0, l2 - len1)
+            z = jnp.zeros_like(l2)
+            return jnp.stack([l2, lb, rb, z, z, z, z, z], axis=1)
+
+        _pairs_params_jit = partial(
+            jax.jit, static_argnames=("band",))(_pairs_params)
+    return _pairs_params_jit
+
+
+_pack_s1_jit = None
+
+
+def _get_pack_s1_jit():
+    global _pack_s1_jit
+    if _pack_s1_jit is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        def _pack_s1_blocks(seqs, qblk, *, L1R):
+            """[nb, L1R, LANES] per-lane query tiles (row i+1 = char i;
+            the pairs-mode s1 operand)."""
+            s = jnp.take(jnp.maximum(seqs.astype(jnp.int32), 0), qblk,
+                         axis=0)                   # [nb, LANES, W]
+            s = jnp.swapaxes(s, 1, 2)              # [nb, W, LANES]
+            nb = qblk.shape[0]
+            W = min(s.shape[1], L1R - 1)
+            out = jnp.zeros((nb, L1R, s.shape[2]), jnp.int32)
+            return out.at[:, 1: 1 + W, :].set(s[:, :W, :])
+
+        _pack_s1_jit = partial(jax.jit,
+                               static_argnames=("L1R",))(_pack_s1_blocks)
+    return _pack_s1_jit
+
+
+def _pairs_lr_stats(be, opts, qi, pi, maxShift, allow_one_off):
+    """lr/ham stats for arbitrary pairs via ONE pairs-mode wavefront
+    sweep: pairs grouped by query length (len1 is the only block-
+    uniform quantity the kernel needs), 128 pairs per block, per-block
+    query tiles, all blocks in one pallas call and one device accum —
+    ONE fetch for the whole pair set. Returns the five stat arrays or
+    None when some query length has no kernel geometry (callers fall
+    back to the per-query sweep route)."""
+    import jax.numpy as jnp
+    from .core.backend_tpu import _fetch
+    from .ops import nw_pallas as nwp
+
+    P = len(qi)
+    pb = be._pb
+    lens = be.lens
+    band = int(opts.BAND_SIZE)
+    LANES = nwp.LANES
+    l1s = lens[qi]
+    order = np.argsort(l1s, kind="stable")
+    qs, ps = qi[order], pi[order]
+    l1o = l1s[order]
+    bounds = np.nonzero(np.diff(l1o))[0] + 1
+    starts = np.concatenate([[0], bounds]).astype(np.int64)
+    ends = np.concatenate([bounds, [P]]).astype(np.int64)
+    NDPg, L1Rg = pb.geometry()
+    # vectorized block assembly (a python per-block loop cost minutes
+    # at table scale): pair t of group g lands in block
+    # base[g] + t//LANES, lane t%LANES; padding lanes repeat lane 0
+    gsizes = ends - starts
+    gblocks = -(-gsizes // LANES)
+    gbase = np.concatenate([[0], np.cumsum(gblocks)[:-1]])
+    nb = int(gblocks.sum())
+    gid = np.repeat(np.arange(len(starts)), gsizes)
+    t_in = np.arange(P) - starts[gid]
+    blk = gbase[gid] + t_in // LANES
+    lane = t_in % LANES
+    pos_of_sorted = blk * LANES + lane
+    qblk = np.zeros((nb, LANES), np.int32)
+    pblk = np.zeros((nb, LANES), np.int32)
+    filled = np.zeros((nb, LANES), bool)
+    qblk[blk, lane] = qs
+    pblk[blk, lane] = ps
+    filled[blk, lane] = True
+    padm = ~filled
+    qblk[padm] = np.broadcast_to(qblk[:, :1], qblk.shape)[padm]
+    pblk[padm] = np.broadcast_to(pblk[:, :1], pblk.shape)[padm]
+    l2b = lens[pblk]
+    len1b = l1o[np.repeat(starts, gblocks)].astype(np.int64)
+    scal_h = np.stack([
+        len1b, l2b.max(axis=1),
+        band + np.maximum(0, l2b.max(axis=1) - len1b),
+        l2b.min(axis=1)], axis=1).astype(np.int32)
+    # WP from per-GROUP length extremes (superset of any block's
+    # window); block_window is O(len) per call, so per-group only
+    WPmax = 8
+    for g, s in enumerate(starts):
+        len1 = int(l1o[s])
+        if be._pallas_ok(len1, opts) is None:
+            return None
+        gl2 = lens[ps[starts[g]: ends[g]]]
+        WPmax = max(WPmax, nwp.block_window(
+            len1, np.array([int(gl2.min()), int(gl2.max())]), band))
+    WP = ((WPmax + 31) // 32) * 32
+    if WP > 128:
+        return None
+    spread = int(lens.max() - lens.min())
+    mL = min(2 * be.maxlen, be.maxlen + maxShift + spread + 2)
+    mL = ((mL + 127) // 128) * 128
+    from .core.backend_tpu import _pack_s2_dev
+
+    # fixed-size device chunks: a table-scale pair set (millions) blows
+    # HBM in one call; CH blocks = CH*LANES pairs per sweep, one
+    # compiled program for every chunk (the tail pads with its block 0).
+    # Stats travel as u16 (all values < 2^16), and only the columns the
+    # caller reads; chunk k+1 is dispatched BEFORE chunk k's fetch so
+    # the device never idles on the host.
+    CH = min(1024, 1 << (nb - 1).bit_length())
+    ncols = 6 if allow_one_off else 4
+    buf_all = np.empty((nb * LANES, ncols), np.uint16)
+    dbg = os.environ.get("DADA2_TPU_DEBUG_CHIM")
+    import time as _time
+
+    def dispatch(c0):
+        c1 = min(c0 + CH, nb)
+        sl = slice(c0, c1)
+        padn = CH - (c1 - c0)
+        qc, pc, sc = qblk[sl], pblk[sl], scal_h[sl]
+        if padn:
+            qc = np.concatenate([qc, np.repeat(qc[:1], padn, 0)])
+            pc = np.concatenate([pc, np.repeat(pc[:1], padn, 0)])
+            sc = np.concatenate([sc, np.repeat(sc[:1], padn, 0)])
+        d_q, d_p = be._put(qc), be._put(pc)
+        d_sc = be._put(sc)
+        params_d = _get_pairs_params_jit()(d_p, d_sc, be.d_lens,
+                                           band=band)
+        d_l2max = d_sc[:, 1]
+        s2q = _pack_s2_dev(be.d_seqs, None, be.d_lens, d_p, d_l2max,
+                           L2R=pb.L2R, with_quals=False)
+        s1b = _get_pack_s1_jit()(be.d_seqs, d_q, L1R=L1Rg)
+        cls_b, _sub_b, _mapq_b, end_b = nwp._pallas_call(
+            d_sc, params_d, s1b, s2q, L1R=L1Rg, L2R=pb.L2R, NDP=NDPg,
+            WP=WP, match=int(opts.MATCH), mismatch=int(opts.MISMATCH),
+            gap_p=int(opts.GAP_PENALTY), end_gap_p=0,
+            interpret=be._interpret, emit_kinds="cls",
+            halves=pb.halves, s1_per_block=True)
+        cls_rows = jnp.swapaxes(cls_b, 1, 2).reshape(-1, NDPg)
+        end_rows = jnp.swapaxes(end_b, 1, 2).reshape(-1, 8)
+        stats_d = _get_lr_accum_pairs_jit()(
+            cls_rows, allow_one_off=allow_one_off, max_shift=maxShift)
+        okc = (end_rows[:, 0] | end_rows[:, 1]).astype(jnp.uint16)
+        if allow_one_off:
+            cols = [stats_d[:, 0], stats_d[:, 1], stats_d[:, 2],
+                    stats_d[:, 3], stats_d[:, 4], okc]
+        else:
+            # left_oo/right_oo degenerate to left/right without one-off
+            cols = [stats_d[:, 0], stats_d[:, 1], stats_d[:, 4], okc]
+        return c1, jnp.stack([c.astype(jnp.uint16) for c in cols],
+                             axis=1)
+
+    pending = None
+    for c0 in range(0, nb, CH):
+        nxt = dispatch(c0)
+        if pending is not None:
+            p0, (p1, d) = pending
+            t0 = _time.time()
+            buf_all[p0 * LANES: p1 * LANES] = _fetch(d)[
+                : (p1 - p0) * LANES]
+            if dbg:
+                import sys as _sys
+                print(f"[chim] chunk@{p0}: sync "
+                      f"{_time.time() - t0:.3f}s", file=_sys.stderr,
+                      flush=True)
+        pending = (c0, nxt)
+    p0, (p1, d) = pending
+    buf_all[p0 * LANES: p1 * LANES] = _fetch(d)[: (p1 - p0) * LANES]
+    ok_col = ncols - 1
+    if buf_all[pos_of_sorted, ok_col].any():
+        raise RuntimeError("N-W Align out of range.")
+    st = buf_all[pos_of_sorted].astype(np.int64)
+    stats = np.empty((P, ncols), np.int64)
+    stats[order] = st
+    if allow_one_off:
+        return (stats[:, 0], stats[:, 1], stats[:, 2], stats[:, 3],
+                stats[:, 4])
+    # without one-off the oo credits degenerate to the plain credits
+    # (one_side returns (credit, credit))
+    return (stats[:, 0], stats[:, 1], stats[:, 0], stats[:, 1],
+            stats[:, 2])
+
+
 _lr_accum_jit = None
 
 
@@ -473,6 +766,12 @@ def _batch_lr_stats_pallas(be, opts, pairs, maxShift, allow_one_off):
     P = len(pairs)
     qi = np.fromiter((p[0] for p in pairs), np.int64, P)
     pi = np.fromiter((p[1] for p in pairs), np.int64, P)
+    # pairs-mode sweep: every pair its own kernel lane, one call + one
+    # fetch for the whole set (the per-query fallback below sweeps ALL
+    # n rows per distinct query — n/len(parents) times more chip work)
+    out = _pairs_lr_stats(be, opts, qi, pi, maxShift, allow_one_off)
+    if out is not None:
+        return out
     order = np.argsort(qi, kind="stable")
     qs, ps = qi[order], pi[order]
     # group boundaries per query

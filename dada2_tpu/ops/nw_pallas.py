@@ -49,7 +49,7 @@ LANES = 128
 
 
 def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p,
-                 emit_kinds, halves=1):
+                 emit_kinds, halves=1, s1_per_block=False):
     """Kernel over H = halves independent 128-lane blocks per grid step.
 
     The wavefront loop is LATENCY-bound, not ALU-bound: one diagonal
@@ -65,10 +65,20 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p,
     def kernel(*refs):
         scal_ref = refs[0]
         par = refs[1:1 + H]
-        s1_ref = refs[1 + H]
-        s2q = refs[2 + H: 2 + 2 * H]
-        outs = refs[2 + 2 * H: 2 + 2 * H + NOUT * H]
-        scratch = refs[2 + 2 * H + NOUT * H:]
+        if s1_per_block:
+            # pairs mode: each half's block carries its OWN 128 query
+            # sequences as per-lane s1 columns (the DP core and
+            # traceback already read s1 per (row, lane); only len1 must
+            # be block-uniform, which the pairs builder groups by)
+            s1s = refs[1 + H: 1 + 2 * H]
+            s2q = refs[1 + 2 * H: 1 + 3 * H]
+            outs = refs[1 + 3 * H: 1 + 3 * H + NOUT * H]
+            scratch = refs[1 + 3 * H + NOUT * H:]
+        else:
+            s1_shared = refs[1 + H]
+            s2q = refs[2 + H: 2 + 2 * H]
+            outs = refs[2 + 2 * H: 2 + 2 * H + NOUT * H]
+            scratch = refs[2 + 2 * H + NOUT * H:]
         b = pl.program_id(0)
         riota = jax.lax.broadcasted_iota(jnp.int32, (WP, LANES), 0)
 
@@ -77,6 +87,7 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p,
             refs/scratch, only the diagonal index d is shared."""
             st = {}
             row = H * b + h
+            s1_ref = s1s[h] if s1_per_block else s1_shared
             len1 = scal_ref[row, 0]
             len2max = scal_ref[row, 1]
             rbmax = scal_ref[row, 2]
@@ -304,8 +315,6 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p,
                                    axis=0, keepdims=True)
                 active = ((i_t + j_t) == d) & ((i_t > 0) | (j_t > 0))
                 kind = jnp.where(active, ptr_lane, 0)
-                if emit_kinds:
-                    kinds_ref[pl.ds(dcl, 1)] = kind
                 # chars consumed by this step, via the same one-hot row
                 # select (window rows r hold s1[od+r-1] / s2[d-od-r-1])
                 c1w = s1_ref[pl.ds(od, WP), :]
@@ -321,6 +330,19 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p,
                 # mismatched diagonal -> substitution override 1+nt0 at
                 # the query position's storage row (window row == r_b)
                 issub = diag & (c1l != c2l)
+                if emit_kinds == "cls":
+                    # alignment-column CLASS per step, in forward
+                    # diagonal order: 1 = s2-insertion (s1 gap),
+                    # 2 = s1-char-vs-s2-gap, 3 = substitution,
+                    # 4 = match, 0 = inactive — the chimera scans run
+                    # straight over this, no column scatter needed
+                    clsv = jnp.where(kind == 2, 1,
+                                     jnp.where(kind == 3, 2,
+                                               jnp.where(issub, 3, 4)))
+                    kinds_ref[pl.ds(dcl, 1)] = jnp.where(active, clsv,
+                                                         0)
+                elif emit_kinds:
+                    kinds_ref[pl.ds(dcl, 1)] = kind
                 subw = sub_ref[pl.ds(C - dcl + od, WP), :]
                 sub_ref[pl.ds(C - dcl + od, WP), :] = jnp.where(
                     onehot & jnp.broadcast_to(issub, (WP, LANES)),
@@ -425,10 +447,11 @@ def _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p, end_gap_p,
 
 @partial(jax.jit, static_argnames=("L1R", "L2R", "NDP", "WP", "match",
                                    "mismatch", "gap_p", "end_gap_p",
-                                   "interpret", "emit_kinds", "halves"))
+                                   "interpret", "emit_kinds", "halves",
+                                   "s1_per_block"))
 def _pallas_call(scal, params, s1t, s2q, *, L1R, L2R, NDP, WP,
                  match, mismatch, gap_p, end_gap_p, interpret=False,
-                 emit_kinds=False, halves=1):
+                 emit_kinds=False, halves=1, s1_per_block=False):
     """Returns ([kinds [nb, NDP, LANES] if emit_kinds,]
     sub [nb, L2R, LANES], mapq [nb, L1R, LANES], end [nb, 8, LANES]);
     sub/mapq/end are emitted by the in-kernel traceback so no XLA
@@ -448,16 +471,23 @@ def _pallas_call(scal, params, s1t, s2q, *, L1R, L2R, NDP, WP,
         scal = jnp.concatenate([scal, scal[:pad]], 0)
         params = jnp.concatenate([params, params[:pad]], 0)
         s2q = jnp.concatenate([s2q, s2q[:pad]], 0)
+        if s1_per_block:
+            s1t = jnp.concatenate([s1t, s1t[:pad]], 0)
     nblocks = nb_in + pad
     kernel = _make_kernel(L1R, L2R, NDP, WP, match, mismatch, gap_p,
-                          end_gap_p, emit_kinds, H)
+                          end_gap_p, emit_kinds, H, s1_per_block)
 
     def idx(h):
         return lambda b, *_: (H * b + h, 0, 0)
 
+    if s1_per_block:
+        s1_specs = [pl.BlockSpec((None, L1R, LANES), idx(h))
+                    for h in range(H)]
+    else:
+        s1_specs = [pl.BlockSpec((L1R, LANES), lambda b, *_: (0, 0))]
     in_specs = (
         [pl.BlockSpec((None, 8, LANES), idx(h)) for h in range(H)]
-        + [pl.BlockSpec((L1R, LANES), lambda b, *_: (0, 0))]
+        + s1_specs
         + [pl.BlockSpec((None, L2R, LANES), idx(h)) for h in range(H)])
     shapes = [(L2R, LANES), (L1R, LANES), (8, LANES)]
     if emit_kinds:
@@ -484,7 +514,8 @@ def _pallas_call(scal, params, s1t, s2q, *, L1R, L2R, NDP, WP,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(scal, *([params] * H), s1t, *([s2q] * H))
+    )(scal, *([params] * H), *([s1t] * (H if s1_per_block else 1)),
+      *([s2q] * H))
     # half h wrote only rows {H*b + h} of its own output arrays; pick
     # each half's rows and restore block order
     nout = len(shapes)

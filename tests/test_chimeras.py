@@ -270,3 +270,50 @@ def test_lr_stats_pallas_route_parity(monkeypatch):
                           ("left", "right", "left_oo", "right_oo",
                            "ham")):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_lr_stats_pairs_mode_mixed_lengths(monkeypatch):
+    """Pairs-mode specifics: queries of DIFFERENT lengths land in
+    different blocks (len1 is block-uniform); parity against both the
+    nw_batch route and the per-query fallback sweep."""
+    import numpy as np
+
+    from dada2_tpu import chimeras as ch
+
+    rng = np.random.default_rng(31)
+    nt = np.array(list("ACGT"))
+    seqs = []
+    for k in range(50):
+        L = int(rng.choice([52, 57, 60, 64]))
+        s = list(nt[rng.integers(0, 4, L)])
+        seqs.append("".join(s))
+    # clustered variants so some pairs have real lr credit
+    for k in range(10):
+        s = list(seqs[k])
+        s[5] = "A" if s[5] != "A" else "C"
+        seqs.append("".join(s))
+    pairs = [(i, int(j)) for i in range(len(seqs))
+             for j in rng.integers(0, len(seqs), 4) if int(j) != i]
+
+    monkeypatch.delenv("DADA2_TPU_PALLAS", raising=False)
+    ref = ch._batch_lr_stats(pairs, seqs, 16, 5, -4, -8, True)
+
+    monkeypatch.setenv("DADA2_TPU_PALLAS", "1")
+    be, bopts = ch._chimera_backend(seqs, 5, -4, -8, 16)
+    assert be is not None and be.use_pallas
+    qi = np.fromiter((p[0] for p in pairs), np.int64, len(pairs))
+    pi = np.fromiter((p[1] for p in pairs), np.int64, len(pairs))
+    got = ch._pairs_lr_stats(be, bopts, qi, pi, 16, True)
+    assert got is not None
+    for a, b, name in zip(got, ref,
+                          ("left", "right", "left_oo", "right_oo",
+                           "ham")):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    # the per-query fallback sweep must agree too (it is the route for
+    # geometry misfits)
+    monkeypatch.setattr(ch, "_pairs_lr_stats",
+                        lambda *a, **k: None)
+    got3 = ch._batch_lr_stats_pallas(be, bopts, pairs, 16, True)
+    assert got3 is not None
+    for a, b in zip(got3, ref):
+        np.testing.assert_array_equal(a, b)
