@@ -254,8 +254,7 @@ def tpu_rate(rs, center: int):
         k_need = (int(hmaxs.max()) + 5) // 4 * 4
         backend.SHORTLIST_M0 = M0
         backend.SHORTLIST_FORCE = ("bits", k_need)
-        bps = (16 + (9 + backend._subw(k_need, "bits")) * M0
-               + backend.nd // 8)
+        bps = backend._budbuf_layout(M0, k_need, "bits")[3]
         info(f"timed transport: M0={M0} K={k_need} (bits) "
              f"bytes/sweep={bps}; sweeps overflowing M0: "
              f"{int((ms > M0).sum())}/{len(ms)}")
