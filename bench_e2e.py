@@ -183,13 +183,13 @@ def run_pair(lib, dereps, err, opts, dada, label, ref_subset=None):
          f"{' (extrapolated from %d samples)' % len(ref_names) if ref_subset else ''}")
 
     res = dada(dict(dereps), err=err, verbose=False,
-               multithread=16)  # warm/compile
+               multithread=8)  # warm/compile
     from dada2_tpu.trace import COUNTERS, PHASES
 
     PHASES.reset()
     COUNTERS.reset()
     t0 = time.time()
-    res = dada(dict(dereps), err=err, verbose=False, multithread=16)
+    res = dada(dict(dereps), err=err, verbose=False, multithread=8)
     t_tpu = time.time() - t0
     info(f"[{label}] dada() on one chip (threaded samples): {t_tpu:.2f}s")
     info(f"[{label}] phases (thread-summed): {PHASES.summary()}")
@@ -277,14 +277,14 @@ def main():
     from dada2_tpu import learn_errors
 
     learn_errors([tut[k] for k in list(tut)[:2]], nbases=1e12,
-                 multithread=16, verbose=False)  # warm/compile
+                 multithread=8, verbose=False)  # warm/compile
     from dada2_tpu.trace import COUNTERS, PHASES
 
     PHASES.reset()
     COUNTERS.reset()
     t0 = time.time()
     learned = learn_errors(list(tut.values()), nbases=1e12,
-                           multithread=16, verbose=False)
+                           multithread=8, verbose=False)
     t_tpu_l = time.time() - t0
     brk_l = {"phases": PHASES.as_dict(),
              "phase_bytes": PHASES.bytes_dict(),

@@ -633,9 +633,6 @@ def _pairs_lr_stats(be, opts, qi, pi, maxShift, allow_one_off):
     WP = ((WPmax + 31) // 32) * 32
     if WP > 128:
         return None
-    spread = int(lens.max() - lens.min())
-    mL = min(2 * be.maxlen, be.maxlen + maxShift + spread + 2)
-    mL = ((mL + 127) // 128) * 128
     from .core.backend_tpu import _pack_s2_dev
 
     # fixed-size device chunks: a table-scale pair set (millions) blows

@@ -2072,7 +2072,9 @@ class TpuBackend(CompareBackend):
                            subs16):
         """Insert complete alignment facts (small columns + uint16
         pos|nt0<<14 records, counts[i] valid entries in row i) for rows
-        not yet cached."""
+        not yet cached. Entries are immutable once present and `have`
+        is set LAST, so readers racing with an insert only ever see
+        fully-written rows — callers need no lock."""
         have, cham, chgl, cflg, d = ent
         fresh = ~have[rows]
         if not fresh.any():
@@ -2587,10 +2589,9 @@ class TpuBackend(CompareBackend):
             # populate the cache with this round's decoded rows
             if cache is not None and f_uc.any():
                 fu = ucm & fits
-                with self._cache_lock:
-                    self._subs_cache_insert(
-                        cache, rows_idx[fu], ham_all[fu], ham_gl[fu],
-                        flags[fu], ham_sel[fu], dec[fit_u])
+                self._subs_cache_insert(
+                    cache, rows_idx[fu], ham_all[fu], ham_gl[fu],
+                    flags[fu], ham_sel[fu], dec[fit_u])
         over = ~fits
         gl_over = rows_idx[over & gl_bit]
         if len(gl_over):
@@ -2615,10 +2616,9 @@ class TpuBackend(CompareBackend):
                     p = np.nonzero(is_s[i])[0]
                     su2[i, : len(p)] = (
                         p | ((t[i, p] >> 2) << 14)).astype(np.uint16)
-                with self._cache_lock:
-                    self._subs_cache_insert(
-                        cache, al_over, ham_all[om], ham_gl[om],
-                        flags[om], ho, su2)
+                self._subs_cache_insert(
+                    cache, al_over, ham_all[om], ham_gl[om],
+                    flags[om], ho, su2)
         return lam, ham
 
     # only small inits ride the fused one-fetch transport: above this,
