@@ -2084,8 +2084,10 @@ class TpuBackend(CompareBackend):
         chgl[rf] = ham_gl[fresh]
         cflg[rf] = flags[fresh]
         for i in np.nonzero(fresh)[0]:
-            d[int(rows[i])] = np.ascontiguousarray(
-                subs16[i, : int(counts[i])])
+            # views into the fetched block (no per-row copy; the block
+            # stays alive through the views, which is fine — its bytes
+            # are exactly the cache payload)
+            d[int(rows[i])] = subs16[i, : int(counts[i])]
         have[rf] = True
 
     @staticmethod

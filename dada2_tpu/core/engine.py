@@ -436,8 +436,13 @@ class Engine:
             cond = ~(prior[need] | opts.DETECT_SINGLETONS)
             # libm exp (not numpy's SIMD exp, which can differ in the
             # last ulp): the reference's calc_pA calls C exp()
-            # (reference: src/pval.cpp:55)
-            norm = 1.0 - np.array([math.exp(-e) for e in E])
+            # (reference: src/pval.cpp:55). The native batch is the
+            # same libm call without the per-element Python loop/GIL.
+            from dada2_tpu.native import exp_neg_native
+
+            en = exp_neg_native(E)
+            norm = 1.0 - (en if en is not None
+                          else np.array([math.exp(-e) for e in E]))
             small = norm < 1e-7  # TAIL_APPROX_CUTOFF, src/dada.h:25
             norm = np.where(small, E - 0.5 * E * E, norm)
             out[need] = np.where(cond, pv / norm, pv)

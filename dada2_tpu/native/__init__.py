@@ -146,6 +146,21 @@ def lam_subs_native(idx, seqs, quals, lens, subs, counts, err):
     return out
 
 
+def exp_neg_native(E):
+    """libm exp(-E) batch (bit-identical to [math.exp(-e) for e in E]:
+    both call libm's exp), GIL-free; float64[n] or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    E = np.ascontiguousarray(E, np.float64)
+    out = np.empty(len(E), np.float64)
+    lib.dada2_exp_neg_batch(_ptr(E), _ptr(out),
+                            ctypes.c_longlong(len(E)))
+    return out
+
+
 def lam_gapless_native(center, idx, seqs, quals, lens, err):
     """Native lambda for pad-to-length (gapless) pairs vs one center;
     returns float64[m] or None."""

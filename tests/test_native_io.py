@@ -166,3 +166,27 @@ def test_native_lambda_parity(extdata):
     lam_n = be._lam_subs(rows, subs, counts, err)
     lam_p = with_fallback(lambda: be._lam_subs(rows, subs, counts, err))
     np.testing.assert_array_equal(lam_n, lam_p)
+
+
+def test_native_exp_neg_parity():
+    """Native libm exp(-x) batch must be bit-identical to the Python
+    math.exp loop (both call libm; the reference's calc_pA norm term,
+    src/pval.cpp:55)."""
+    import math
+
+    import numpy as np
+
+    from dada2_tpu.native import exp_neg_native
+
+    rng = np.random.default_rng(5)
+    E = np.concatenate([
+        rng.uniform(0, 1e-7, 200),          # Taylor-fallback region
+        rng.uniform(1e-7, 50, 500),
+        rng.uniform(50, 700, 100),
+        [0.0, 1e-300, 700.0, 745.0]])
+    out = exp_neg_native(E)
+    if out is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    ref = np.array([math.exp(-e) for e in E])
+    np.testing.assert_array_equal(out, ref)
