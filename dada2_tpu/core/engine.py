@@ -335,22 +335,52 @@ class Engine:
         # Initialize best-E from cluster 0, whose comp list has one entry per
         # raw in index order (full compare at init).
         _, c0lam, c0ham = self.clusters[0].comps()
-        emax = c0lam * self.clusters[0].reads
-        best_i = np.zeros(n, dtype=np.int64)
-        best_lam = c0lam.copy()
-        best_ham = np.asarray(c0ham, dtype=np.int64).copy()
-        for i in range(1, len(self.clusters)):
-            bi = self.clusters[i]
-            idx, lam, ham_c = bi.comps()
-            if not len(idx):
-                continue
-            e = lam * bi.reads
-            upd = e > emax[idx]           # strict: ties keep earlier cluster
-            uidx = idx[upd]
-            emax[uidx] = e[upd]
-            best_i[uidx] = i
-            best_lam[uidx] = lam[upd]
-            best_ham[uidx] = np.asarray(ham_c, dtype=np.int64)[upd]
+        # flat concat of clusters 1+'s comps, cached across the
+        # MAX_SHUFFLE iterations of one bud (comps only change on
+        # compare; between shuffles only the cluster read totals move)
+        key = ((len(self.clusters),)
+               + tuple(len(c.comp_chunks) for c in self.clusters))
+        flat = getattr(self, "_shuffle_flat", None)
+        if flat is None or flat[0] != key:
+            parts = [c.comps() for c in self.clusters[1:]]
+            offs = np.zeros(len(parts) + 1, np.int64)
+            for i, p in enumerate(parts):
+                offs[i + 1] = offs[i] + len(p[0])
+            fidx = (np.concatenate([p[0] for p in parts]) if parts
+                    else np.zeros(0, np.int64))
+            flam = (np.concatenate([p[1] for p in parts]) if parts
+                    else np.zeros(0))
+            fham = (np.concatenate([np.asarray(p[2], np.int64)
+                                    for p in parts]) if parts
+                    else np.zeros(0, np.int64))
+            flat = (key, offs, fidx, flam, fham)
+            self._shuffle_flat = flat
+        _, offs, fidx, flam, fham = flat
+        bireads = np.array([float(c.reads) for c in self.clusters[1:]])
+        from ..native import shuffle_best_native
+
+        out = shuffle_best_native(c0lam, np.asarray(c0ham, np.int64),
+                                  float(self.clusters[0].reads), offs,
+                                  fidx, flam, fham, bireads)
+        if out is not None:
+            best_i, best_lam, best_ham, emax = out
+        else:
+            emax = c0lam * self.clusters[0].reads
+            best_i = np.zeros(n, dtype=np.int64)
+            best_lam = c0lam.copy()
+            best_ham = np.asarray(c0ham, dtype=np.int64).copy()
+            for i in range(1, len(self.clusters)):
+                bi = self.clusters[i]
+                idx, lam, ham_c = bi.comps()
+                if not len(idx):
+                    continue
+                e = lam * bi.reads
+                upd = e > emax[idx]   # strict: ties keep earlier cluster
+                uidx = idx[upd]
+                emax[uidx] = e[upd]
+                best_i[uidx] = i
+                best_lam[uidx] = lam[upd]
+                best_ham[uidx] = np.asarray(ham_c, dtype=np.int64)[upd]
 
         # Surgery only at mover positions. Reading movers off the
         # pre-loop slot arrays is exact: the reference's descending

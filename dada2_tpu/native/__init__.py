@@ -15,7 +15,8 @@ from typing import Optional
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "io_native.cpp"),
          os.path.join(_HERE, "rmath_native.cpp"),
-         os.path.join(_HERE, "lambda_native.cpp")]
+         os.path.join(_HERE, "lambda_native.cpp"),
+         os.path.join(_HERE, "shuffle_native.cpp")]
 _HDRS = [os.path.join(_HERE, "rmath_ppois.h")]
 _LIB = os.path.join(_HERE, "io_native.so")
 _lock = threading.Lock()
@@ -144,6 +145,37 @@ def lam_subs_native(idx, seqs, quals, lens, subs, counts, err):
                  _ptr(subs), K, _ptr(counts), _ptr(err), err.shape[1],
                  _ptr(out))
     return out
+
+
+def shuffle_best_native(c0lam, c0ham, c0reads, offs, idx, lam, ham,
+                        bireads):
+    """Native fused best-E scan for Engine.shuffle (strict >, ascending
+    cluster order — bit-identical to the numpy per-cluster loop).
+    Returns (best_i, best_lam, best_ham, emax) or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(c0lam)
+    nclust = len(bireads)
+    c0lam = np.ascontiguousarray(c0lam, np.float64)
+    c0ham = np.ascontiguousarray(c0ham, np.int64)
+    offs = np.ascontiguousarray(offs, np.int64)
+    idx = np.ascontiguousarray(idx, np.int64)
+    lam = np.ascontiguousarray(lam, np.float64)
+    ham = np.ascontiguousarray(ham, np.int64)
+    bireads = np.ascontiguousarray(bireads, np.float64)
+    best_i = np.empty(n, np.int64)
+    best_lam = np.empty(n, np.float64)
+    best_ham = np.empty(n, np.int64)
+    emax = np.empty(n, np.float64)
+    lib.dada2_shuffle_best(
+        ctypes.c_longlong(n), _ptr(c0lam), _ptr(c0ham),
+        ctypes.c_double(float(c0reads)), ctypes.c_longlong(nclust),
+        _ptr(offs), _ptr(idx), _ptr(lam), _ptr(ham), _ptr(bireads),
+        _ptr(best_i), _ptr(best_lam), _ptr(best_ham), _ptr(emax))
+    return best_i, best_lam, best_ham, emax
 
 
 def exp_neg_native(E):

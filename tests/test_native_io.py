@@ -190,3 +190,66 @@ def test_native_exp_neg_parity():
         pytest.skip("native lib unavailable")
     ref = np.array([math.exp(-e) for e in E])
     np.testing.assert_array_equal(out, ref)
+
+
+def test_native_shuffle_best_parity():
+    """Native fused best-E scan vs the numpy per-cluster loop: strict >
+    semantics, ascending cluster order, engineered ties."""
+    import numpy as np
+
+    from dada2_tpu.native import shuffle_best_native
+
+    rng = np.random.default_rng(9)
+    n = 500
+    c0lam = rng.uniform(0, 1, n)
+    c0ham = rng.integers(0, 50, n)
+    c0reads = 321.0
+    nclust = 7
+    parts = []
+    for k in range(nclust):
+        m = int(rng.integers(0, 200))
+        idx = rng.choice(n, size=m, replace=False).astype(np.int64)
+        lam = rng.uniform(0, 1, m)
+        ham = rng.integers(0, 50, m).astype(np.int64)
+        parts.append((idx, lam, ham))
+    bireads = rng.integers(1, 1000, nclust).astype(np.float64)
+    # engineered exact ties: cluster 3 replays cluster 1's first entries
+    # with lambda scaled so e matches exactly
+    if len(parts[1][0]) >= 4:
+        i4, l4, h4 = parts[3]
+        tie_idx = parts[1][0][:4]
+        tie_lam = parts[1][1][:4] * bireads[1] / bireads[3]
+        parts[3] = (np.concatenate([i4, tie_idx]),
+                    np.concatenate([l4, tie_lam]),
+                    np.concatenate([h4, np.full(4, 99)]))
+    offs = np.zeros(nclust + 1, np.int64)
+    for k, p in enumerate(parts):
+        offs[k + 1] = offs[k] + len(p[0])
+    fidx = np.concatenate([p[0] for p in parts])
+    flam = np.concatenate([p[1] for p in parts])
+    fham = np.concatenate([p[2] for p in parts])
+
+    out = shuffle_best_native(c0lam, c0ham, c0reads, offs, fidx, flam,
+                              fham, bireads)
+    if out is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    best_i, best_lam, best_ham, emax = out
+
+    # numpy reference loop (the engine's fallback path)
+    emax_r = c0lam * c0reads
+    bi_r = np.zeros(n, np.int64)
+    bl_r = c0lam.copy()
+    bh_r = c0ham.astype(np.int64).copy()
+    for k, (idx, lam, ham) in enumerate(parts):
+        e = lam * bireads[k]
+        upd = e > emax_r[idx]
+        ui = idx[upd]
+        emax_r[ui] = e[upd]
+        bi_r[ui] = k + 1
+        bl_r[ui] = lam[upd]
+        bh_r[ui] = ham[upd]
+    np.testing.assert_array_equal(best_i, bi_r)
+    np.testing.assert_array_equal(best_lam, bl_r)
+    np.testing.assert_array_equal(best_ham, bh_r)
+    np.testing.assert_array_equal(emax, emax_r)
