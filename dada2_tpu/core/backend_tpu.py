@@ -2214,8 +2214,16 @@ class TpuBackend(CompareBackend):
         ended = bool(self._centers_prev) and (o + 1) not in \
             self._centers_prev
         if not cold and not ended:
-            cands.extend((c, False)
-                         for c in (getattr(self, "spec_hint", ()) or ()))
+            # ramp-in: until the ranking hint has proven itself (>=8
+            # dispatched with a warm hit rate), risk at most 3 unproven
+            # segments per stash — a wasted segment's bytes crossed the
+            # wire for nothing
+            lim = len(cands) + (3 if disp < 8 or hits * 4 < disp * 2
+                                else self.SPEC_K)
+            for c in (getattr(self, "spec_hint", ()) or ()):
+                if len(cands) >= lim:
+                    break
+                cands.append((c, False))
         seen = {int(center)}
         out = []
         for c, fp in cands:
