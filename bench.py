@@ -370,4 +370,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:      # tunnel deaths mid-run: still emit a
+        import traceback        # parseable line instead of nothing
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "unique-pair NW alignments/sec/chip",
+            "value": 0.0,
+            "unit": "alignments/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        raise SystemExit(1)
