@@ -1957,8 +1957,7 @@ class TpuBackend(CompareBackend):
         it), offered when the per-row bitmap undercuts the wide tile
         (short-read widths; a PacBio-width bitmap costs more than the
         tiles it replaces)."""
-        menu = [("tiles", self.SHORTLIST_K // 2),
-                ("tiles", self.SHORTLIST_K),
+        menu = [("tiles", self.SHORTLIST_K),
                 ("tiles", self.SHORTLIST_K_WIDE)]
         if (self._sub_bmb + self.BITS_K_WIDE // 4
                 < 2 * self.SHORTLIST_K_WIDE):
