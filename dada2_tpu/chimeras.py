@@ -633,6 +633,15 @@ def _pairs_lr_stats(be, opts, qi, pi, maxShift, allow_one_off):
     WP = ((WPmax + 31) // 32) * 32
     if WP > 128:
         return None
+    # per-group _pallas_ok checked each group's own window; the single
+    # call runs every block at the GLOBAL max WP, so re-check the VMEM
+    # slab at that width (long-read mixes can pass per-group but blow
+    # the combined slab — fall back to the per-query route instead of
+    # failing the kernel compile)
+    lanes = pb.lanes * pb.halves
+    fixed = 4 * (NDPg + 2 * L1Rg + 2 * pb.L2R + 8) * lanes
+    if ((NDPg + 3) // 4) * WP * lanes + fixed > be.VMEM_SLAB_CAP:
+        return None
     from .core.backend_tpu import _pack_s2_dev
 
     # fixed-size device chunks: a table-scale pair set (millions) blows

@@ -856,8 +856,12 @@ def _shortlist_screen(small, eth2, reads, center, proj, *, L, greedy):
     und = jnp.float32(-(1074.0 + L) * 0.6931471805599453 - 1.0)
     logthr2 = jnp.where(pos, logthr,
                         jnp.where(e_thresh == 0, und, -jnp.inf))
+    # non-finite loglam (a log factor hit -inf, e.g. an exactly-zero
+    # err entry in a user matrix): at e_thresh == 0 the true lambda is
+    # exactly 0 and the row is droppable; anywhere else keep it
+    # conservatively (the f32 screen cannot bound it)
     need = cand & ((loglam + margin >= logthr2)
-                   | (~jnp.isfinite(loglam) & (e_thresh < 0)))
+                   | (~jnp.isfinite(loglam) & (e_thresh != 0)))
     header = jnp.stack([need.sum(), cand.sum(),
                         (shroud & ~nskip).sum(),
                         jnp.zeros((), jnp.int32)]).astype(jnp.int32)
@@ -1090,10 +1094,9 @@ class TpuBackend(CompareBackend):
     # the previous ham histogram.
     SHORTLIST_K = 16
     SHORTLIST_K_WIDE = 48
-    # bitmap-transport nt0-stream widths (2 bits/entry; the per-row
+    # bitmap-transport nt0-stream width (2 bits/entry; the per-row
     # position bitmap is complete regardless, so only the nt0 stream
     # can overflow into a dense re-fetch)
-    BITS_K = 32
     BITS_K_WIDE = 128
     # fixed (kind, K) override for the substitution transport (None =
     # adaptive via _predict_k; the bench pins one shape)
@@ -2272,7 +2275,8 @@ class TpuBackend(CompareBackend):
             COUNTERS.spec_misses += 1
             return None
         COUNTERS.spec_hits += 1
-        self._spec_run[0] += 1
+        if seg.get("rank"):
+            self._spec_run[0] += 1
         sp["consumed"].add(int(center))
         from ..trace import PHASES
         with PHASES("be.spec_consume"):
@@ -2380,20 +2384,23 @@ class TpuBackend(CompareBackend):
                 M0Us = min(M0Us, M0s, 256)
                 assumed = [int(center)]
                 cb_rows = {}
+                caches_c = {}
+                geoms_c = {}
                 for c, from_prev in cands:
-                    geom_c = self._pallas_ok(int(self.lens[c]), opts)
-                    if geom_c is None:
+                    geoms_c[c] = self._pallas_ok(int(self.lens[c]),
+                                                 opts)
+                    if geoms_c[c] is None:
                         continue
-                    cache_c = self._subs_cache_ent(c, opts)
-                    if cache_c[0].any():
-                        cb_rows[c] = cache_c[0].copy()
+                    caches_c[c] = self._subs_cache_ent(c, opts)
+                    if caches_c[c][0].any():
+                        cb_rows[c] = caches_c[c][0].copy()
                 d_cbm = (self._put(np.packbits(
                     np.stack(list(cb_rows.values())), axis=1,
                     bitorder="little").view(np.int8))
                     if cb_rows else None)
                 cb_i = {c: i for i, c in enumerate(cb_rows)}
                 for c, from_prev in cands:
-                    geom_c = self._pallas_ok(int(self.lens[c]), opts)
+                    geom_c = geoms_c[c]
                     if geom_c is None:
                         continue
                     ent_c = self._align_ent(c, opts, geom_c)
@@ -2408,7 +2415,8 @@ class TpuBackend(CompareBackend):
                         cache_on=con_c)
                     small13_c = self._small_insert(ent_c, err, small13_c)
                     specs.append((c, buf_c, order_c, oru_c, ent_c,
-                                  small13_c, tuple(assumed), con_c))
+                                  small13_c, tuple(assumed), con_c,
+                                  from_prev))
                     if from_prev:
                         # chain-extend only along the previous round's
                         # bud order; ranking candidates are an unordered
@@ -2440,18 +2448,23 @@ class TpuBackend(CompareBackend):
             segs = {}
             a = len_main
             for (c, _, order_c, oru_c, ent_c, small13_c, asm,
-                 con_c) in specs:
+                 con_c, fp) in specs:
                 seg_len = self._budbuf_layout(
                     M0s, Ks, kind, M0Us if con_c else None)[3]
                 segs[c] = dict(buf=big[a: a + seg_len], M0=M0s, K=Ks,
                                kind=kind, ent=ent_c, order=order_c,
                                order_u=oru_c,
                                M0U=M0Us if con_c else None,
-                               cache=self._subs_cache_ent(c, opts),
+                               cache=caches_c[c],
                                csnap=cb_rows.get(c),
-                               small13=small13_c, assumed=asm)
+                               small13=small13_c, assumed=asm,
+                               rank=not fp)
                 a += seg_len
-            self._spec_run[1] += len(segs)
+            # the ramp-in gate judges only the RANKING hint; counting
+            # near-certain prev-sequence segments would mask a cold
+            # ranking in every selfConsist round >= 2
+            self._spec_run[1] += sum(1 for g in segs.values()
+                                     if g["rank"])
             self._spec = {
                 "key": (hash(err.tobytes()), self._opts_key(opts)),
                 "segs": segs, "main": int(center), "consumed": set()}
@@ -2825,6 +2838,7 @@ class TpuBackend(CompareBackend):
                     follows[ci] = (M, fbig[foff: foff + flen])
                     foff += flen
         out, off = [], 0
+        ord0 = self._bud_ordinal
         for ci, (c, d) in enumerate(zip(centers, disps)):
             if d is None:
                 out.append(self.compare(c, skip, opts, err, True,
@@ -2835,6 +2849,13 @@ class TpuBackend(CompareBackend):
                 c, opts, err, skip, big[off: off + blen], M0, K, ent,
                 order, small13, kind, follow=follows.get(ci)))
             off += blen
+        # batch members are NOT engine buds: undo the bud-ordinal
+        # side effects so a later engine run's speculation/size
+        # predictors are not trained on the batch
+        for o in range(ord0, self._bud_ordinal):
+            self._m_by_ordinal.pop(o, None)
+            self._centers_cur.pop(o, None)
+        self._bud_ordinal = ord0
         return out
 
     def _full_dispatch(self, center: int, skip: np.ndarray,

@@ -338,10 +338,15 @@ class Engine:
         # flat concat of clusters 1+'s comps, cached across the
         # MAX_SHUFFLE iterations of one bud (comps only change on
         # compare; between shuffles only the cluster read totals move)
-        key = ((len(self.clusters),)
-               + tuple(len(c.comp_chunks) for c in self.clusters))
-        flat = getattr(self, "_shuffle_flat", None)
-        if flat is None or flat[0] != key:
+        from ..native import get_lib, shuffle_best_native
+
+        if get_lib() is None:
+            flat = None
+        else:
+            key = ((len(self.clusters),)
+                   + tuple(len(c.comp_chunks) for c in self.clusters))
+            flat = getattr(self, "_shuffle_flat", None)
+        if get_lib() is not None and (flat is None or flat[0] != key):
             parts = [c.comps() for c in self.clusters[1:]]
             offs = np.zeros(len(parts) + 1, np.int64)
             for i, p in enumerate(parts):
@@ -355,13 +360,15 @@ class Engine:
                     else np.zeros(0, np.int64))
             flat = (key, offs, fidx, flam, fham)
             self._shuffle_flat = flat
-        _, offs, fidx, flam, fham = flat
-        bireads = np.array([float(c.reads) for c in self.clusters[1:]])
-        from ..native import shuffle_best_native
-
-        out = shuffle_best_native(c0lam, np.asarray(c0ham, np.int64),
-                                  float(self.clusters[0].reads), offs,
-                                  fidx, flam, fham, bireads)
+        out = None
+        if flat is not None:
+            _, offs, fidx, flam, fham = flat
+            bireads = np.array([float(c.reads)
+                                for c in self.clusters[1:]])
+            out = shuffle_best_native(
+                c0lam, np.asarray(c0ham, np.int64),
+                float(self.clusters[0].reads), offs, fidx, flam, fham,
+                bireads)
         if out is not None:
             best_i, best_lam, best_ham, emax = out
         else:
@@ -541,9 +548,12 @@ class Engine:
         if elig.any():
             pe = self.p[raws[elig]]
             re_ = reads[elig]
-            passable = ((pe * self.n < opts.OMEGA_A)
+            # 1e6 slack: shuffle can LOWER a raw's p before the next
+            # bud (its cluster shrinks), so only clearly-hopeless
+            # hints are filtered
+            passable = ((pe * self.n < opts.OMEGA_A * 1e6)
                         | (self.rs.priors[raws[elig]]
-                           & (pe < opts.OMEGA_P)))
+                           & (pe < opts.OMEGA_P * 1e6)))
             order = np.lexsort((-re_, pe))
             order = order[passable[order]][:17]
             self.bud_candidates = raws[elig][order]
